@@ -1,0 +1,99 @@
+"""Scaled-dot-product attention with causal / sliding-window / n_valid masks.
+
+Reference: src/ops/lm_attn.cpp (SDPA over [head_dim, t, heads] with mask
+variants). TPU layout is [B, H, T, D]; softmax in float32 regardless of the
+compute dtype so logits parity holds in mixed precision.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attn_mask(t_q: int, t_k: int, causal: bool = True,
+              window: Optional[int] = None,
+              n_valid: Optional[jax.Array] = None,
+              offset: int = 0) -> jax.Array:
+    """Build an additive mask [T_q, T_k] (or [B, T_q, T_k] with n_valid).
+
+    offset: position of query 0 in key-time (for incremental decode q_pos =
+    offset + i). window w: key j attends iff q_pos - w < j <= q_pos.
+    """
+    qi = jnp.arange(t_q)[:, None] + offset
+    kj = jnp.arange(t_k)[None, :]
+    ok = jnp.ones((t_q, t_k), dtype=bool)
+    if causal:
+        ok &= kj <= qi
+    if window is not None and window > 0:
+        ok &= kj > qi - window
+    mask = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+    if n_valid is not None:
+        valid = kj < n_valid[:, None, None]              # [B, 1, T_k]
+        mask = mask[None] + jnp.where(valid, 0.0, NEG_INF)
+    return mask
+
+
+def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+         scale: Optional[float] = None,
+         mask: Optional[jax.Array] = None,
+         bias: Optional[jax.Array] = None) -> jax.Array:
+    """q,k,v: [B, H, T, D] → [B, H, T_q, D].
+
+    mask: additive [T_q, T_k] / [B, T_q, T_k]; bias: additive per-head
+    [H, T_q, T_k] (local block attention rel-pos bias)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        m = mask if mask.ndim == 2 else mask[:, None]
+        logits = logits + m
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+
+def mha(x: jax.Array, wq, wk, wv, wo, n_heads: int,
+        rope_fn=None, causal: bool = True, window: Optional[int] = None,
+        n_valid: Optional[jax.Array] = None,
+        bq=None, bk=None, bv=None, bo=None,
+        n_kv_heads: Optional[int] = None) -> jax.Array:
+    """Full multi-head attention block over [B, T, C] with optional GQA.
+
+    Linear weights are [out, in] (torch layout); y = x @ w.T.
+    """
+    b, t, c = x.shape
+    n_kv = n_kv_heads or n_heads
+    q = x @ wq.T
+    k = x @ wk.T
+    v = x @ wv.T
+    if bq is not None:
+        q = q + bq
+    if bk is not None:
+        k = k + bk
+    if bv is not None:
+        v = v + bv
+    d = q.shape[-1] // n_heads
+    q = q.reshape(b, t, n_heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, n_kv, d).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, n_kv, d).transpose(0, 2, 1, 3)
+    if rope_fn is not None:
+        q = rope_fn(q)
+        k = rope_fn(k)
+    if n_kv != n_heads:
+        rep = n_heads // n_kv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    m = attn_mask(t, t, causal=causal, window=window, n_valid=n_valid)
+    ctx = sdpa(q, k, v, mask=m)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n_heads * d)
+    y = ctx @ wo.T
+    if bo is not None:
+        y = y + bo
+    return y

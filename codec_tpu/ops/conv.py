@@ -1,0 +1,171 @@
+"""1-D convolution family, channels-last [B, T, C] layout for TPU MXU tiling.
+
+TPU-native re-design of the reference conv builders (reference:
+src/ops/conv1d.cpp, src/ops/convtr1d.cpp).  The reference lowers convs to
+ggml im2col + mul_mat; here we use `lax.conv_general_dilated`, which XLA
+tiles directly onto the MXU, with channels-last (`NWC`) activations so the
+channel dim rides the 128-wide lane dimension.
+
+Weight layouts (chosen at load time, see models/*.py loaders):
+  conv weights   : [K, C_in, C_out]   (lax `WIO`)
+  convtr weights : [K, C_in, C_out]   pre-flipped along K (see convtr1d)
+
+Causal padding semantics replicate the reference exactly
+(src/ops/conv1d.cpp:156-228):
+  pad_left  = (k-1)*dilation + 1 - stride
+  pad_right = ceil(t/stride)*stride - t     (zeros or replicate)
+→ output length ceil(t/stride); output frame i depends only on inputs
+  < (i+1)*stride, so right-padding + cropping is exact (used for shape
+  bucketing to avoid XLA recompiles).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMS = ("NWC", "WIO", "NWC")
+
+
+def conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+) -> jax.Array:
+    """Standard conv. x: [B, T, C_in], w: [K, C_in/groups, C_out] → [B, T', C_out]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMS,
+        feature_group_count=groups,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _causal_pads(t: int, k: int, stride: int, dilation: int) -> tuple[int, int]:
+    k_eff = (k - 1) * dilation + 1
+    pad_left = k_eff - stride
+    pad_right = -(-t // stride) * stride - t
+    return pad_left, pad_right
+
+
+def conv1d_causal(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    pad_mode: str = "zeros",
+) -> jax.Array:
+    """Causal conv (reference: codec_conv1d_causal / _causal_replicate).
+
+    pad_mode: "zeros" | "replicate".
+    """
+    t = x.shape[1]
+    pad_left, pad_right = _causal_pads(t, w.shape[0], stride, dilation)
+    if pad_mode == "replicate":
+        x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    else:
+        x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+    return conv1d(x, w, b, stride=stride, dilation=dilation, groups=groups)
+
+
+def conv1d_depthwise_causal(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """Depthwise causal conv. w: [K, 1, C] (feature_group_count = C)."""
+    return conv1d_causal(x, w, b, stride=stride, dilation=dilation, groups=x.shape[-1])
+
+
+def convtr1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """Transposed conv via input-dilated conv with a pre-flipped kernel.
+
+    x: [B, T, C_in]; w: [K, C_in, C_out] ALREADY flipped along K at load time
+    (the loader stores `w_torch[..., ::-1]` transposed to WIO), so this is a
+    single dilated conv — no in-graph flip.
+    Output length: (T-1)*stride + (K-1)*dilation + 1, then symmetric crop by
+    `padding` (matches reference src/ops/convtr1d.cpp:8-38).
+    """
+    k_eff = (w.shape[0] - 1) * dilation + 1
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(k_eff - 1, k_eff - 1)],
+        lhs_dilation=(stride,),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMS,
+    )
+    if b is not None:
+        y = y + b
+    if padding > 0:
+        y = y[:, padding:-padding, :]
+    return y
+
+
+def convtr1d_causal(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """Causal transposed conv: full convtr then crop `k - stride` on the right
+    (reference: src/ops/convtr1d.cpp:40-60). Output length T*stride."""
+    y = convtr1d(x, w, b, stride=stride, dilation=dilation)
+    crop_right = max(0, w.shape[0] - stride)
+    if crop_right > 0:
+        y = y[:, :-crop_right, :]
+    return y
+
+
+def pool1d_avg(x: jax.Array, k: int, stride: int) -> jax.Array:
+    """Average pool over time. x: [B, T, C]."""
+    y = lax.reduce_window(
+        x, 0.0, lax.add, (1, k, 1), (1, stride, 1), "VALID"
+    )
+    return y / float(k)
+
+
+def pool1d_max(x: jax.Array, k: int, stride: int) -> jax.Array:
+    y = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, k, 1), (1, stride, 1), "VALID"
+    )
+    return y
+
+
+def prepare_conv_weight(w_oik) -> jax.Array:
+    """Torch Conv1d weight [C_out, C_in, K] → lax WIO [K, C_in, C_out]."""
+    return jnp.asarray(w_oik).transpose(2, 1, 0)
+
+
+def prepare_convtr_weight(w_iok) -> jax.Array:
+    """Torch ConvTranspose1d weight [C_in, C_out, K] → pre-flipped WIO
+    [K, C_in, C_out] for convtr1d's dilated-conv formulation."""
+    w = jnp.asarray(w_iok)
+    return w[:, :, ::-1].transpose(2, 0, 1)
