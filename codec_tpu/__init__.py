@@ -1,0 +1,36 @@
+"""codec_tpu — TPU-native neural audio codec inference framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of codec.cpp
+(neural-audio-codec GGUF inference: encode PCM→RVQ codes, decode
+codes/latents→PCM, plus the codec_lm adaptor layer for audio-LM TTS).
+
+Public API mirrors the reference C API surface (include/codec.h):
+
+    model = codec_tpu.load_model("mimi.gguf")
+    codes = model.encode(pcm)          # [T, n_q] int32
+    pcm   = model.decode(codes)        # [T*hop] float32
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Union
+
+import jax.numpy as jnp
+
+from .io.gguf import GGUFReader
+from .runtime.model import CodecModel, CodecError
+from .models.registry import get_model_class, known_archs
+
+__version__ = "0.1.0"
+
+
+def load_model(path: Union[str, Path], compute_dtype=jnp.float32) -> CodecModel:
+    """Load a codec GGUF → arch-dispatched CodecModel
+    (reference: codec_model_load_from_file, src/codec.cpp:303-449)."""
+    reader = GGUFReader(path)
+    cls = get_model_class(reader.architecture)
+    return cls(reader, compute_dtype=compute_dtype)
+
+
+__all__ = ["load_model", "CodecModel", "CodecError", "GGUFReader", "known_archs"]

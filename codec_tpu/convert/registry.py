@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def get_converter(name: str):
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown converter {name!r} (known: {sorted(_REGISTRY)})")
+    return _REGISTRY[name]
+
+
+def known_converters():
+    return sorted(_REGISTRY)
+
+
+def _autoload():
+    from . import mimi  # noqa: F401
+
+
+_autoload()

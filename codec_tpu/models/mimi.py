@@ -1,0 +1,253 @@
+"""Mimi neural audio codec (kyutai/mimi), TPU-native.
+
+Reference behavior: src/models/mimi.cpp (graph builders at
+codec_mimi_build_encode:358 / codec_mimi_build_decode:654); weight schema from
+scripts/converters/mimi.py. Architecture:
+
+encode: 14-layer causal SEANet frontend (strides 1,1,1,4,1,1,5,1,1,6,1,1,8,1)
+        → N-layer causal transformer (RoPE-NEOX + LayerScale, GELU-erf MLP)
+        → stride-2 causal-replicate downsample
+        → split semantic/acoustic RVQ with input projections (in-graph argmin)
+decode: per-group codebook gather-sum + output projections → causal
+        ConvTranspose ×2 upsample → decode transformer → mirrored SEANet
+        decoder (ELU + causal convs / convtrs) → PCM
+
+TPU design notes:
+  - channels-last [B, T, C]; convs via lax.conv_general_dilated (MXU).
+  - transformer layers stacked on a leading dim and scanned (one compiled
+    body for all layers).
+  - whole encode/decode is a single jitted function; shape bucketing makes
+    the jit cache play the reference graph-cache role (bucketing.py).
+  - the RVQ argmin search runs in-graph (ops/rvq.py), like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from ..ops import act, attn, conv, norms, rope, rvq
+
+ENC_STRIDES = (1, 1, 1, 4, 1, 1, 5, 1, 1, 6, 1, 1, 8, 1)
+# encoder conv layer indices in the HF/SEANet module list (ELUs interleave)
+ENC_CONV_IDS = (0, (1,), 3, (4,), 6, (7,), 9, (10,), 12, 14)
+DEC_UP_STRIDES = (8, 6, 5, 4)
+
+
+@dataclass(frozen=True)
+class MimiConfig:
+    sample_rate: int = 24000
+    hop_size: int = 1920
+    n_q: int = 32
+    n_sem: int = 1
+    codebook_size: int = 2048
+    codebook_dim: int = 256
+    hidden: int = 512
+    n_layers: int = 8
+    n_heads: int = 8
+    head_dim: int = 64
+    intermediate: int = 2048
+    rope_theta: float = 10000.0
+    freq_scale: float = 1.0
+    norm_eps: float = 1e-5
+    window: Optional[int] = 250   # HF Mimi sliding window (no-op for T<250)
+    has_encoder: bool = True
+    has_decoder: bool = True
+
+    @classmethod
+    def from_gguf(cls, r: GGUFReader) -> "MimiConfig":
+        scaling = r.get_f32("codec.rope_scaling_factor", 1.0)
+        return cls(
+            sample_rate=r.get_i32("codec.sample_rate", 24000),
+            hop_size=r.get_i32("codec.hop_size", 1920),
+            n_q=r.get_i32("codec.n_q", 32),
+            n_sem=r.get_i32("codec.num_semantic_quantizers", 1),
+            codebook_size=r.get_i32("codec.codebook_size", 2048),
+            codebook_dim=r.get_i32("codec.codebook_dim", 256),
+            hidden=r.get_i32("codec.latent_dim", 512),
+            n_layers=r.get_i32("codec.num_hidden_layers", 8),
+            n_heads=r.get_i32("codec.num_attention_heads", 8),
+            head_dim=r.get_i32("codec.head_dim", 64),
+            intermediate=r.get_i32("codec.intermediate_size", 2048),
+            rope_theta=r.get_f32("codec.rope_theta", 10000.0),
+            freq_scale=1.0 / scaling if scaling > 0 else 1.0,
+            window=r.get_i32("codec.attn_window", 250) or None,
+            has_encoder=r.get_bool("codec.has_encoder", False),
+            has_decoder=r.get_bool("codec.has_decoder", True),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter loading
+# ---------------------------------------------------------------------------
+
+def _conv_wb(r: GGUFReader, name: str, dtype) -> Dict[str, jax.Array]:
+    w = conv.prepare_conv_weight(r.get(f"{name}.w")).astype(dtype)
+    b = r.get_or_none(f"{name}.b")
+    return {"w": w, "b": jnp.asarray(b).astype(dtype) if b is not None else None}
+
+
+def _convtr_wb(r: GGUFReader, name: str, dtype) -> Dict[str, jax.Array]:
+    w = conv.prepare_convtr_weight(r.get(f"{name}.w")).astype(dtype)
+    b = r.get_or_none(f"{name}.b")
+    return {"w": w, "b": jnp.asarray(b).astype(dtype) if b is not None else None}
+
+
+def _stack_transformer(r: GGUFReader, prefix: str, n_layers: int, dtype) -> Dict[str, jax.Array]:
+    """Stack per-layer transformer weights on a leading layer dim for lax.scan."""
+    names = {
+        "inln_w": "inln.w", "inln_b": "inln.b",
+        "paln_w": "paln.w", "paln_b": "paln.b",
+        "q_w": "attn.q_proj.w", "k_w": "attn.k_proj.w",
+        "v_w": "attn.v_proj.w", "o_w": "attn.o_proj.w",
+        "fc1_w": "mlp.fc1.w", "fc2_w": "mlp.fc2.w",
+        "sa_scale": "sa_ls.scale", "mlp_scale": "mlp_ls.scale",
+    }
+    out: Dict[str, jax.Array] = {}
+    for key, suffix in names.items():
+        stacked = np.stack([r.get(f"{prefix}.l{li}.{suffix}") for li in range(n_layers)])
+        out[key] = jnp.asarray(stacked).astype(dtype)
+    return out
+
+
+def _load_codebooks(r: GGUFReader, group: str, n: int, dtype) -> jax.Array:
+    cbs = []
+    for i in range(n):
+        cb = r.get_or_none(f"q.{group}.layers.{i}.codebook.embed")
+        if cb is None:
+            cb = r.get(f"q.{group}.layers.{i}.cb.embed")
+        cbs.append(cb)
+    return jnp.asarray(np.stack(cbs)).astype(dtype)        # [n, V, d]
+
+
+def load_mimi_params(r: GGUFReader, cfg: MimiConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+    n_acu = cfg.n_q - cfg.n_sem
+    p["cb_sem"] = _load_codebooks(r, "s", cfg.n_sem, dtype)
+    p["sem_op"] = jnp.asarray(r.get("q.s.op.w")).astype(dtype)
+    if n_acu > 0:
+        p["cb_acu"] = _load_codebooks(r, "a", n_acu, dtype)
+        p["acu_op"] = jnp.asarray(r.get("q.a.op.w")).astype(dtype)
+    if cfg.has_decoder:
+        p["up"] = _convtr_wb(r, "up.cv", dtype)
+        p["dtr"] = _stack_transformer(r, "dtr", cfg.n_layers, dtype)
+        p["dec_l0"] = _conv_wb(r, "dec.l0.conv", dtype)
+        stages = []
+        for si, li in enumerate((2, 5, 8, 11)):
+            stages.append({
+                "tr": _convtr_wb(r, f"dec.l{li}.conv", dtype),
+                "r1": _conv_wb(r, f"dec.l{li + 1}.block.1.conv", dtype),
+                "r2": _conv_wb(r, f"dec.l{li + 1}.block.3.conv", dtype),
+            })
+        p["dec_stages"] = stages
+        p["dec_l14"] = _conv_wb(r, "dec.l14.conv", dtype)
+    if cfg.has_encoder:
+        p["enc_l0"] = _conv_wb(r, "enc.l0.conv", dtype)
+        stages = []
+        for li in (1, 4, 7, 10):
+            stages.append({
+                "r1": _conv_wb(r, f"enc.l{li}.block.1.conv", dtype),
+                "r2": _conv_wb(r, f"enc.l{li}.block.3.conv", dtype),
+                "dn": _conv_wb(r, f"enc.l{li + 2}.conv", dtype),
+            })
+        p["enc_stages"] = stages
+        p["enc_l14"] = _conv_wb(r, "enc.l14.conv", dtype)
+        p["etr"] = _stack_transformer(r, "etr", cfg.n_layers, dtype)
+        p["dn"] = {"w": conv.prepare_conv_weight(r.get("dn.cv.w")).astype(dtype), "b": None}
+        p["sem_ip"] = jnp.asarray(r.get("q.s.ip.w")).astype(dtype)
+        if n_acu > 0:
+            p["acu_ip"] = jnp.asarray(r.get("q.a.ip.w")).astype(dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward blocks
+# ---------------------------------------------------------------------------
+
+def _resblock(x: jax.Array, r1: Dict, r2: Dict) -> jax.Array:
+    """SEANet residual block: x + conv1(elu(x)) → elu → conv2
+    (reference: codec_mimi_resblock_ggml, mimi.cpp:191-214)."""
+    h = act.elu(x)
+    h = conv.conv1d_causal(h, r1["w"], r1["b"])
+    h = act.elu(h)
+    h = conv.conv1d_causal(h, r2["w"], r2["b"])
+    return x + h
+
+
+def _transformer(x: jax.Array, tp: Dict[str, jax.Array], cfg: MimiConfig) -> jax.Array:
+    """Scan over stacked layers. x: [B, T, C]."""
+    rope_fn = partial(rope.apply_rope, theta=cfg.rope_theta,
+                      freq_scale=cfg.freq_scale, neox=True)
+
+    def layer(x, lw):
+        h = norms.layer_norm(x, lw["inln_w"], lw["inln_b"], cfg.norm_eps)
+        a = attn.mha(h, lw["q_w"], lw["k_w"], lw["v_w"], lw["o_w"],
+                     n_heads=cfg.n_heads, rope_fn=rope_fn, causal=True,
+                     window=cfg.window)
+        x = x + a * lw["sa_scale"]
+        m = norms.layer_norm(x, lw["paln_w"], lw["paln_b"], cfg.norm_eps)
+        m = act.gelu_erf(m @ lw["fc1_w"].T) @ lw["fc2_w"].T
+        return x + m * lw["mlp_scale"], None
+
+    x, _ = jax.lax.scan(layer, x, tp)
+    return x
+
+
+def mimi_decode_fn(params: Dict[str, Any], codes: jax.Array, cfg: MimiConfig,
+                   n_q: Optional[int] = None) -> jax.Array:
+    """codes: [B, T, Q] int32 → pcm [B, T*hop] (reference: codec_mimi_build_decode)."""
+    if n_q is None:
+        n_q = codes.shape[-1]
+    codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+    n_sem = min(cfg.n_sem, n_q)
+    x = rvq.rvq_decode_sum(codes[..., :n_sem], params["cb_sem"], n_q=n_sem)
+    x = x @ params["sem_op"].T
+    if n_q > n_sem:
+        a = rvq.rvq_decode_sum(codes[..., n_sem:n_q], params["cb_acu"], n_q=n_q - n_sem)
+        x = x + a @ params["acu_op"].T
+
+    x = conv.convtr1d_causal(x, params["up"]["w"], None, stride=2)
+    x = _transformer(x, params["dtr"], cfg)
+
+    x = conv.conv1d_causal(x, params["dec_l0"]["w"], params["dec_l0"]["b"])
+    for stage, stride in zip(params["dec_stages"], DEC_UP_STRIDES):
+        x = act.elu(x)
+        x = conv.convtr1d_causal(x, stage["tr"]["w"], stage["tr"]["b"], stride=stride)
+        x = _resblock(x, stage["r1"], stage["r2"])
+    x = act.elu(x)
+    x = conv.conv1d_causal(x, params["dec_l14"]["w"], params["dec_l14"]["b"])
+    return x[..., 0]                                      # [B, T*hop]
+
+
+def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
+                   n_q: Optional[int] = None) -> jax.Array:
+    """pcm: [B, n] float32 → codes [B, ceil(n/hop), n_q]
+    (reference: codec_mimi_build_encode, mimi.cpp:358-613)."""
+    if n_q is None:
+        n_q = cfg.n_q
+    x = pcm[..., None]                                     # [B, n, 1]
+    x = conv.conv1d_causal(x, params["enc_l0"]["w"], params["enc_l0"]["b"])
+    for stage, stride in zip(params["enc_stages"], (4, 5, 6, 8)):
+        x = _resblock(x, stage["r1"], stage["r2"])
+        x = act.elu(x)
+        x = conv.conv1d_causal(x, stage["dn"]["w"], stage["dn"]["b"], stride=stride)
+    x = act.elu(x)
+    x = conv.conv1d_causal(x, params["enc_l14"]["w"], params["enc_l14"]["b"])
+
+    x = _transformer(x, params["etr"], cfg)
+    x = conv.conv1d_causal(x, params["dn"]["w"], None, stride=2, pad_mode="replicate")
+
+    n_sem = min(cfg.n_sem, n_q)
+    sem = x @ params["sem_ip"].T
+    sem_codes = rvq.rvq_encode(sem, params["cb_sem"][:n_sem])
+    parts = [sem_codes]
+    if n_q > n_sem:
+        acu = x @ params["acu_ip"].T
+        parts.append(rvq.rvq_encode(acu, params["cb_acu"][: n_q - n_sem]))
+    return jnp.concatenate(parts, axis=-1)                 # [B, T, n_q]

@@ -1,0 +1,132 @@
+"""CodecModel: the public runtime object (load → encode/decode/decode_latent).
+
+TPU-native equivalent of the reference's codec_model + codec_context pair
+(src/codec.cpp:303-611): arch dispatch via the model registry, param
+validation, mono-ization, and the jit-compile cache (via shape bucketing,
+runtime/bucketing.py) replacing the ggml graph cache + scheduler.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from .bucketing import bucket_batch, bucket_length
+from .perf_log import perf_event, perf_scope
+
+
+class CodecError(ValueError):
+    """Invalid-argument / invalid-state errors (reference: codec_status enums)."""
+
+
+class CodecModel:
+    """Base class; per-arch subclasses live in codec_tpu/models/ and register
+    themselves in models/registry.py (reference vtable: src/codec.cpp:153-191)."""
+
+    arch: str = ""
+
+    # Subclasses set these after load:
+    sample_rate: int = 0
+    hop_size: int = 1
+    n_q: int = 0
+    codebook_size: int = 0
+    latent_dim: int = 0
+    has_encoder: bool = False
+    has_decoder: bool = True
+    expected_channels: int = 1
+
+    def __init__(self, reader: GGUFReader, compute_dtype=jnp.float32):
+        self.reader = reader
+        self.compute_dtype = compute_dtype
+        self.metadata: Dict[str, Any] = dict(reader.kv)
+        self._jit_cache: Dict[Any, Callable] = {}
+        self._load(reader)
+
+    # -- subclass hooks ----------------------------------------------------
+    def _load(self, reader: GGUFReader) -> None:
+        raise NotImplementedError
+
+    def _decode_impl(self, codes: jax.Array, n_q: int) -> jax.Array:
+        """codes [B, T_bucket, n_q] → pcm [B, T_bucket*hop]; jitted by caller."""
+        raise NotImplementedError
+
+    def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
+        raise NotImplementedError
+
+    # -- jit cache (graph-cache equivalent) --------------------------------
+    def _jitted(self, key: Tuple, make: Callable[[], Callable]) -> Callable:
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            t0 = time.monotonic()
+            fn = jax.jit(make())
+            self._jit_cache[key] = fn
+            perf_event("graph_build", (time.monotonic() - t0) * 1e6, str(key))
+        return fn
+
+    # -- public API --------------------------------------------------------
+    def decode(self, codes, n_q: int = 0) -> np.ndarray:
+        """codes: [T, Q] or [B, T, Q] int → pcm float32 [T*hop] / [B, T*hop].
+
+        n_q=0 means all model codebooks (reference: codec_decode_params)."""
+        if not self.has_decoder:
+            raise CodecError(f"{self.arch}: model has no decoder")
+        codes = np.asarray(codes)
+        squeeze = codes.ndim == 2
+        if squeeze:
+            codes = codes[None]
+        if codes.ndim != 3 or codes.shape[1] == 0:
+            raise CodecError(f"bad codes shape {codes.shape}")
+        use_nq = n_q if n_q > 0 else min(self.n_q, codes.shape[2])
+        if n_q < 0 or use_nq < 1 or use_nq > self.n_q or codes.shape[2] < use_nq:
+            raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
+        b, t = codes.shape[0], codes.shape[1]
+        tb, bb = bucket_length(t), bucket_batch(b)
+        buf = np.zeros((bb, tb, use_nq), dtype=np.int32)
+        buf[:b, :t] = codes[:, :, :use_nq]
+
+        with perf_scope("decode_total", self.arch):
+            fn = self._jitted(("dec", bb, tb, use_nq),
+                              lambda: lambda c: self._decode_impl(c, use_nq))
+            with perf_scope("graph_compute", "decode"):
+                pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
+        pcm = pcm[:b, : t * self.hop_size]
+        return pcm[0] if squeeze else pcm
+
+    def encode(self, pcm, n_q: int = 0) -> np.ndarray:
+        """pcm: [n] / [B, n] float32 → codes int32 [T, n_q] / [B, T, n_q]."""
+        if not self.has_encoder:
+            raise CodecError(f"{self.arch}: model has no encoder")
+        pcm = np.asarray(pcm, dtype=np.float32)
+        squeeze = pcm.ndim == 1
+        if squeeze:
+            pcm = pcm[None]
+        if pcm.ndim != 2 or pcm.shape[1] == 0:
+            raise CodecError(f"bad pcm shape {pcm.shape}")
+        use_nq = n_q if n_q > 0 else self.n_q
+        if n_q < 0 or use_nq < 1 or use_nq > self.n_q:
+            raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
+        b, n = pcm.shape
+        t_frames = -(-n // self.hop_size)
+        nb = bucket_length(t_frames) * self.hop_size
+        bb = bucket_batch(b)
+        buf = np.zeros((bb, nb), dtype=np.float32)
+        buf[:b, :n] = pcm
+
+        with perf_scope("encode_total", self.arch):
+            fn = self._jitted(("enc", bb, nb, use_nq),
+                              lambda: lambda x: self._encode_impl(x, use_nq))
+            with perf_scope("graph_compute", "encode"):
+                codes = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
+        codes = codes[:b, :t_frames]
+        return codes[0] if squeeze else codes
+
+    def decode_latent(self, latent) -> np.ndarray:
+        raise CodecError(f"{self.arch}: decode_latent not supported")
+
+    def encode_latent(self, pcm) -> np.ndarray:
+        raise CodecError(f"{self.arch}: continuous-latent encode not supported")
