@@ -1,0 +1,36 @@
+"""Device mesh + sharding helpers for multi-chip batch decode.
+
+The reference is single-device; its batch API loops sequences serially
+(reference: src/batch/batch.cpp + src/codec.cpp:640-786, noted in SURVEY §2.7
+as the one real parallelism upgrade). Here batch decode is a single jitted
+program with the batch dim sharded over a `dp` mesh axis: XLA partitions every
+conv/matmul per-chip with zero collectives in the steady state (pure data
+parallel — weights replicated, activations batch-split over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, x: jax.Array, axis: str = "dp") -> jax.Array:
+    """Place `x` with its leading (batch) dim split over the mesh."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (weights) on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
