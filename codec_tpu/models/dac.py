@@ -1,0 +1,276 @@
+"""DAC (Descript Audio Codec), TPU-native.
+
+Reference behavior: src/models/dac.cpp (decode graph at
+codec_dac_build_decode:~474, encode at ~788); weight schema from
+scripts/converters/dac.py. Architecture:
+
+encode: conv k7 (symmetric pad) → 4 blocks [3 residual units (snake,
+        dilated conv k7 d∈{1,3,9}, snake, conv k1) → snake → strided conv
+        k=2s pad=ceil(s/2)] → snake → conv k3 → latent
+        → residual VQ: per layer in_proj 1x1 → cosine (L2-normalized)
+        nearest-code search → residual -= out_proj(codebook[idx])
+decode: latent = Σ_q out_proj_q(codebook_q[codes_q]) (+biases) → conv k7 →
+        4 blocks [snake → convtr k=2s pad=ceil(s/2) → 3 res units] →
+        snake → conv k7 → tanh
+
+DAC is NON-causal (symmetric padding), so CodecModel runs it without shape
+bucketing (exact-length jit cache entries; `causal_time = False`).
+All VQ layers share shapes → stacked codebooks/projections + lax.scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from ..ops import act, conv, norms
+from ..runtime.model import CodecModel
+
+RES_DILATIONS = (1, 3, 9)
+
+
+@dataclass(frozen=True)
+class DacConfig:
+    sample_rate: int = 24000
+    hop_size: int = 320
+    n_q: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    latent_dim: int = 1024
+    n_blocks: int = 4
+
+    @classmethod
+    def from_gguf(cls, r: GGUFReader) -> "DacConfig":
+        return cls(
+            sample_rate=r.get_i32("codec.sample_rate", 24000),
+            hop_size=r.get_i32("codec.hop_size", 320),
+            n_q=r.get_i32("codec.n_q", 9),
+            codebook_size=r.get_i32("codec.codebook_size", 1024),
+            codebook_dim=r.get_i32("codec.codebook_dim", 8),
+            latent_dim=r.get_i32("codec.latent_dim", 1024),
+        )
+
+
+def _conv_wb(r: GGUFReader, wname: str, dtype) -> Dict[str, Any]:
+    w = r.get(wname + ".weight")
+    b = r.get_or_none(wname + ".bias")
+    return {"w": conv.prepare_conv_weight(w).astype(dtype),
+            "b": jnp.asarray(b).astype(dtype) if b is not None else None,
+            "k": w.shape[2]}
+
+
+def _convtr_wb(r: GGUFReader, wname: str, dtype) -> Dict[str, Any]:
+    w = r.get(wname + ".weight")                      # torch (in, out, k)
+    b = r.get_or_none(wname + ".bias")
+    return {"w": conv.prepare_convtr_weight(w).astype(dtype),
+            "b": jnp.asarray(b).astype(dtype) if b is not None else None,
+            "k": w.shape[2]}
+
+
+def _alpha(r: GGUFReader, name: str, dtype) -> jax.Array:
+    a = np.asarray(r.get(name)).reshape(-1)           # (1, C, 1) → [C]
+    return jnp.asarray(a).astype(dtype)
+
+
+def load_dac_params(r: GGUFReader, cfg: DacConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    p: Dict[str, Any] = {}
+
+    # --- quantizer stacks [n_q, ...] --------------------------------------
+    def stack(fmt, transform=lambda x: x):
+        return jnp.asarray(np.stack([transform(np.asarray(r.get(fmt.format(qi))))
+                                     for qi in range(cfg.n_q)])).astype(dtype)
+
+    def squeeze_k1(a):
+        return a[:, :, 0] if a.ndim == 3 else a       # 1x1 conv → linear (out, in)
+
+    p["vq"] = {
+        "cb": stack("vq.q{}.codebook.weight"),                      # [n_q, V, d]
+        "in_w": stack("vq.q{}.in_proj.weight", squeeze_k1),         # [n_q, d, hidden]
+        "in_b": stack("vq.q{}.in_proj.bias"),
+        "out_w": stack("vq.q{}.out_proj.weight", squeeze_k1),       # [n_q, hidden, d]
+        "out_b": stack("vq.q{}.out_proj.bias"),
+    }
+
+    # --- decoder ----------------------------------------------------------
+    p["dec_c1"] = _conv_wb(r, "dec.model.0", dtype)
+    blocks = []
+    for bi in range(1, cfg.n_blocks + 1):
+        pre = f"dec.model.{bi}.block"
+        blk = {
+            "snake": _alpha(r, f"{pre}.snake1.alpha", dtype),
+            "tr": _convtr_wb(r, f"{pre}.conv_t1", dtype),
+            "units": [],
+        }
+        for ri in (1, 2, 3):
+            blk["units"].append({
+                "s1": _alpha(r, f"{pre}.res_unit{ri}.snake1.alpha", dtype),
+                "c1": _conv_wb(r, f"{pre}.res_unit{ri}.conv1", dtype),
+                "s2": _alpha(r, f"{pre}.res_unit{ri}.snake2.alpha", dtype),
+                "c2": _conv_wb(r, f"{pre}.res_unit{ri}.conv2", dtype),
+            })
+        blocks.append(blk)
+    p["dec_blocks"] = blocks
+    p["dec_snake"] = _alpha(r, f"dec.model.{cfg.n_blocks + 1}.alpha", dtype)
+    p["dec_c2"] = _conv_wb(r, f"dec.model.{cfg.n_blocks + 2}", dtype)
+
+    # --- encoder ----------------------------------------------------------
+    if r.has_tensor("enc.block.0.weight"):
+        p["enc_c1"] = _conv_wb(r, "enc.block.0", dtype)
+        eblocks = []
+        for bi in range(1, cfg.n_blocks + 1):
+            pre = f"enc.block.{bi}.block"
+            blk = {"units": []}
+            for ri in (1, 2, 3):
+                blk["units"].append({
+                    "s1": _alpha(r, f"{pre}.res_unit{ri}.snake1.alpha", dtype),
+                    "c1": _conv_wb(r, f"{pre}.res_unit{ri}.conv1", dtype),
+                    "s2": _alpha(r, f"{pre}.res_unit{ri}.snake2.alpha", dtype),
+                    "c2": _conv_wb(r, f"{pre}.res_unit{ri}.conv2", dtype),
+                })
+            blk["snake"] = _alpha(r, f"{pre}.snake1.alpha", dtype)
+            blk["dn"] = _conv_wb(r, f"{pre}.conv1", dtype)
+            eblocks.append(blk)
+        p["enc_blocks"] = eblocks
+        p["enc_snake"] = _alpha(r, f"enc.block.{cfg.n_blocks + 1}.alpha", dtype)
+        p["enc_c2"] = _conv_wb(r, f"enc.block.{cfg.n_blocks + 2}", dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _sym_conv(x, layer, stride=1, dilation=1):
+    """Symmetric-pad conv: pad (k_eff//2, matching torch Conv1d padding)."""
+    k = layer["k"]
+    pad = ((k - 1) * dilation) // 2 if dilation > 1 else None
+    # torch uses explicit padding value; reference passes kernel//2 for k odd,
+    # (stride+1)//2 for strided downsample convs.
+    if pad is None:
+        pad = (stride + 1) // 2 if stride > 1 else k // 2
+    return conv.conv1d(x, layer["w"], layer["b"], stride=stride, dilation=dilation,
+                       padding=pad)
+
+
+def _res_unit(x, u, dilation):
+    h = act.snake(x, u["s1"])
+    h = _sym_conv(h, u["c1"], dilation=dilation)
+    h = act.snake(h, u["s2"])
+    h = conv.conv1d(h, u["c2"]["w"], u["c2"]["b"])
+    return x + h
+
+
+def dac_latent_from_codes(vq: Dict[str, jax.Array], codes: jax.Array,
+                          n_q: int) -> jax.Array:
+    """codes [B, T, Q] → latent [B, T, hidden]: Σ_q out_proj_q(cb_q[idx]) + b."""
+    v = vq["cb"].shape[1]
+    oh = jax.nn.one_hot(codes[..., :n_q], v, dtype=vq["cb"].dtype)   # [B,T,q,V]
+    emb = jnp.einsum("btqv,qvd->btqd", oh, vq["cb"][:n_q])
+    lat = jnp.einsum("btqd,qhd->bth", emb, vq["out_w"][:n_q])
+    return lat + jnp.sum(vq["out_b"][:n_q], axis=0)
+
+
+def dac_decode_from_latent(params: Dict[str, Any], latent: jax.Array,
+                           cfg: DacConfig) -> jax.Array:
+    """latent [B, T, hidden] → pcm [B, T*hop] (reference: codec_dac_build_decode)."""
+    x = _sym_conv(latent, params["dec_c1"])
+    for blk in params["dec_blocks"]:
+        x = act.snake(x, blk["snake"])
+        k = blk["tr"]["k"]
+        s = k // 2
+        x = conv.convtr1d(x, blk["tr"]["w"], blk["tr"]["b"], stride=s,
+                          padding=(s + 1) // 2)
+        for u, d in zip(blk["units"], RES_DILATIONS):
+            x = _res_unit(x, u, d)
+    x = act.snake(x, params["dec_snake"])
+    x = _sym_conv(x, params["dec_c2"])
+    return jnp.tanh(x[..., 0])
+
+
+def dac_decode_fn(params: Dict[str, Any], codes: jax.Array, cfg: DacConfig,
+                  n_q: Optional[int] = None) -> jax.Array:
+    if n_q is None:
+        n_q = codes.shape[-1]
+    codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+    latent = dac_latent_from_codes(params["vq"], codes, n_q)
+    return dac_decode_from_latent(params, latent, cfg)
+
+
+def dac_encode_latent_fn(params: Dict[str, Any], pcm: jax.Array,
+                         cfg: DacConfig) -> jax.Array:
+    """pcm [B, n] → pre-VQ latent [B, n/hop, latent_dim]."""
+    x = pcm[..., None]
+    x = _sym_conv(x, params["enc_c1"])
+    for blk in params["enc_blocks"]:
+        for u, d in zip(blk["units"], RES_DILATIONS):
+            x = _res_unit(x, u, d)
+        x = act.snake(x, blk["snake"])
+        k = blk["dn"]["k"]
+        x = _sym_conv(x, blk["dn"], stride=k // 2)
+    x = act.snake(x, params["enc_snake"])
+    x = _sym_conv(x, params["enc_c2"])
+    return x
+
+
+def dac_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: DacConfig,
+                  n_q: Optional[int] = None) -> jax.Array:
+    """Full encode: latent → cosine-RVQ codes [B, T, n_q]
+    (reference: dac.cpp:866-925 — normalized search, raw-codebook residual)."""
+    if n_q is None:
+        n_q = cfg.n_q
+    x = dac_encode_latent_fn(params, pcm, cfg)
+    vq = params["vq"]
+
+    def body(residual, q):
+        z = residual @ jnp.swapaxes(q["in_w"], -1, -2) + q["in_b"]   # [B,T,d]
+        zn = norms.l2_normalize(z)
+        cbn = norms.l2_normalize(q["cb"])
+        scores = 2.0 * jnp.einsum("btd,vd->btv", zn, cbn,
+                                  preferred_element_type=jnp.float32)
+        scores = scores - jnp.sum(jnp.square(cbn.astype(jnp.float32)), axis=-1)
+        idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        zq = jnp.take(q["cb"], idx, axis=0)                           # [B,T,d]
+        proj = zq @ jnp.swapaxes(q["out_w"], -1, -2) + q["out_b"]     # [B,T,h]
+        return residual - proj, idx
+
+    _, codes = jax.lax.scan(body, x, jax.tree_util.tree_map(lambda a: a[:n_q], vq))
+    return jnp.moveaxis(codes, 0, -1)
+
+
+class DacCodec(CodecModel):
+    arch = "dac"
+    causal_time = False
+
+    def _load(self, reader: GGUFReader) -> None:
+        self.cfg = DacConfig.from_gguf(reader)
+        self.params = load_dac_params(reader, self.cfg, dtype=self.compute_dtype)
+        self.sample_rate = self.cfg.sample_rate
+        self.hop_size = self.cfg.hop_size
+        self.n_q = self.cfg.n_q
+        self.codebook_size = self.cfg.codebook_size
+        self.latent_dim = self.cfg.latent_dim
+        self.has_encoder = "enc_c1" in self.params
+        self.has_decoder = True
+
+    def _decode_impl(self, codes: jax.Array, n_q: int) -> jax.Array:
+        return dac_decode_fn(self.params, codes, self.cfg, n_q=n_q)
+
+    def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
+        return dac_encode_fn(self.params, pcm, self.cfg, n_q=n_q)
+
+    def decode_latent(self, latent) -> np.ndarray:
+        """Continuous-latent decode (reference vtable decode_latent,
+        dac.cpp:1138-1150). latent: [T, latent_dim] or [B, T, latent_dim]."""
+        latent = np.asarray(latent, dtype=np.float32)
+        squeeze = latent.ndim == 2
+        if squeeze:
+            latent = latent[None]
+        fn = self._jitted(("dec_lat",) + latent.shape,
+                          lambda: lambda z: dac_decode_from_latent(self.params, z, self.cfg))
+        pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
+        return pcm[0] if squeeze else pcm

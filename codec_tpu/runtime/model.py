@@ -29,6 +29,9 @@ class CodecModel:
     themselves in models/registry.py (reference vtable: src/codec.cpp:153-191)."""
 
     arch: str = ""
+    # Fully-causal stacks admit exact right-pad+crop shape bucketing; models
+    # with symmetric padding (e.g. DAC) compile per exact length instead.
+    causal_time: bool = True
 
     # Subclasses set these after load:
     sample_rate: int = 0
@@ -85,7 +88,8 @@ class CodecModel:
         if n_q < 0 or use_nq < 1 or use_nq > self.n_q or codes.shape[2] < use_nq:
             raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
         b, t = codes.shape[0], codes.shape[1]
-        tb, bb = bucket_length(t), bucket_batch(b)
+        tb = bucket_length(t) if self.causal_time else t
+        bb = bucket_batch(b)
         buf = np.zeros((bb, tb, use_nq), dtype=np.int32)
         buf[:b, :t] = codes[:, :, :use_nq]
 
@@ -94,7 +98,7 @@ class CodecModel:
                               lambda: lambda c: self._decode_impl(c, use_nq))
             with perf_scope("graph_compute", "decode"):
                 pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
-        pcm = pcm[:b, : t * self.hop_size]
+        pcm = pcm[:b, : t * self.hop_size] if self.causal_time else pcm[:b]
         return pcm[0] if squeeze else pcm
 
     def encode(self, pcm, n_q: int = 0) -> np.ndarray:
@@ -112,7 +116,7 @@ class CodecModel:
             raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
         b, n = pcm.shape
         t_frames = -(-n // self.hop_size)
-        nb = bucket_length(t_frames) * self.hop_size
+        nb = bucket_length(t_frames) * self.hop_size if self.causal_time else n
         bb = bucket_batch(b)
         buf = np.zeros((bb, nb), dtype=np.float32)
         buf[:b, :n] = pcm
@@ -122,7 +126,7 @@ class CodecModel:
                               lambda: lambda x: self._encode_impl(x, use_nq))
             with perf_scope("graph_compute", "encode"):
                 codes = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
-        codes = codes[:b, :t_frames]
+        codes = codes[:b, :t_frames] if self.causal_time else codes[:b]
         return codes[0] if squeeze else codes
 
     def decode_latent(self, latent) -> np.ndarray:
