@@ -64,7 +64,7 @@ class BaseConverter:
     def should_quantize(self, name: str, arr: np.ndarray) -> bool:
         if self.quantization not in ("Q4_K_M", "Q5_K_M", "Q8_0"):
             return False
-        if arr.ndim < 2 or not name.endswith(".w"):
+        if arr.ndim < 2 or not name.endswith((".w", ".weight")):
             return False
         if ".codebook." in name or ".cb." in name:
             return self.quantize_codebook

@@ -38,3 +38,9 @@ def _mimi():
 def _dac():
     from .dac import DacCodec
     return DacCodec
+
+
+@register("wavtokenizer")
+def _wavtokenizer():
+    from .wavtokenizer import WavTokenizerCodec
+    return WavTokenizerCodec

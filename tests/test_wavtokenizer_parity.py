@@ -1,0 +1,316 @@
+"""WavTokenizer parity vs an independent torch mirror of the original
+architecture (WavTokenizer isn't in transformers; the torch modules below
+follow the upstream novateur/WavTokenizer structure: EnCodec encoder with
+asymmetric reflect pads + skip LSTM, single euclidean VQ, Vocos backbone
+with AdaLayerNorm + diffusion pos_net, ISTFT head with "same" padding)."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+DIM = 64          # backbone dim (divisible by 32 for GroupNorm)
+CB_DIM = 32       # encoder latent / codebook dim
+V = 64            # codebook size
+N_FFT = 480
+HOP = 320         # 2*4*5*8
+INTER = 96
+N_CNX = 2
+
+
+def sconv(x, w, b, stride=1):
+    k = w.shape[2]
+    pt = k - stride
+    t = x.shape[-1]
+    extra = -(-t // stride) * stride - t
+    pad_r = pt // 2
+    pad_l = pt - pad_r
+    x = F.pad(x, (pad_l, pad_r + extra), mode="reflect")
+    return F.conv1d(x, w, b, stride=stride)
+
+
+class TorchWT(nn.Module):
+    def __init__(self):
+        super().__init__()
+        g = torch.Generator().manual_seed(0)
+
+        def W(*shape, s=0.2):
+            return nn.Parameter(torch.randn(*shape, generator=g) * s)
+
+        # ---- encoder (EnCodec): model.0 conv k7, 4 stages, lstm, model.15
+        ch = (CB_DIM, CB_DIM, CB_DIM, CB_DIM, CB_DIM)  # keep uniform for simplicity
+        self.e_c0_w, self.e_c0_b = W(CB_DIM, 1, 7), W(CB_DIM)
+        self.stages = nn.ParameterList()
+        stage_params = []
+        for i in range(4):
+            p = {
+                "b1_w": W(CB_DIM // 2, CB_DIM, 3), "b1_b": W(CB_DIM // 2),
+                "b3_w": W(CB_DIM, CB_DIM // 2, 1), "b3_b": W(CB_DIM),
+                "sc_w": W(CB_DIM, CB_DIM, 1), "sc_b": W(CB_DIM),
+            }
+            stage_params.append(p)
+        self.stage_params = stage_params
+        ks = (4, 8, 10, 16)
+        self.dn = [{"w": W(CB_DIM, CB_DIM, ks[i]), "b": W(CB_DIM)} for i in range(4)]
+        self.lstm = [{
+            "w_ih": W(4 * CB_DIM, CB_DIM), "w_hh": W(4 * CB_DIM, CB_DIM),
+            "b_ih": W(4 * CB_DIM), "b_hh": W(4 * CB_DIM)} for _ in range(2)]
+        self.e_out_w, self.e_out_b = W(CB_DIM, CB_DIM, 7), W(CB_DIM)
+
+        self.codebook = W(V, CB_DIM, s=1.0)
+
+        # ---- decoder
+        self.embed_w, self.embed_b = W(DIM, CB_DIM, 7), W(DIM)
+        self.pos = []
+        for _ in range(4):
+            self.pos.append({
+                "n1_w": W(DIM, s=1.0), "n1_b": W(DIM),
+                "c1_w": W(DIM, DIM, 3), "c1_b": W(DIM),
+                "n2_w": W(DIM, s=1.0), "n2_b": W(DIM),
+                "c2_w": W(DIM, DIM, 3), "c2_b": W(DIM),
+            })
+        self.attn = {
+            "n_w": W(DIM, s=1.0), "n_b": W(DIM),
+            "q_w": W(DIM, DIM, 1), "q_b": W(DIM),
+            "k_w": W(DIM, DIM, 1), "k_b": W(DIM),
+            "v_w": W(DIM, DIM, 1), "v_b": W(DIM),
+            "o_w": W(DIM, DIM, 1), "o_b": W(DIM),
+        }
+        self.gn_w, self.gn_b = W(DIM, s=1.0), W(DIM)
+        # adanorm embedding tables (4 bandwidths; row 0 used)
+        self.ada_scale = W(4, DIM, s=1.0)
+        self.ada_shift = W(4, DIM)
+        self.cnx = []
+        for _ in range(N_CNX):
+            self.cnx.append({
+                "dw_w": W(DIM, 1, 7), "dw_b": W(DIM),
+                "ns": W(4, DIM, s=1.0), "nb": W(4, DIM),
+                "pw1_w": W(INTER, DIM), "pw1_b": W(INTER),
+                "pw2_w": W(DIM, INTER), "pw2_b": W(DIM),
+                "gamma": W(DIM, s=1.0),
+            })
+        self.fln_w, self.fln_b = W(DIM, s=1.0), W(DIM)
+        self.head_w, self.head_b = W(N_FFT + 2, DIM), W(N_FFT + 2)
+
+    # ---- encode ----------------------------------------------------------
+    def encode(self, pcm):
+        x = sconv(pcm, self.e_c0_w, self.e_c0_b)
+        for i, stride in enumerate((2, 4, 5, 8)):
+            p = self.stage_params[i]
+            h = F.elu(x)
+            h = sconv(h, p["b1_w"], p["b1_b"])
+            h = F.elu(h)
+            h = sconv(h, p["b3_w"], p["b3_b"])
+            x = sconv(x, p["sc_w"], p["sc_b"]) + h
+            x = F.elu(x)
+            x = sconv(x, self.dn[i]["w"], self.dn[i]["b"], stride=stride)
+        # lstm (2 layers, skip)
+        y = x.permute(0, 2, 1)  # [B, T, C]
+        inp = y
+        for lw in self.lstm:
+            outs = []
+            h = torch.zeros(y.shape[0], CB_DIM)
+            c = torch.zeros_like(h)
+            for t in range(y.shape[1]):
+                gates = y[:, t] @ lw["w_ih"].T + h @ lw["w_hh"].T + lw["b_ih"] + lw["b_hh"]
+                i_, f_, g_, o_ = gates.chunk(4, -1)
+                c = torch.sigmoid(f_) * c + torch.sigmoid(i_) * torch.tanh(g_)
+                h = torch.sigmoid(o_) * torch.tanh(c)
+                outs.append(h)
+            y = torch.stack(outs, 1)
+        y = y + inp
+        x = y.permute(0, 2, 1)
+        x = F.elu(x)
+        x = sconv(x, self.e_out_w, self.e_out_b)                # [B, C, T]
+        z = x.permute(0, 2, 1)                                   # [B, T, C]
+        d2 = ((z[:, :, None, :] - self.codebook[None, None]) ** 2).sum(-1)
+        return d2.argmin(-1)                                     # [B, T]
+
+    # ---- decode ----------------------------------------------------------
+    def decode(self, codes):
+        x = self.codebook[codes].permute(0, 2, 1)                # [B, C, T]
+        x = F.conv1d(x, self.embed_w, self.embed_b, padding=3)
+
+        def gn(v, w, b):
+            return F.group_norm(v, 32, w, b, eps=1e-6)
+
+        def resblk(v, p):
+            h = gn(v, p["n1_w"], p["n1_b"])
+            h = F.silu(h)
+            h = F.conv1d(h, p["c1_w"], p["c1_b"], padding=1)
+            h = gn(h, p["n2_w"], p["n2_b"])
+            h = F.silu(h)
+            h = F.conv1d(h, p["c2_w"], p["c2_b"], padding=1)
+            return v + h
+
+        x = resblk(x, self.pos[0])
+        x = resblk(x, self.pos[1])
+        # attn
+        a = self.attn
+        h = gn(x, a["n_w"], a["n_b"])
+        q = F.conv1d(h, a["q_w"], a["q_b"]).permute(0, 2, 1)
+        k = F.conv1d(h, a["k_w"], a["k_b"]).permute(0, 2, 1)
+        v = F.conv1d(h, a["v_w"], a["v_b"]).permute(0, 2, 1)
+        w_ = torch.softmax(q @ k.transpose(1, 2) / math.sqrt(DIM), -1)
+        ctx = (w_ @ v).permute(0, 2, 1)
+        x = x + F.conv1d(ctx, a["o_w"], a["o_b"])
+        x = resblk(x, self.pos[2])
+        x = resblk(x, self.pos[3])
+        x = gn(x, self.gn_w, self.gn_b)
+
+        y = x.permute(0, 2, 1)                                   # [B, T, C]
+        y = F.layer_norm(y, (DIM,), eps=1e-6) * self.ada_scale[0] + self.ada_shift[0]
+        for p in self.cnx:
+            r = y
+            h = F.conv1d(y.permute(0, 2, 1), p["dw_w"], p["dw_b"], padding=3,
+                         groups=DIM).permute(0, 2, 1)
+            h = F.layer_norm(h, (DIM,), eps=1e-6) * p["ns"][0] + p["nb"][0]
+            h = h @ p["pw1_w"].T + p["pw1_b"]
+            h = F.gelu(h)
+            h = h @ p["pw2_w"].T + p["pw2_b"]
+            y = r + h * p["gamma"]
+        y = F.layer_norm(y, (DIM,), weight=self.fln_w, bias=self.fln_b, eps=1e-6)
+        head = y @ self.head_w.T + self.head_b                   # [B, T, n_fft+2]
+
+        # ISTFT "same" padding
+        logmag, phase = head.chunk(2, -1)
+        mag = torch.clamp(torch.exp(logmag), max=1e2)
+        S = mag * torch.exp(1j * phase)
+        frames = torch.fft.irfft(S, N_FFT, dim=-1)
+        win = torch.hann_window(N_FFT)
+        frames = frames * win
+        T = frames.shape[1]
+        out = torch.zeros(frames.shape[0], (T - 1) * HOP + N_FFT)
+        env = torch.zeros_like(out)
+        for t in range(T):
+            out[:, t * HOP:t * HOP + N_FFT] += frames[:, t]
+            env[:, t * HOP:t * HOP + N_FFT] += win ** 2
+        out = out / env.clamp(min=1e-11)
+        pad = (N_FFT - HOP) // 2
+        if pad > 0:
+            out = out[:, pad:-pad]
+        return out
+
+    # ---- GGUF-source state dict (original WavTokenizer naming) -----------
+    def source_state_dict(self):
+        sd = {}
+        enc = "feature_extractor.encodec.encoder.model"
+        sd[f"{enc}.0.conv.conv.weight"] = self.e_c0_w
+        sd[f"{enc}.0.conv.conv.bias"] = self.e_c0_b
+        for i, mi in enumerate((1, 4, 7, 10)):
+            p = self.stage_params[i]
+            sd[f"{enc}.{mi}.block.1.conv.conv.weight"] = p["b1_w"]
+            sd[f"{enc}.{mi}.block.1.conv.conv.bias"] = p["b1_b"]
+            sd[f"{enc}.{mi}.block.3.conv.conv.weight"] = p["b3_w"]
+            sd[f"{enc}.{mi}.block.3.conv.conv.bias"] = p["b3_b"]
+            sd[f"{enc}.{mi}.shortcut.conv.conv.weight"] = p["sc_w"]
+            sd[f"{enc}.{mi}.shortcut.conv.conv.bias"] = p["sc_b"]
+            sd[f"{enc}.{mi + 2}.conv.conv.weight"] = self.dn[i]["w"]
+            sd[f"{enc}.{mi + 2}.conv.conv.bias"] = self.dn[i]["b"]
+        for li, lw in enumerate(self.lstm):
+            for nm, t in (("weight_ih", lw["w_ih"]), ("weight_hh", lw["w_hh"]),
+                          ("bias_ih", lw["b_ih"]), ("bias_hh", lw["b_hh"])):
+                sd[f"{enc}.13.lstm.{nm}_l{li}"] = t
+        sd[f"{enc}.15.conv.conv.weight"] = self.e_out_w
+        sd[f"{enc}.15.conv.conv.bias"] = self.e_out_b
+        sd["feature_extractor.encodec.quantizer.vq.layers.0._codebook.embed"] = self.codebook
+
+        sd["backbone.embed.weight"] = self.embed_w
+        sd["backbone.embed.bias"] = self.embed_b
+        pos_ids = (0, 1, 3, 4)
+        for pi, p in zip(pos_ids, self.pos):
+            pre = f"backbone.pos_net.{pi}"
+            sd[f"{pre}.norm1.weight"] = p["n1_w"]
+            sd[f"{pre}.norm1.bias"] = p["n1_b"]
+            sd[f"{pre}.conv1.weight"] = p["c1_w"]
+            sd[f"{pre}.conv1.bias"] = p["c1_b"]
+            sd[f"{pre}.norm2.weight"] = p["n2_w"]
+            sd[f"{pre}.norm2.bias"] = p["n2_b"]
+            sd[f"{pre}.conv2.weight"] = p["c2_w"]
+            sd[f"{pre}.conv2.bias"] = p["c2_b"]
+        a = self.attn
+        sd["backbone.pos_net.2.norm.weight"] = a["n_w"]
+        sd["backbone.pos_net.2.norm.bias"] = a["n_b"]
+        for k, n in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "proj_out")):
+            sd[f"backbone.pos_net.2.{n}.weight"] = a[f"{k}_w"]
+            sd[f"backbone.pos_net.2.{n}.bias"] = a[f"{k}_b"]
+        sd["backbone.pos_net.5.weight"] = self.gn_w
+        sd["backbone.pos_net.5.bias"] = self.gn_b
+        sd["backbone.norm.scale.weight"] = self.ada_scale
+        sd["backbone.norm.shift.weight"] = self.ada_shift
+        for ci, p in enumerate(self.cnx):
+            pre = f"backbone.convnext.{ci}"
+            sd[f"{pre}.dwconv.weight"] = p["dw_w"]
+            sd[f"{pre}.dwconv.bias"] = p["dw_b"]
+            sd[f"{pre}.norm.scale.weight"] = p["ns"]
+            sd[f"{pre}.norm.shift.weight"] = p["nb"]
+            sd[f"{pre}.pwconv1.weight"] = p["pw1_w"]
+            sd[f"{pre}.pwconv1.bias"] = p["pw1_b"]
+            sd[f"{pre}.pwconv2.weight"] = p["pw2_w"]
+            sd[f"{pre}.pwconv2.bias"] = p["pw2_b"]
+            sd[f"{pre}.gamma"] = p["gamma"]
+        sd["backbone.final_layer_norm.weight"] = self.fln_w
+        sd["backbone.final_layer_norm.bias"] = self.fln_b
+        sd["head.out.weight"] = self.head_w
+        sd["head.out.bias"] = self.head_b
+        return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+@pytest.fixture(scope="module")
+def tiny_wt(tmp_path_factory):
+    ref = TorchWT().eval()
+    from codec_tpu.convert import get_converter
+
+    c = get_converter("wavtokenizer")(quantization="F32")
+    c.load_from_state_dict(ref.source_state_dict(),
+                           {"sample_rate": 24000, "hop_size": HOP,
+                            "has_encoder": True, "has_decoder": True})
+    path = tmp_path_factory.mktemp("wt") / "tiny_wt.gguf"
+    c.convert_and_save(path)
+
+    import codec_tpu
+
+    ours = codec_tpu.load_model(path)
+    return ref, ours
+
+
+def test_config(tiny_wt):
+    ref, ours = tiny_wt
+    assert ours.arch == "wavtokenizer"
+    assert ours.n_q == 1
+    assert ours.codebook_size == V
+    assert ours.hop_size == HOP
+    assert ours.has_encoder and ours.has_decoder
+    assert ours.cfg.use_adanorm and ours.cfg.use_pos_net
+    assert ours.cfg.n_convnext == N_CNX
+
+
+def test_decode_parity(tiny_wt):
+    ref, ours = tiny_wt
+    rng = np.random.default_rng(0)
+    t = 9
+    codes = rng.integers(0, V, (1, t, 1)).astype(np.int32)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(codes[..., 0])).numpy()[0]
+    got = ours.decode(codes[0])
+    assert got.shape == want.shape == (t * HOP,)
+    corr = np.corrcoef(got, want)[0, 1]
+    err = np.abs(got - want).max()
+    assert corr > 0.9999, f"corr={corr}"
+    assert err < 1e-3, f"err={err}"
+
+
+def test_encode_parity(tiny_wt):
+    ref, ours = tiny_wt
+    rng = np.random.default_rng(1)
+    n = HOP * 5 + 77
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode(torch.from_numpy(pcm)[None, None]).numpy()[0]
+    got = ours.encode(pcm)
+    assert got.shape == (len(want), 1)
+    mismatch = int((got[:, 0] != want).sum())
+    assert mismatch == 0, f"{mismatch}/{len(want)} codes differ"
