@@ -1,0 +1,80 @@
+"""codec-batch-decode: multi-sequence decode, truly batched.
+
+Reference: examples/codec-batch-decode.cpp + src/batch/batch.cpp — the
+reference validates a packed codec_batch then decodes sequences SERIALLY;
+here sequences are padded to a common bucket and decoded as one batched
+jitted program (optionally sharded over a device mesh with --dp).
+
+Usage:
+  python -m codec_tpu.cli.batch_decode --model mimi.gguf \
+      --codes a.npy b.npy c.npy --out-dir outs/ [--dp N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="codec-batch-decode")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--codes", nargs="+", required=True, help=".npy code files [T, n_q]")
+    ap.add_argument("--latent", action="store_true", help="inputs are latents, not codes")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--nq", type=int, default=0)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard batch over this many devices (0 = single device)")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    import codec_tpu
+    from ..io.wav import write_wav
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    model = codec_tpu.load_model(args.model, compute_dtype=dtype)
+
+    seqs = [np.load(p) for p in args.codes]
+    lens = [s.shape[0] for s in seqs]
+    t_max = max(lens)
+    n_q = args.nq if args.nq > 0 else model.n_q
+
+    if args.latent:
+        batch = np.zeros((len(seqs), t_max, seqs[0].shape[1]), np.float32)
+    else:
+        batch = np.zeros((len(seqs), t_max, n_q), np.int32)
+    for i, s in enumerate(seqs):
+        batch[i, : s.shape[0]] = s[:, :batch.shape[2]]
+
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh, shard_batch
+
+        import jax
+
+        mesh = make_mesh(args.dp)
+        pad_b = -(-batch.shape[0] // args.dp) * args.dp
+        if pad_b != batch.shape[0]:
+            batch = np.concatenate([batch, np.zeros((pad_b - batch.shape[0],) + batch.shape[1:],
+                                                    batch.dtype)])
+        arr = shard_batch(mesh, jnp.asarray(batch))
+        batch = np.asarray(arr)
+
+    pcm = model.decode_latent(batch) if args.latent else model.decode(batch, n_q=args.nq)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, (path, t) in enumerate(zip(args.codes, lens)):
+        y = pcm[i, : t * model.hop_size]
+        out = out_dir / (Path(path).stem + ".wav")
+        write_wav(out, y, model.sample_rate)
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

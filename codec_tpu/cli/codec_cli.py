@@ -1,0 +1,118 @@
+"""codec-cli: encode / decode / e2e / decode-latent over a codec GGUF.
+
+Mirrors the reference CLI surface (reference: examples/codec-cli.cpp —
+subcommands e2e|encode|decode|decode-latent with --model/--in/--codes/
+--out/--nq). Codes are .npy int32 [T, n_q]; latents .npy float32
+[T, latent_dim]; audio is WAV.
+
+Usage:
+  python -m codec_tpu.cli.codec_cli decode --model mimi.gguf --codes c.npy --out out.wav
+  python -m codec_tpu.cli.codec_cli encode --model mimi.gguf --in in.wav --codes c.npy
+  python -m codec_tpu.cli.codec_cli e2e    --model mimi.gguf --in in.wav --out out.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="codec-cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--model", required=True, help="codec GGUF path")
+        p.add_argument("--nq", type=int, default=0, help="codebooks to use (0=all)")
+        p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                       help="compute dtype (float32 = parity, bfloat16 = fast)")
+
+    p = sub.add_parser("encode")
+    common(p)
+    p.add_argument("--in", dest="infile", required=True, help="input WAV")
+    p.add_argument("--codes", required=True, help="output codes .npy")
+
+    p = sub.add_parser("decode")
+    common(p)
+    p.add_argument("--codes", required=True, help="input codes .npy [T, n_q]")
+    p.add_argument("--out", required=True, help="output WAV")
+
+    p = sub.add_parser("e2e")
+    common(p)
+    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("decode-latent")
+    common(p)
+    p.add_argument("--latent", required=True, help="input latent .npy [T, latent_dim]")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("info")
+    p.add_argument("--model", required=True)
+    return ap
+
+
+def _load(args):
+    import jax.numpy as jnp
+
+    import codec_tpu
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    return codec_tpu.load_model(args.model, compute_dtype=dtype)
+
+
+def _read_pcm(model, path):
+    from ..io.wav import read_wav, to_mono
+
+    x, sr = read_wav(path)
+    if sr != model.sample_rate:
+        raise SystemExit(f"input sample rate {sr} != model {model.sample_rate}")
+    return to_mono(x)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "info":
+        from ..io.gguf import GGUFReader
+
+        r = GGUFReader(args.model)
+        print(f"architecture: {r.architecture}")
+        print(f"name:         {r.get_str('general.name')}")
+        print(f"tensors:      {len(r.tensors)}")
+        for k in sorted(r.kv):
+            if k.startswith("codec."):
+                print(f"  {k} = {r.kv[k]}")
+        return 0
+
+    model = _load(args)
+    from ..io.wav import write_wav
+
+    if args.cmd == "encode":
+        pcm = _read_pcm(model, args.infile)
+        codes = model.encode(pcm, n_q=args.nq)
+        np.save(args.codes, codes.astype(np.int32))
+        print(f"wrote {args.codes}: {codes.shape} codes")
+    elif args.cmd == "decode":
+        codes = np.load(args.codes)
+        pcm = model.decode(codes, n_q=args.nq)
+        write_wav(args.out, pcm, model.sample_rate)
+        print(f"wrote {args.out}: {pcm.shape[0]} samples @ {model.sample_rate} Hz")
+    elif args.cmd == "e2e":
+        pcm = _read_pcm(model, args.infile)
+        codes = model.encode(pcm, n_q=args.nq)
+        out = model.decode(codes, n_q=args.nq)
+        write_wav(args.out, out, model.sample_rate)
+        print(f"wrote {args.out}: {out.shape[0]} samples ({codes.shape} codes)")
+    elif args.cmd == "decode-latent":
+        z = np.load(args.latent)
+        pcm = model.decode_latent(z)
+        write_wav(args.out, pcm, model.sample_rate)
+        print(f"wrote {args.out}: {pcm.shape[0]} samples")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,7 +59,7 @@ def compress_name(name: str) -> str:
 
 @register("wavtokenizer")
 class WavTokenizerConverter(BaseConverter):
-    architecture = "wavtokenizer"
+    architecture = "wavtokenizer_large"   # reference arch string (src/codec.cpp:96)
 
     def load_from_state_dict(self, state_dict, config) -> None:
         sd = {k: np.asarray(v) for k, v in state_dict.items()

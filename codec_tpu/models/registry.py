@@ -10,9 +10,13 @@ from ..runtime.model import CodecModel
 _REGISTRY: Dict[str, Callable[[], Type[CodecModel]]] = {}
 
 
-def register(arch: str):
+def register(*archs: str):
+    """Register a model loader under one or more arch-string aliases
+    (alias sets mirror the reference's codec_arch_from_string,
+    src/codec.cpp:95-151)."""
     def deco(fn: Callable[[], Type[CodecModel]]):
-        _REGISTRY[arch] = fn
+        for arch in archs:
+            _REGISTRY[arch] = fn
         return fn
     return deco
 
@@ -40,7 +44,7 @@ def _dac():
     return DacCodec
 
 
-@register("wavtokenizer")
+@register("wavtokenizer", "wavtokenizer_large", "wavtokenizer-large")
 def _wavtokenizer():
     from .wavtokenizer import WavTokenizerCodec
     return WavTokenizerCodec

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Convert a codec checkpoint (HF snapshot dir or state-dict file) to GGUF.
+
+Reference entry point: scripts/convert-to-gguf.py (model-type autodetect +
+converter registry dispatch).
+
+Usage:
+  python scripts/convert_to_gguf.py --type mimi --checkpoint /path/to/ckpt \
+      --out mimi.gguf [--quant F16|F32|Q8_0|Q4_K_M|Q5_K_M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from codec_tpu.convert import get_converter, known_converters  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--type", required=True, choices=known_converters())
+    ap.add_argument("--checkpoint", required=True,
+                    help="checkpoint dir (config.json + model.safetensors)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--quant", default="F16",
+                    choices=["F32", "F16", "Q8_0", "Q4_K_M", "Q5_K_M"])
+    ap.add_argument("--quantize-codebook", action="store_true")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    conv = get_converter(args.type)(quantization=args.quant,
+                                    quantize_codebook=args.quantize_codebook,
+                                    verbose=args.verbose)
+    conv.load_from_checkpoint(Path(args.checkpoint))
+    conv.convert_and_save(Path(args.out))
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
