@@ -48,3 +48,9 @@ def _dac():
 def _wavtokenizer():
     from .wavtokenizer import WavTokenizerCodec
     return WavTokenizerCodec
+
+
+@register("snac", "snac_24khz")
+def _snac():
+    from .snac import SnacCodec
+    return SnacCodec

@@ -1,0 +1,250 @@
+"""SNAC parity vs a torch mirror of hubertsiuzdak/snac (not in transformers).
+
+The mirror follows the upstream module layout (WNConv1d with torch
+parametrizations naming, depthwise snake residual units, multi-scale VQ at
+strides [4,2,1], noise blocks disabled for deterministic decode)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+ENC_DIM = 4          # latent = ENC_DIM * 16 = 64
+DEC_DIM = 32
+CB_DIM = 8
+V = 64
+RATES = (2, 4, 8, 8)
+DEC_RATES = (8, 8, 4, 2)
+VQ_STRIDES = (4, 2, 1)
+HOP = 512
+PAD_TO = 2048
+
+
+class TorchSNAC(nn.Module):
+    def __init__(self):
+        super().__init__()
+        g = torch.Generator().manual_seed(0)
+        self.sd = {}
+
+        def wn(prefix, out_c, in_c, k, bias=True, bias_c=None):
+            # conv weight layout (out, in, k); for ConvTranspose1d pass
+            # out_c=in_channels, in_c=out_channels and bias_c=out_channels.
+            v = torch.randn(out_c, in_c, k, generator=g) * 0.2
+            gg = torch.rand(out_c, 1, 1, generator=g) + 0.5
+            self.sd[prefix + ".parametrizations.weight.original1"] = v
+            self.sd[prefix + ".parametrizations.weight.original0"] = gg
+            if bias:
+                self.sd[prefix + ".bias"] = torch.randn(bias_c or out_c, generator=g) * 0.1
+            norm = v.flatten(1).norm(dim=1).clamp(min=1e-12).view(-1, 1, 1)
+            w = v * (gg / norm)
+            return w, self.sd.get(prefix + ".bias")
+
+        def alpha(prefix, c):
+            a = torch.randn(1, c, 1, generator=g) * 0.5 + 1.0
+            self.sd[prefix + ".alpha"] = a
+            return a
+
+        self.enc0 = wn("encoder.block.0", ENC_DIM, 1, 7)
+        self.enc_blocks = []
+        ch = ENC_DIM
+        for bi, s in enumerate(RATES, start=1):
+            out_c = ch * 2
+            base = f"encoder.block.{bi}.block"
+            units = []
+            for ri in range(3):
+                u = {
+                    "a1": alpha(f"{base}.{ri}.block.0", ch),
+                    "c1": wn(f"{base}.{ri}.block.1", ch, 1, 7),   # depthwise
+                    "a2": alpha(f"{base}.{ri}.block.2", ch),
+                    "c2": wn(f"{base}.{ri}.block.3", ch, ch, 1),
+                }
+                units.append(u)
+            blk = {
+                "units": units, "ch": ch,
+                "act": alpha(f"{base}.3", ch),
+                "down": wn(f"{base}.4", out_c, ch, 2 * s),
+                "stride": s,
+            }
+            self.enc_blocks.append(blk)
+            ch = out_c
+        self.latent = ch
+        self.enc_final = wn("encoder.block.5", ch, 1, 7)          # depthwise
+
+        self.q = []
+        for qi in range(3):
+            base = f"quantizer.quantizers.{qi}"
+            cb = torch.randn(V, CB_DIM, generator=g)
+            self.sd[base + ".codebook.weight"] = cb
+            self.q.append({
+                "in": wn(base + ".in_proj", CB_DIM, ch, 1),
+                "out": wn(base + ".out_proj", ch, CB_DIM, 1),
+                "cb": cb,
+            })
+
+        self.dec_in_dw = wn("decoder.model.0", ch, 1, 7)          # depthwise
+        self.dec_in_pw = wn("decoder.model.1", DEC_DIM, ch, 1)
+        self.dec_blocks = []
+        dch = DEC_DIM
+        for bi, s in enumerate(DEC_RATES, start=2):
+            out_c = dch // 2
+            base = f"decoder.model.{bi}.block"
+            blk = {
+                "act": alpha(f"{base}.0", dch),
+                "tr": wn(f"{base}.1", dch, out_c, 2 * s, bias_c=out_c),  # convtr (in, out, k)
+                "noise": wn(f"{base}.2.linear", out_c, out_c, 1, bias=False),
+                "stride": s, "ch": out_c,
+            }
+            units = []
+            for ri in range(3):
+                u = {
+                    "a1": alpha(f"{base}.{3 + ri}.block.0", out_c),
+                    "c1": wn(f"{base}.{3 + ri}.block.1", out_c, 1, 7),
+                    "a2": alpha(f"{base}.{3 + ri}.block.2", out_c),
+                    "c2": wn(f"{base}.{3 + ri}.block.3", out_c, out_c, 1),
+                }
+                units.append(u)
+            blk["units"] = units
+            self.dec_blocks.append(blk)
+            dch = out_c
+        self.dec_act_final = alpha("decoder.model.6", dch)
+        self.dec_final = wn("decoder.model.7", 1, dch, 7)
+
+    @staticmethod
+    def snake(x, a):
+        return x + (1.0 / (a + 1e-9)) * torch.sin(a * x) ** 2
+
+    def res_unit(self, x, u, dil):
+        c = x.shape[1]
+        h = self.snake(x, u["a1"])
+        h = F.conv1d(h, u["c1"][0], u["c1"][1], dilation=dil,
+                     padding=3 * dil, groups=c)
+        h = self.snake(h, u["a2"])
+        h = F.conv1d(h, u["c2"][0], u["c2"][1])
+        return x + h
+
+    def encode_latent(self, pcm):
+        x = F.conv1d(pcm, self.enc0[0], self.enc0[1], padding=3)
+        for blk in self.enc_blocks:
+            for ri, d in enumerate((1, 3, 9)):
+                x = self.res_unit(x, blk["units"][ri], d)
+            x = self.snake(x, blk["act"])
+            s = blk["stride"]
+            x = F.conv1d(x, blk["down"][0], blk["down"][1], stride=s,
+                         padding=(s + 1) // 2)
+        x = F.conv1d(x, self.enc_final[0], self.enc_final[1], padding=3,
+                     groups=self.latent)
+        return x
+
+    def encode(self, pcm):
+        residual = self.encode_latent(pcm)
+        rows = []
+        t_lat = residual.shape[-1]
+        for q, stride in zip(self.q, VQ_STRIDES):
+            pooled = F.avg_pool1d(residual, stride, stride) if stride > 1 else residual
+            z = F.conv1d(pooled, q["in"][0], q["in"][1])
+            zn = F.normalize(z, dim=1)
+            cbn = F.normalize(q["cb"], dim=1)
+            sims = torch.einsum("bct,vc->bvt", zn, cbn)
+            idx = sims.argmax(1)                               # [B, t_q]
+            emb = q["cb"][idx].permute(0, 2, 1)
+            zq = F.conv1d(emb, q["out"][0], q["out"][1])
+            if stride > 1:
+                zq = zq.repeat_interleave(stride, dim=-1)
+                rows.append(idx.repeat_interleave(stride, dim=-1))
+            else:
+                rows.append(idx)
+            residual = residual - zq
+        return torch.stack(rows, -1)                           # [B, t_lat, 3]
+
+    def decode(self, packed):
+        z = None
+        for qi, (q, stride) in enumerate(zip(self.q, VQ_STRIDES)):
+            idx = packed[:, ::stride, qi]
+            emb = q["cb"][idx].permute(0, 2, 1)
+            zq = F.conv1d(emb, q["out"][0], q["out"][1])
+            if stride > 1:
+                zq = zq.repeat_interleave(stride, dim=-1)
+            z = zq if z is None else z + zq
+        x = F.conv1d(z, self.dec_in_dw[0], self.dec_in_dw[1], padding=3,
+                     groups=self.latent)
+        x = F.conv1d(x, self.dec_in_pw[0], self.dec_in_pw[1])
+        for blk in self.dec_blocks:
+            x = self.snake(x, blk["act"])
+            s = blk["stride"]
+            x = F.conv_transpose1d(x, blk["tr"][0], blk["tr"][1], stride=s,
+                                   padding=(s + 1) // 2, output_padding=s % 2)
+            for ri, d in enumerate((1, 3, 9)):
+                x = self.res_unit(x, blk["units"][ri], d)
+        x = self.snake(x, self.dec_act_final)
+        x = F.conv1d(x, self.dec_final[0], self.dec_final[1], padding=3)
+        return torch.tanh(x)
+
+
+@pytest.fixture(scope="module")
+def tiny_snac(tmp_path_factory):
+    ref = TorchSNAC()
+    from codec_tpu.convert import get_converter
+
+    c = get_converter("snac")(quantization="F32")
+    c.load_from_state_dict(ref.sd, {
+        "sample_rate": 24000, "encoder_rates": list(RATES),
+        "decoder_rates": list(DEC_RATES), "vq_strides": list(VQ_STRIDES),
+        "codebook_size": V, "codebook_dim": CB_DIM, "latent_dim": ref.latent,
+        "encoder_dim": ENC_DIM, "decoder_dim": DEC_DIM,
+        "depthwise": True, "noise": True,
+    })
+    path = tmp_path_factory.mktemp("snac") / "tiny.gguf"
+    c.convert_and_save(path)
+
+    import codec_tpu
+
+    ours = codec_tpu.load_model(path)
+    return ref, ours
+
+
+def test_config(tiny_snac):
+    ref, ours = tiny_snac
+    assert ours.arch == "snac"
+    assert ours.hop_size == HOP
+    assert ours.n_q == 3
+    assert ours.cfg.pad_to == PAD_TO
+
+
+def test_decode_parity(tiny_snac):
+    ref, ours = tiny_snac
+    rng = np.random.default_rng(0)
+    t_fine = 8
+    packed = rng.integers(0, V, (1, t_fine, 3)).astype(np.int64)
+    packed[:, :, 0] = np.repeat(packed[:, ::4, 0], 4, axis=1)  # valid Orpheus packing
+    packed[:, :, 1] = np.repeat(packed[:, ::2, 1], 2, axis=1)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(packed)).numpy()[0, 0]
+    got = ours.decode(packed[0].astype(np.int32))
+    assert got.shape == want.shape == (t_fine * HOP,)
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.9999, f"corr={corr}"
+    assert np.abs(got - want).max() < 1e-3
+
+
+def test_encode_parity(tiny_snac):
+    ref, ours = tiny_snac
+    rng = np.random.default_rng(1)
+    n = PAD_TO * 2 + 700                                     # exercises pad_to
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    pad = -(-n // PAD_TO) * PAD_TO - n
+    with torch.no_grad():
+        want = ref.encode(F.pad(torch.from_numpy(pcm)[None, None], (0, pad))).numpy()[0]
+    got = ours.encode(pcm)
+    assert got.shape == want.shape
+    mismatch = int((got != want).sum())
+    assert mismatch == 0, f"{mismatch}/{got.size} codes differ"
+
+
+def test_roundtrip(tiny_snac):
+    ref, ours = tiny_snac
+    rng = np.random.default_rng(2)
+    pcm = (rng.standard_normal(PAD_TO * 2) * 0.1).astype(np.float32)
+    codes = ours.encode(pcm)
+    out = ours.decode(codes)
+    assert out.shape == (PAD_TO * 2,)
