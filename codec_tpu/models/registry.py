@@ -54,3 +54,9 @@ def _wavtokenizer():
 def _snac():
     from .snac import SnacCodec
     return SnacCodec
+
+
+@register("soprano")
+def _soprano():
+    from .soprano import SopranoCodec
+    return SopranoCodec
