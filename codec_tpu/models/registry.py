@@ -60,3 +60,9 @@ def _snac():
 def _soprano():
     from .soprano import SopranoCodec
     return SopranoCodec
+
+
+@register("nemo_nano_codec", "nemo-nano-codec", "nemo")
+def _nemo():
+    from .nemo_nano import NemoNanoCodec
+    return NemoNanoCodec
