@@ -130,10 +130,14 @@ def load_mimi_params(r: GGUFReader, cfg: MimiConfig, dtype=jnp.float32) -> Dict[
     p: Dict[str, Any] = {}
     n_acu = cfg.n_q - cfg.n_sem
     p["cb_sem"] = _load_codebooks(r, "s", cfg.n_sem, dtype)
-    p["sem_op"] = jnp.asarray(r.get("q.s.op.w")).astype(dtype)
+    sem_op = r.get_or_none("q.s.op.w")        # decode-only; absent in
+    if sem_op is not None:                    # encoder-only GGUFs (qwen3_tts)
+        p["sem_op"] = jnp.asarray(sem_op).astype(dtype)
     if n_acu > 0:
         p["cb_acu"] = _load_codebooks(r, "a", n_acu, dtype)
-        p["acu_op"] = jnp.asarray(r.get("q.a.op.w")).astype(dtype)
+        acu_op = r.get_or_none("q.a.op.w")
+        if acu_op is not None:
+            p["acu_op"] = jnp.asarray(acu_op).astype(dtype)
     if cfg.has_decoder:
         p["up"] = _convtr_wb(r, "up.cv", dtype)
         p["dtr"] = _stack_transformer(r, "dtr", cfg.n_layers, dtype)

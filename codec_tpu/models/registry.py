@@ -66,3 +66,9 @@ def _soprano():
 def _nemo():
     from .nemo_nano import NemoNanoCodec
     return NemoNanoCodec
+
+
+@register("qwen3_tts_tokenizer", "qwen3-tts-tokenizer", "qwen3")
+def _qwen3():
+    from .qwen3_tts import Qwen3TTSTokenizerCodec
+    return Qwen3TTSTokenizerCodec
