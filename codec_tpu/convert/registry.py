@@ -23,7 +23,7 @@ def known_converters():
 
 
 def _autoload():
-    from . import dac, mimi, nemo_nano, qwen3_tts_tokenizer, snac, soprano, wavtokenizer  # noqa: F401
+    from . import dac, mimi, nemo_nano, pocket_tts, qwen3_tts_tokenizer, snac, soprano, wavtokenizer  # noqa: F401
 
 
 _autoload()

@@ -72,3 +72,9 @@ def _nemo():
 def _qwen3():
     from .qwen3_tts import Qwen3TTSTokenizerCodec
     return Qwen3TTSTokenizerCodec
+
+
+@register("pocket_mimi", "pocket-mimi", "pocket_tts")
+def _pocket():
+    from .pocket_mimi import PocketMimiCodec
+    return PocketMimiCodec
