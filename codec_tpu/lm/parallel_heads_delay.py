@@ -1,0 +1,86 @@
+"""parallel_heads_delay (Type D) — N parallel linear heads off one backbone
+hidden; unfused per-cb audio-embed tables; optional tied heads; optional
+Chatterbox learned speech positional embedding on compose_next_embd.
+
+Reference: src/lm/parallel_heads_delay.cpp. All N logits are computed at
+step_begin (one jitted fn); step_logits just hands out slices; push_code
+records into the delay register sized max(delay_pattern)+1. Models:
+MOSS-TTSD (heterogeneous cb sizes: c0=text vocab, rest audio).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
+
+
+@register_kind("parallel_heads_delay")
+class ParallelHeadsDelayLM(CodecLM):
+    def _load(self, r: GGUFReader) -> LmInfo:
+        info = read_common_info(r, "parallel_heads_delay")
+        tied = r.get_bool("codec.lm.parallel.tied_heads_to_embd", False)
+        self.audio_embds: List[jnp.ndarray] = []
+        self.heads: List[jnp.ndarray] = []
+        for i in range(info.n_codebook):
+            embd = r.get(f"lm.audio_embd_{i}.weight")          # [vocab_i, hidden]
+            self.audio_embds.append(jnp.asarray(embd))
+            if tied:
+                self.heads.append(self.audio_embds[-1])
+            else:
+                self.heads.append(jnp.asarray(r.get(f"lm.heads_{i}.weight")))
+        # Chatterbox learned per-step positional embedding (optional)
+        pe = r.get_or_none("lm.chatterbox.speech_pos_emb.weight")
+        self.pos_emb = np.asarray(pe) if pe is not None else None
+
+        if not info.codebook_sizes:
+            info.codebook_sizes = tuple(int(h.shape[0]) for h in self.heads)
+
+        self._logits_fn = jax.jit(self._all_logits)
+        self._compose_fn = jax.jit(self._compose)
+        return info
+
+    def _all_logits(self, h: jax.Array) -> List[jax.Array]:
+        return [head @ h for head in self.heads]
+
+    def _compose(self, codes: jax.Array) -> jax.Array:
+        """codes int32 [n_cb]; -1 entries contribute zero."""
+        acc = jnp.zeros((self.info.hidden_dim,), jnp.float32)
+        for i, embd in enumerate(self.audio_embds):
+            row = embd[jnp.clip(codes[i], 0, embd.shape[0] - 1)]
+            acc = acc + jnp.where(codes[i] >= 0, row, 0.0)
+        return acc
+
+    # -- step machine hooks ------------------------------------------------
+    def _begin(self, state: LmState, h: np.ndarray) -> None:
+        outs = self._logits_fn(jnp.asarray(h))
+        state.kind_state["logits"] = [np.asarray(o) for o in outs]
+
+    def _logits(self, state: LmState, k: int) -> np.ndarray:
+        return state.kind_state["logits"][k]
+
+    # -- embeddings --------------------------------------------------------
+    def audio_embd(self, cb_idx: int, code: int) -> np.ndarray:
+        if not (0 <= cb_idx < self.info.n_codebook):
+            raise LmError(f"cb_idx {cb_idx} out of range")
+        embd = self.audio_embds[cb_idx]
+        if not (0 <= code < embd.shape[0]):
+            raise LmError(f"code {code} out of range (code=-1 is pad; use compose)")
+        return np.asarray(embd[code])
+
+    def compose_audio_embd(self, codes: Sequence[int]) -> np.ndarray:
+        codes = np.asarray(list(codes), np.int32)
+        if codes.shape[0] != self.info.n_codebook:
+            raise LmError("codes length must equal n_codebook")
+        return np.asarray(self._compose_fn(jnp.asarray(codes)))
+
+    def compose_next_embd(self, codes: Sequence[int], step: int = 0) -> np.ndarray:
+        out = self.compose_audio_embd(codes)
+        if self.pos_emb is not None:
+            out = out + self.pos_emb[min(step, self.pos_emb.shape[0] - 1)]
+        return out

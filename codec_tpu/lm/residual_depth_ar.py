@@ -1,0 +1,284 @@
+"""residual_depth_ar (Type C) — c0 from a linear head off the backbone
+hidden; c1..c_{N-1} from a small Llama-style depth transformer run over the
+growing prefix [h_in, embd(c0), embd(c1), ...].
+
+Reference: src/lm/residual_depth_ar.cpp. Variants handled by flags:
+  - shared in_proj (CSM / Qwen3-TTS): prefix rows in hidden_dim space,
+    one 2D in_proj (or identity) applied to every row.
+  - per-pos in_proj (Moshi / LFM2-Audio): prefix rows already in
+    depth_hidden space; position p adds in_proj[p] @ h_in (+ bias[p]);
+    pos 0 is text_embd[text_token] (Moshi) or zero (LFM2).
+  - depth_emits_c0: all N codebooks come from the depth decoder (no c0_head).
+  - heads: per-cb 2D `lm.depth.heads_{i}` or one 3D `lm.depth.heads` sliced
+    per position (Moshi "flexible"); optional per-head pre-norm (LFM2).
+  - optional qk-norm (Qwen3), RoPE NEOX/NORMAL or none (Moshi), llama3
+    freq factors.
+
+TPU design: the reference re-runs the depth prefix per position with a
+per-step rebuilt ggml graph (or an incremental KV path); depth prefixes are
+tiny (T <= n_codebook), so here each (T, head_idx) is one jitted
+full-prefix function — jit's cache replaces the graph cache, weights stay
+device-resident, and there is no per-step host graph work at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from ..ops import attn, norms, rope
+from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
+
+
+def _per_pos_linear(w: jax.Array, x: jax.Array) -> jax.Array:
+    """w: [out, in] shared or [N, out, in] per-pos; x: [T, in] → [T, out]."""
+    if w.ndim == 2:
+        return x @ w.T
+    return jnp.einsum("ti,toi->to", x, w[: x.shape[0]])
+
+
+@register_kind("residual_depth_ar")
+class ResidualDepthArLM(CodecLM):
+    def _load(self, r: GGUFReader) -> LmInfo:
+        info = read_common_info(r, "residual_depth_ar")
+        g = lambda n: r.get(n)
+        gopt = lambda n: r.get_or_none(n)
+
+        self.depth_layers = r.get_i32("codec.lm.residual.depth_layers", 0)
+        self.depth_hidden = r.get_i32("codec.lm.residual.depth_hidden", 0)
+        self.n_heads = r.get_i32("codec.lm.residual.depth_n_heads", 0)
+        self.n_kv_heads = r.get_i32("codec.lm.residual.depth_n_kv_heads", 0)
+        self.head_dim = r.get_i32("codec.lm.residual.depth_head_dim", 0)
+        self.rope_theta = r.get_f32("codec.lm.residual.depth_rope_theta", 10000.0)
+        self.rms_eps = r.get_f32("codec.lm.residual.depth_rms_norm_eps", 1e-5)
+        self.has_in_proj = r.get_bool("codec.lm.residual.depth_has_in_proj", False)
+        self.has_qk_norm = r.get_bool("codec.lm.residual.depth_has_qk_norm", False)
+        self.has_output_norm = r.get_bool("codec.lm.residual.depth_has_output_norm", True)
+        self.use_rope = r.get_bool("codec.lm.residual.depth_use_rope", True)
+        self.in_proj_per_pos = r.get_bool("codec.lm.residual.depth_in_proj_per_pos", False)
+        self.has_pre_head_norm = r.get_bool("codec.lm.residual.depth_has_pre_head_norm", False)
+        self.depth_emits_c0 = r.get_bool("codec.lm.residual.depth_emits_c0", False)
+        self.rope_interleaved = r.get_bool("codec.lm.residual.depth_rope_interleaved", False)
+        modality = r.get_str("codec.lm.residual.c0_input_modality", "audio")
+        self.c0_is_text = modality == "text"
+        self.c0_is_none = modality == "none"
+        if self.c0_is_text or self.c0_is_none:
+            self.depth_emits_c0 = True
+
+        # N tables: audio_embds[i] embeds c_i (prefix pos i+1 uses table i;
+        # compose sums all N). The last table may be absent for models whose
+        # compose path is external (Moshi).
+        self.audio_embds: List[Optional[jnp.ndarray]] = []
+        for i in range(info.n_codebook):
+            t = gopt(f"lm.depth.audio_embd_{i}.weight")
+            if t is None:
+                t = gopt(f"lm.audio_embd_{i}.weight")
+            self.audio_embds.append(jnp.asarray(t) if t is not None else None)
+        self.text_embd = (jnp.asarray(g("lm.depth.text_embd.weight"))
+                          if self.c0_is_text else None)
+
+        self.c0_head = (jnp.asarray(g("lm.c0_head.weight"))
+                        if not self.depth_emits_c0 else None)
+        flex = gopt("lm.depth.heads.weight")
+        self.flex_heads = jnp.asarray(flex) if flex is not None else None  # [N, V, H]
+        self.depth_heads: List[jnp.ndarray] = []
+        self.heads_pre_norm: List[Optional[jnp.ndarray]] = []
+        n_depth_heads = info.n_codebook if self.depth_emits_c0 else info.n_codebook - 1
+        if self.flex_heads is None:
+            for i in range(max(0, n_depth_heads)):
+                self.depth_heads.append(jnp.asarray(g(f"lm.depth.heads_{i}.weight")))
+                pn = gopt(f"lm.depth.heads_{i}_norm.weight")
+                self.heads_pre_norm.append(jnp.asarray(pn) if pn is not None else None)
+        self.in_proj = (jnp.asarray(g("lm.depth.in_proj.weight"))
+                        if self.has_in_proj or self.in_proj_per_pos else None)
+        ipb = gopt("lm.depth.in_proj.bias")
+        self.in_proj_bias = jnp.asarray(ipb) if ipb is not None else None
+        self.output_norm = (jnp.asarray(g("lm.depth.output_norm.weight"))
+                            if self.has_output_norm else None)
+        ff = gopt("lm.depth.rope_freq_factors")
+        self.freq_factors = np.asarray(ff) if ff is not None else None
+
+        self.layers: List[Dict[str, Any]] = []
+        for l in range(self.depth_layers):
+            p = f"lm.depth.blk_{l}"
+            lw = {k: jnp.asarray(g(f"{p}.{n}.weight")) for k, n in (
+                ("attn_norm", "attn_norm"), ("q", "q"), ("k", "k"), ("v", "v"),
+                ("o", "o"), ("ffn_norm", "ffn_norm"), ("gate", "ffn_gate"),
+                ("up", "ffn_up"), ("down", "ffn_down"))}
+            if self.has_qk_norm:
+                lw["q_norm"] = jnp.asarray(g(f"{p}.q_norm.weight"))
+                lw["k_norm"] = jnp.asarray(g(f"{p}.k_norm.weight"))
+            self.layers.append(lw)
+
+        # Qwen3-TTS talker helpers (optional)
+        self.tp_text_embd = gopt("lm.text_embd.weight")
+        self.tp_fc1_w = gopt("lm.text_projection.fc1.weight")
+        self.tp_fc1_b = gopt("lm.text_projection.fc1.bias")
+        self.tp_fc2_w = gopt("lm.text_projection.fc2.weight")
+        self.tp_fc2_b = gopt("lm.text_projection.fc2.bias")
+
+        # LFM2 backbone-side compose table (optional)
+        ct = gopt("lm.compose.audio_embd.weight")
+        self.compose_table = jnp.asarray(ct) if ct is not None else None
+        self.compose_stride = r.get_i32("codec.lm.residual.compose_codebook_stride", 0)
+
+        self._c0_fn = (jax.jit(lambda h: self.c0_head @ h)
+                       if self.c0_head is not None else None)
+        self._depth_cache: Dict[Tuple[int, int], Any] = {}
+        return info
+
+    # -- depth forward -----------------------------------------------------
+    def _depth_forward(self, prefix: jax.Array, h_in: jax.Array,
+                       head_idx: int) -> jax.Array:
+        """prefix [T, row_dim], h_in [hidden] → logits [V_head]
+        (reference: rda_build_depth_step)."""
+        t = prefix.shape[0]
+        if not self.in_proj_per_pos:
+            x = _per_pos_linear(self.in_proj, prefix) if self.in_proj is not None else prefix
+            if self.in_proj is not None and self.in_proj_bias is not None:
+                x = x + self.in_proj_bias
+        else:
+            x = prefix
+            if self.in_proj is not None:
+                proj = jnp.einsum("i,toi->to", h_in, self.in_proj[:t])
+                if self.in_proj_bias is not None:
+                    b = self.in_proj_bias
+                    proj = proj + (b[:t] if b.ndim == 2 else b)
+                x = x + proj
+
+        positions = jnp.arange(t)
+        freq = None
+        if self.use_rope and self.freq_factors is not None:
+            freq = jnp.asarray(self.freq_factors)
+
+        def rope_fn(z):                                   # z: [1, H, T, D]
+            if not self.use_rope:
+                return z
+            if freq is not None:
+                inv = rope.rope_freqs(self.head_dim, self.rope_theta) / freq
+                ang = positions.astype(jnp.float32)[:, None] * inv[None]
+                cos, sin = jnp.cos(ang)[None, None], jnp.sin(ang)[None, None]
+                d = self.head_dim
+                if self.rope_interleaved:
+                    ze, zo = z[..., 0::2], z[..., 1::2]
+                    return jnp.stack([ze * cos - zo * sin, ze * sin + zo * cos],
+                                     axis=-1).reshape(z.shape)
+                z1, z2 = z[..., : d // 2], z[..., d // 2:]
+                return jnp.concatenate([z1 * cos - z2 * sin, z1 * sin + z2 * cos], -1)
+            return rope.apply_rope(z, positions=positions, theta=self.rope_theta,
+                                   neox=not self.rope_interleaved)
+
+        xb = x[None]                                      # [1, T, H]
+        for lw in self.layers:
+            h = norms.rms_norm(xb, lw["attn_norm"], self.rms_eps)
+            q = _per_pos_linear(lw["q"], h[0])[None]
+            k = _per_pos_linear(lw["k"], h[0])[None]
+            v = _per_pos_linear(lw["v"], h[0])[None]
+            b, tt = 1, t
+            q = q.reshape(b, tt, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(b, tt, self.n_kv_heads, self.head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(b, tt, self.n_kv_heads, self.head_dim).transpose(0, 2, 1, 3)
+            if self.has_qk_norm:
+                q = norms.rms_norm(q, lw["q_norm"], self.rms_eps)
+                k = norms.rms_norm(k, lw["k_norm"], self.rms_eps)
+            q, k = rope_fn(q), rope_fn(k)
+            if self.n_kv_heads != self.n_heads:
+                rep = self.n_heads // self.n_kv_heads
+                k = jnp.repeat(k, rep, axis=1)
+                v = jnp.repeat(v, rep, axis=1)
+            m = attn.attn_mask(tt, tt, causal=True)
+            ctx = attn.sdpa(q, k, v, mask=m)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, tt, self.n_heads * self.head_dim)
+            xb = xb + _per_pos_linear(lw["o"], ctx[0])[None]
+            m2 = norms.rms_norm(xb, lw["ffn_norm"], self.rms_eps)
+            gate = jax.nn.silu(_per_pos_linear(lw["gate"], m2[0]))
+            up = _per_pos_linear(lw["up"], m2[0])
+            xb = xb + _per_pos_linear(lw["down"], gate * up)[None]
+
+        x = xb[0]
+        if self.output_norm is not None:
+            x = norms.rms_norm(x, self.output_norm, self.rms_eps)
+        last = x[t - 1]
+        if self.has_pre_head_norm and self.heads_pre_norm[head_idx] is not None:
+            last = norms.rms_norm(last, self.heads_pre_norm[head_idx], self.rms_eps)
+        head = (self.flex_heads[head_idx] if self.flex_heads is not None
+                else self.depth_heads[head_idx])
+        return head @ last
+
+    def _depth_jit(self, t: int, head_idx: int):
+        key = (t, head_idx)
+        fn = self._depth_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, h: self._depth_forward(p, h, head_idx))
+            self._depth_cache[key] = fn
+        return fn
+
+    # -- step machine hooks ------------------------------------------------
+    def _begin(self, state: LmState, h: np.ndarray) -> None:
+        state.kind_state["h"] = h
+        state.kind_state["codes"] = []
+
+    def _logits(self, state: LmState, k: int) -> np.ndarray:
+        h = state.kind_state["h"]
+        if k == 0 and not self.depth_emits_c0:
+            return np.asarray(self._c0_fn(jnp.asarray(h)))
+        t = k + 1
+        row_dim = self.info.audio_embed_dim
+        prefix = np.zeros((t, row_dim), np.float32)
+        if not self.in_proj_per_pos:
+            prefix[0, : self.info.hidden_dim] = h
+        elif self.c0_is_text:
+            if state.text_context is None:
+                raise LmError("c0_input_modality=text: call set_text_context first")
+            prefix[0] = np.asarray(self.text_embd[state.text_context])
+        # c0_is_none: pos 0 stays zero
+        codes = state.kind_state["codes"]
+        for p in range(1, t):
+            prefix[p] = np.asarray(self.audio_embds[p - 1][codes[p - 1]])
+        head_idx = k if self.depth_emits_c0 else k - 1
+        fn = self._depth_jit(t, head_idx)
+        return np.asarray(fn(jnp.asarray(prefix), jnp.asarray(h)))
+
+    def _pushed(self, state: LmState, k: int, code: int) -> None:
+        state.kind_state["codes"].append(code)
+
+    # -- embeddings --------------------------------------------------------
+    def audio_embd(self, cb_idx: int, code: int) -> np.ndarray:
+        embd = self.audio_embds[cb_idx]
+        if not (0 <= code < embd.shape[0]):
+            raise LmError(f"code {code} out of range")
+        return np.asarray(embd[code])
+
+    def compose_audio_embd(self, codes: Sequence[int]) -> np.ndarray:
+        codes = list(codes)
+        if self.compose_table is not None:
+            out = np.zeros((self.info.compose_audio_embed_dim,), np.float32)
+            for i, c in enumerate(codes):
+                if c >= 0:
+                    out += np.asarray(self.compose_table[c + i * self.compose_stride])
+            return out
+        out = np.zeros((self.info.audio_embed_dim,), np.float32)
+        for i, c in enumerate(codes):
+            if c >= 0 and i < len(self.audio_embds) and self.audio_embds[i] is not None:
+                out += np.asarray(self.audio_embds[i][c])
+        return out
+
+    # -- Qwen3-TTS talker helpers -----------------------------------------
+    def text_proj_dim(self) -> int:
+        return int(self.tp_fc2_w.shape[0]) if self.tp_fc2_w is not None else 0
+
+    def project_text(self, text_token: int) -> np.ndarray:
+        """fc2(silu(fc1(text_embd[token]))) (reference: codec_lm_project_text)."""
+        if self.tp_text_embd is None:
+            raise LmError("model has no text projection")
+        x = np.asarray(self.tp_text_embd[text_token], np.float32)
+        h = np.asarray(self.tp_fc1_w, np.float32) @ x + np.asarray(self.tp_fc1_b, np.float32)
+        h = h * (1.0 / (1.0 + np.exp(-h)))                # silu
+        return np.asarray(self.tp_fc2_w, np.float32) @ h + np.asarray(self.tp_fc2_b, np.float32)
+
+    def codec_embd_row(self, code: int) -> np.ndarray:
+        return self.audio_embd(0, code)
