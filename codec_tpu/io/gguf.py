@@ -188,6 +188,18 @@ _DEQUANT = {
 }
 
 
+def _dequant_dispatch(t: int, raw: np.ndarray, n_elems: int) -> np.ndarray:
+    """Prefer the native C++ dequant library (io/native.py, built from
+    native/gguf_native.cpp); fall back to the NumPy path. Both bit-exact."""
+    from . import native as _native
+    if _native.available():
+        fn = {GGML_TYPE_Q8_0: _native.dequantize_q8_0,
+              GGML_TYPE_Q4_K: _native.dequantize_q4_k,
+              GGML_TYPE_Q5_K: _native.dequantize_q5_k}[t]
+        return fn(np.asarray(raw), n_elems)
+    return _DEQUANT[t](raw.tobytes(), n_elems)
+
+
 # ---------------------------------------------------------------------------
 # Quantization (vectorized; bit-exact vs reference scripts/utils/quantization.py)
 # ---------------------------------------------------------------------------
@@ -452,7 +464,7 @@ class GGUFReader:
             elif t == GGML_TYPE_I32:
                 arr = raw.view(np.int32).reshape(info.shape)
             elif t in _DEQUANT:
-                arr = _DEQUANT[t](raw.tobytes(), info.n_elems).reshape(info.shape)
+                arr = _dequant_dispatch(t, raw, info.n_elems).reshape(info.shape)
             else:
                 raise ValueError(f"unsupported tensor type {info.type_name} for {name}")
             self._cache[name] = arr
