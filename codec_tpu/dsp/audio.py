@@ -171,6 +171,22 @@ def w2v_bert_features(pcm: np.ndarray, n_mels: int = 80, n_fft: int = 512,
 # Whisper log-mel
 # ---------------------------------------------------------------------------
 
+def whisper_mel_padded(pcm: np.ndarray, sr: int, n_fft: int, hop: int,
+                       n_mels: int, pad_to_samples: int) -> Tuple[np.ndarray, int]:
+    """XY-Tokenizer mel front-end (reference:
+    codec_runtime_whisper_mel_features, audio_dsp.cpp:673+): zero-pad pcm to a
+    multiple of pad_to_samples, Whisper-style centered log10 mel with global
+    max-8 clip and (x+4)/4 scale. → ([n_mels, target/hop], n_frames)."""
+    pcm = np.asarray(pcm, np.float64).reshape(-1)
+    pad_to = max(1, pad_to_samples)
+    target = -(-len(pcm) // pad_to) * pad_to
+    if len(pcm) < target:
+        pcm = np.pad(pcm, (0, target - len(pcm)))
+    feats = whisper_log_mel(pcm, n_mels=n_mels, n_fft=n_fft, hop=hop, sr=sr)
+    n_frames = target // hop
+    return feats[:, :n_frames], n_frames
+
+
 def whisper_log_mel(pcm: np.ndarray, n_mels: int = 80, n_fft: int = 400,
                     hop: int = 160, sr: int = 16000,
                     mel_filters: Optional[np.ndarray] = None) -> np.ndarray:

@@ -78,3 +78,9 @@ def _qwen3():
 def _pocket():
     from .pocket_mimi import PocketMimiCodec
     return PocketMimiCodec
+
+
+@register("xy_tokenizer", "xy-tokenizer")
+def _xy():
+    from .xy_tokenizer import XyTokenizerCodec
+    return XyTokenizerCodec
