@@ -84,3 +84,9 @@ def _pocket():
 def _xy():
     from .xy_tokenizer import XyTokenizerCodec
     return XyTokenizerCodec
+
+
+@register("moss_audio_tokenizer", "moss-audio-tokenizer", "moss_audio")
+def _moss():
+    from .moss_audio import MossAudioCodec
+    return MossAudioCodec

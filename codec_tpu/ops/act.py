@@ -42,3 +42,8 @@ def snake(x: jax.Array, alpha: jax.Array, eps: float = 1e-9) -> jax.Array:
 def snake_beta(x: jax.Array, alpha: jax.Array, beta: jax.Array, eps: float = 1e-9) -> jax.Array:
     """SnakeBeta: x + sin^2(alpha*x)/beta (BigVGAN/WavTokenizer; ggml_ops.h:23)."""
     return x + jnp.sin(alpha * x) ** 2 / (beta + eps)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """Tanh-approximated GELU — matches ggml_gelu / torch gelu(approximate='tanh')."""
+    return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x ** 3)))
