@@ -1,0 +1,153 @@
+"""audio_lm — generic audio-LM host hooks (build/observe/decode layer).
+
+Reference behavior: common/audio_lm.cpp + common/codec_common.h. The host
+owns the backbone decode loop and sampling; this layer provides:
+  - modality bits from `codec.lm.modality.*`
+  - Type A audio-token-range detection (`codec.audio_token.{offset,count,eos_id}`)
+  - Type B embed-override compose (speech pos-emb via compose_next_embd)
+  - Type C/D frame observe (codes accumulation + next-embed compose)
+  - continuous-latent observe (CFM kinds; patch accumulation + stop)
+  - end-of-sequence decode_audio through the codec
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from ..io.gguf import GGUFReader
+from .base import CodecLM, create_lm
+
+MODALITY_TEXT_IN = 1
+MODALITY_AUDIO_OUT = 2
+MODALITY_AUDIO_IN = 4
+MODALITY_TEXT_OUT = 8
+
+
+class ObserveAction(Enum):
+    PASSTHROUGH = 0        # ordinary text token; host continues as usual
+    CONSUMED = 1           # audio code consumed; host keeps token decode path
+    CONSUMED_EMBED = 2     # feed next_embed as inputs_embeds next step
+    STOP = 3               # end of audio; host breaks and calls decode_audio
+
+
+@dataclass
+class AudioTokenRange:
+    offset: int = -1
+    count: int = 0
+    eos_id: int = -1
+
+
+class AudioLM:
+    """Per-generation audio-LM context (reference: audio_lm_context)."""
+
+    def __init__(self, reader: GGUFReader, codec=None):
+        self.reader = reader
+        self.codec = codec              # CodecModel for decode_audio (optional)
+        self.lm: Optional[CodecLM] = create_lm(reader)
+        self.modality = 0
+        for bit, key in ((MODALITY_TEXT_IN, "codec.lm.modality.text_in"),
+                         (MODALITY_AUDIO_OUT, "codec.lm.modality.audio_out"),
+                         (MODALITY_AUDIO_IN, "codec.lm.modality.audio_in"),
+                         (MODALITY_TEXT_OUT, "codec.lm.modality.text_out")):
+            if reader.get_bool(key, False):
+                self.modality |= bit
+        self.token_range = AudioTokenRange(
+            offset=reader.get_i32("codec.audio_token.offset", -1),
+            count=reader.get_i32("codec.audio_token.count", 0),
+            eos_id=reader.get_i32("codec.audio_token.eos_id", -1),
+        )
+        self.uses_embed_override = False
+        self._embed_step_start = 0
+        self.reset()
+
+    # -- lifecycle ---------------------------------------------------------
+    def reset(self) -> None:
+        self.frames: List[List[int]] = []        # accumulated [T][n_cb] codes
+        self.latents: List[np.ndarray] = []      # continuous patches
+        self.next_embed: Optional[np.ndarray] = None
+        self._embed_step = self._embed_step_start
+        self.state = self.lm.new_state() if self.lm is not None else None
+
+    # -- capabilities ------------------------------------------------------
+    @property
+    def n_codebook(self) -> int:
+        return self.lm.info.n_codebook if self.lm else 1
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.lm.info.hidden_dim if self.lm else 0
+
+    @property
+    def is_continuous(self) -> bool:
+        return bool(self.lm and self.lm.info.is_continuous)
+
+    def lm_eos(self):
+        if self.lm is None:
+            return -1, 0
+        return self.lm.info.eos_code_c0, self.lm.info.eos_min_step
+
+    # -- configuration -----------------------------------------------------
+    def set_audio_token_range(self, offset: int, count: int, eos_id: int) -> None:
+        self.token_range = AudioTokenRange(offset, count, eos_id)
+
+    def set_uses_embed_override(self, enabled: bool, start_step: int = 0) -> None:
+        self.uses_embed_override = enabled
+        self._embed_step_start = start_step
+        self._embed_step = start_step
+
+    # -- per-step hooks ----------------------------------------------------
+    def observe_token(self, tok: int, last_hidden=None) -> ObserveAction:
+        """Type A/B dispatch (reference: audio_lm_observe_token)."""
+        tr = self.token_range
+        if tr.eos_id >= 0 and tok == tr.eos_id:
+            return ObserveAction.STOP
+        if tr.offset < 0 or not (tr.offset <= tok < tr.offset + tr.count):
+            return ObserveAction.PASSTHROUGH
+        code = tok - tr.offset
+        self.frames.append([code])
+        if self.uses_embed_override and self.lm is not None:
+            self.next_embed = self.lm.compose_next_embd([code], self._embed_step)
+            self._embed_step += 1
+            return ObserveAction.CONSUMED_EMBED
+        return ObserveAction.CONSUMED
+
+    def observe_codes(self, codes: Sequence[int], last_hidden=None) -> ObserveAction:
+        """Type C/D frame observe (reference: audio_lm_observe_codes)."""
+        codes = list(codes)
+        self.frames.append(codes)
+        if self.state is not None and self.state.step_is_eos(codes):
+            return ObserveAction.STOP
+        if self.lm is not None:
+            self.next_embed = self.lm.compose_next_embd(codes, self._embed_step)
+            self._embed_step += 1
+            return ObserveAction.CONSUMED_EMBED
+        return ObserveAction.CONSUMED
+
+    def observe_hidden(self, hidden: np.ndarray, noise=None) -> ObserveAction:
+        """Continuous-latent per-step observe (CFM kinds)."""
+        if not self.is_continuous:
+            raise ValueError("observe_hidden requires a continuous-latent kind")
+        patch, stop, feedback = self.lm.step_generate(self.state, hidden, noise=noise)
+        self.latents.append(patch)
+        self.next_embed = feedback
+        return ObserveAction.STOP if stop else ObserveAction.CONSUMED_EMBED
+
+    # -- end of sequence ---------------------------------------------------
+    def codes_matrix(self) -> np.ndarray:
+        if not self.frames:
+            return np.zeros((0, self.n_codebook), np.int32)
+        return np.asarray(self.frames, np.int32)
+
+    def decode_audio(self, n_q: int = 0) -> np.ndarray:
+        """Decode accumulated codes (or latents) through the codec
+        (reference: audio_lm_decode_audio → codec_decode)."""
+        if self.codec is None:
+            raise ValueError("no codec attached for decode_audio")
+        if self.is_continuous:
+            latent = np.concatenate(self.latents, axis=0)
+            return self.codec.decode_latent(latent)
+        return self.codec.decode(self.codes_matrix(), n_q=n_q)

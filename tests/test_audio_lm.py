@@ -1,0 +1,90 @@
+"""audio_lm hooks + tts_runner codebook-AR flow (reference analog:
+common/audio_lm.cpp observe dispatch + run_codebook_ar with a stub backbone)."""
+
+import numpy as np
+import pytest
+
+from codec_tpu.io.gguf import GGUFReader
+from codec_tpu.lm.audio_lm import AudioLM, ObserveAction
+from codec_tpu.lm.tts_runner import run_codebook_ar, SynthesisResult
+
+from test_lm_adaptors import rda_gguf, phd_gguf, H, N_CB, SIZES  # noqa: F401
+
+
+class StubBackbone:
+    """Deterministic stub: hidden = tanh(W @ embed)."""
+
+    def __init__(self, hidden_dim, seed=0):
+        rng = np.random.default_rng(seed)
+        self.w = rng.standard_normal((hidden_dim, hidden_dim)).astype(np.float32) * 0.3
+
+    def step(self, embed):
+        return np.tanh(self.w @ np.asarray(embed, np.float32))
+
+
+def test_type_a_token_range(rda_gguf):
+    path, _ = rda_gguf
+    r = GGUFReader(path)
+    alm = AudioLM(r)
+    alm.set_audio_token_range(offset=100, count=50, eos_id=99)
+    assert alm.observe_token(5) is ObserveAction.PASSTHROUGH
+    assert alm.observe_token(120) is ObserveAction.CONSUMED
+    assert alm.observe_token(99) is ObserveAction.STOP
+    assert alm.codes_matrix().tolist() == [[20]]
+
+
+def test_observe_codes_accumulation_and_eos(phd_gguf):
+    path, _, _ = phd_gguf
+    alm = AudioLM(GGUFReader(path))
+    assert alm.n_codebook == N_CB
+    eos_c0, eos_min = alm.lm_eos()
+    assert eos_c0 == 7 and eos_min == 2
+    # run frames through the state machine so the frame counter advances
+    for frame, expect_stop in ((3, False), (7, False), (7, True)):
+        st = alm.state
+        st.step_begin(np.zeros(H, np.float32))
+        for k in range(N_CB):
+            st.step_logits()
+            st.step_push_code(frame if k == 0 else 1)
+        codes = st.step_finish()
+        action = alm.observe_codes(codes)
+        assert (action is ObserveAction.STOP) is expect_stop
+    assert alm.codes_matrix().shape == (3, N_CB)
+    assert alm.next_embed is not None and alm.next_embed.shape == (H,)
+
+
+def test_run_codebook_ar_flow(rda_gguf):
+    path, _ = rda_gguf
+    alm = AudioLM(GGUFReader(path))
+    backbone = StubBackbone(H)
+    rng = np.random.default_rng(1)
+    prompt = [rng.standard_normal(H).astype(np.float32) for _ in range(3)]
+    res = run_codebook_ar(alm, backbone, prompt, max_steps=4)
+    assert isinstance(res, SynthesisResult)
+    assert res.n_steps == 4                    # no EOS sentinel in rda fixture
+    assert res.codes.shape == (4, N_CB)
+    assert not res.stopped_by_eos
+    # deterministic: rerun gives identical codes
+    res2 = run_codebook_ar(alm, backbone, prompt, max_steps=4)
+    np.testing.assert_array_equal(res.codes, res2.codes)
+
+
+def test_run_codebook_ar_eos_stop(phd_gguf):
+    path, heads, _ = phd_gguf
+    alm = AudioLM(GGUFReader(path))
+    backbone = StubBackbone(H, seed=3)
+
+    # force the sampler to hit the EOS code (7) on c0 from frame index 2
+    calls = {"frame": 0}
+
+    def sampler(cb_idx, logits):
+        if cb_idx == 0:
+            calls["frame"] += 1
+            return 7 if calls["frame"] >= 3 else 1
+        return 0
+
+    prompt = [np.zeros(H, np.float32)]
+    res = run_codebook_ar(alm, backbone, prompt, max_steps=10, sampler=sampler)
+    assert res.stopped_by_eos
+    assert res.n_steps == 3
+    assert res.codes.shape == (2, N_CB)        # EOS frame trimmed
