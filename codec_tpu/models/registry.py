@@ -90,3 +90,9 @@ def _xy():
 def _moss():
     from .moss_audio import MossAudioCodec
     return MossAudioCodec
+
+
+@register("bluemagpie_audiovae", "bluemagpie-audiovae")
+def _bluemagpie():
+    from .bluemagpie import BlueMagpieAudioVAE
+    return BlueMagpieAudioVAE
