@@ -127,12 +127,31 @@ class AudioLM:
             return ObserveAction.CONSUMED_EMBED
         return ObserveAction.CONSUMED
 
+    def set_continuous_params(self, cfg_value: float = 2.0, n_timesteps: int = 10,
+                              min_len: int = -1) -> None:
+        """reference: audio_lm_set_continuous_params."""
+        self._cfg_value = cfg_value
+        self._n_timesteps = n_timesteps
+        if min_len >= 0 and self.state is not None:
+            self.lm.set_min_len(self.state, min_len)
+
+    def text_prefill(self, hiddens: np.ndarray) -> None:
+        """Prime the continuous kind's RALM over the prompt prefix
+        (reference: audio_lm_text_prefill)."""
+        if not self.is_continuous:
+            raise ValueError("text_prefill requires a continuous-latent kind")
+        self.lm.text_prefill(self.state, hiddens)
+
     def observe_hidden(self, hidden: np.ndarray, noise=None) -> ObserveAction:
         """Continuous-latent per-step observe (CFM kinds)."""
         if not self.is_continuous:
             raise ValueError("observe_hidden requires a continuous-latent kind")
-        patch, stop, feedback = self.lm.step_generate(self.state, hidden, noise=noise)
-        self.latents.append(patch)
+        patch, stop, feedback = self.lm.step_generate(
+            self.state, hidden,
+            cfg_value=getattr(self, "_cfg_value", 2.0),
+            n_timesteps=getattr(self, "_n_timesteps", 10),
+            noise=noise)
+        self.latents.append(np.asarray(patch).reshape(-1, self.lm.info.latent_dim))
         self.next_embed = feedback
         return ObserveAction.STOP if stop else ObserveAction.CONSUMED_EMBED
 

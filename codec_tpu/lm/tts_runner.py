@@ -44,6 +44,48 @@ class SynthesisResult:
     stopped_by_eos: bool
 
 
+def run_continuous(
+    audio_lm: AudioLM,
+    backbone: Backbone,
+    prompt_embeds: Sequence[np.ndarray],
+    max_steps: int = 1024,
+    prefill_hiddens=None,
+    decode: bool = True,
+) -> SynthesisResult:
+    """Continuous-latent flow (reference: run_continuous, tts_runner.cpp:450):
+    optional RALM text-prefill over prompt hiddens, then per step: backbone
+    hidden → step_generate (patch + stop + feedback embed)."""
+    if audio_lm.lm is None or not audio_lm.is_continuous:
+        raise ValueError("run_continuous requires a continuous-latent codec_lm")
+    audio_lm.reset()
+    if prefill_hiddens is not None:
+        audio_lm.text_prefill(np.asarray(prefill_hiddens, np.float32))
+
+    h = None
+    for e in prompt_embeds:
+        h = backbone.step(np.asarray(e, np.float32))
+    if h is None:
+        raise ValueError("prompt_embeds must contain at least one embedding")
+
+    stopped = False
+    steps = 0
+    for _ in range(max_steps):
+        action = audio_lm.observe_hidden(h)
+        steps += 1
+        if action is ObserveAction.STOP:
+            stopped = True
+            break
+        h = backbone.step(audio_lm.next_embed)
+
+    latents = (np.concatenate(audio_lm.latents, axis=0)
+               if audio_lm.latents else np.zeros((0, audio_lm.lm.info.latent_dim)))
+    pcm = None
+    if decode and audio_lm.codec is not None and len(latents):
+        pcm = audio_lm.codec.decode_latent(latents)
+    return SynthesisResult(codes=latents, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
+
+
 def run_codebook_ar(
     audio_lm: AudioLM,
     backbone: Backbone,

@@ -88,3 +88,51 @@ def test_run_codebook_ar_eos_stop(phd_gguf):
     assert res.stopped_by_eos
     assert res.n_steps == 3
     assert res.codes.shape == (2, N_CB)        # EOS frame trimmed
+
+
+def test_run_continuous_flow():
+    """End-to-end continuous flow with the CFM fixture + stub backbone."""
+    from test_continuous_cfm import tiny_cfm, HB, P, D  # noqa: F401
+    import test_continuous_cfm as tc
+    from codec_tpu.lm.tts_runner import run_continuous
+
+    ref = tc.TorchCFM()
+    import tempfile, pathlib
+    from codec_tpu.io.gguf import GGUFWriter, GGUFReader
+
+    path = pathlib.Path(tempfile.mkdtemp()) / "cfm.gguf"
+    w = GGUFWriter(path, "bluemagpie_audiovae")
+    w.add_uint32("codec.sample_rate", 48000)
+    w.add_bool("codec.has_decoder", True)
+    w.add_bool("codec.lm.has_adaptor", True)
+    w.add_string("codec.lm.kind", "continuous_latent_cfm")
+    w.add_uint32("codec.lm.hidden_dim", tc.HB)
+    w.add_uint32("codec.lm.h_vox", tc.HV)
+    w.add_uint32("codec.lm.h_enc", tc.HE)
+    w.add_uint32("codec.lm.h_dit", tc.HD)
+    w.add_uint32("codec.lm.latent_dim", tc.D)
+    w.add_uint32("codec.lm.patch_size", tc.P)
+    w.add_uint32("codec.lm.n_locenc", tc.NL_ENC)
+    w.add_uint32("codec.lm.n_locdit", tc.NL_DIT)
+    w.add_uint32("codec.lm.n_ralm", tc.NL_RALM)
+    w.add_uint32("codec.lm.n_heads", tc.NH)
+    w.add_uint32("codec.lm.n_kv", tc.NKV)
+    w.add_uint32("codec.lm.head_dim", tc.HDIM)
+    w.add_uint32("codec.lm.fsq_scale", tc.FSQ)
+    w.add_uint32("codec.lm.min_len", 0)
+    for name, tensor in ref.t.items():
+        w.add_tensor(name, tensor.numpy())
+    w.write()
+
+    alm = AudioLM(GGUFReader(path))
+    assert alm.is_continuous
+    alm.set_continuous_params(cfg_value=2.0, n_timesteps=4)
+    backbone = StubBackbone(tc.HB, seed=5)
+    rng = np.random.default_rng(0)
+    prefill = rng.standard_normal((2, tc.HB)).astype(np.float32)
+    prompt = [rng.standard_normal(tc.HB).astype(np.float32)]
+    res = run_continuous(alm, backbone, prompt, max_steps=4,
+                         prefill_hiddens=prefill, decode=False)
+    assert res.n_steps <= 4
+    assert res.codes.shape[1] == tc.D
+    assert res.codes.shape[0] == res.n_steps * tc.P
