@@ -96,3 +96,15 @@ def _moss():
 def _bluemagpie():
     from .bluemagpie import BlueMagpieAudioVAE
     return BlueMagpieAudioVAE
+
+
+@register("neucodec")
+def _neucodec():
+    from .neucodec import NeuCodec
+    return NeuCodec
+
+
+@register("distill_neucodec", "distill-neucodec")
+def _distill_neucodec():
+    from .neucodec import DistillNeuCodec
+    return DistillNeuCodec
