@@ -73,7 +73,18 @@ def _read_pcm(model, path):
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    try:
+        return _run(build_parser().parse_args(argv))
+    except Exception as e:  # clean one-line errors (reference CLI behavior)
+        from ..runtime.model import CodecError
+
+        if isinstance(e, (CodecError, ValueError, FileNotFoundError)):
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        raise
+
+
+def _run(args) -> int:
 
     if args.cmd == "info":
         from ..io.gguf import GGUFReader

@@ -42,43 +42,47 @@ class NeuConfig:
     rope_theta: float = 10000.0
 
     @classmethod
-    def from_gguf(cls, r: GGUFReader) -> "NeuConfig":
+    def from_gguf(cls, r: GGUFReader, prefix: str = "neucodec",
+                  **overrides) -> "NeuConfig":
+        d = cls(**overrides)
         return cls(
-            sample_rate=r.get_i32("codec.sample_rate", 24000),
-            hop_size=r.get_i32("codec.hop_size", 480),
-            n_q=r.get_i32("codec.n_q", 1),
-            codebook_size=r.get_i32("codec.codebook_size", 65536),
-            codebook_dim=r.get_i32("codec.codebook_dim", 8),
-            vq_dim=r.get_i32("neucodec.vq_dim", 1024),
-            hidden_dim=r.get_i32("neucodec.hidden_dim", 768),
-            num_layers=r.get_i32("neucodec.num_layers", 12),
-            num_heads=r.get_i32("neucodec.num_heads", 12),
-            head_dim=r.get_i32("neucodec.head_dim", 64),
-            rope_theta=r.get_f32("neucodec.rope_theta", 10000.0),
+            sample_rate=r.get_i32("codec.sample_rate", d.sample_rate),
+            hop_size=r.get_i32("codec.hop_size", d.hop_size),
+            n_q=r.get_i32("codec.n_q", d.n_q),
+            codebook_size=r.get_i32("codec.codebook_size", d.codebook_size),
+            codebook_dim=r.get_i32("codec.codebook_dim", d.codebook_dim),
+            vq_dim=r.get_i32(f"{prefix}.vq_dim", d.vq_dim),
+            hidden_dim=r.get_i32(f"{prefix}.hidden_dim", d.hidden_dim),
+            num_layers=r.get_i32(f"{prefix}.num_layers", d.num_layers),
+            num_heads=r.get_i32(f"{prefix}.num_heads", d.num_heads),
+            head_dim=r.get_i32(f"{prefix}.head_dim", d.head_dim),
+            rope_theta=r.get_f32(f"{prefix}.rope_theta", d.rope_theta),
         )
 
 
-def load_neu_params(r: GGUFReader, cfg: NeuConfig, dtype=jnp.float32):
+def load_neu_params(r: GGUFReader, cfg: NeuConfig, dtype=jnp.float32,
+                    prefix: str = "neucodec"):
     g = lambda n: jnp.asarray(r.get(n)).astype(dtype)
+    d = f"{prefix}.decode"
     p: Dict[str, Any] = {
-        "cb": g("neucodec.decode.codebook"),                    # [V, cb_dim]
-        "qp_w": g("neucodec.decode.quant.project_out.w"),
-        "qp_b": g("neucodec.decode.quant.project_out.b"),
-        "fc_w": g("neucodec.decode.fc_post_a.w"),
-        "fc_b": g("neucodec.decode.fc_post_a.b"),
-        "embed_w": conv.prepare_conv_weight(r.get("neucodec.decode.embed.w")).astype(dtype),
-        "embed_b": g("neucodec.decode.embed.b"),
-        "fln_w": g("neucodec.decode.final_ln.w"),
-        "fln_b": g("neucodec.decode.final_ln.b"),
-        "head_w": g("neucodec.decode.head.out.w"),
-        "head_b": g("neucodec.decode.head.out.b"),
-        "window": (g("neucodec.decode.istft.window").reshape(-1)
-                   if r.has_tensor("neucodec.decode.istft.window") else None),
+        "cb": g(f"{d}.codebook"),                    # [V, cb_dim]
+        "qp_w": g(f"{d}.quant.project_out.w"),
+        "qp_b": g(f"{d}.quant.project_out.b"),
+        "fc_w": g(f"{d}.fc_post_a.w"),
+        "fc_b": g(f"{d}.fc_post_a.b"),
+        "embed_w": conv.prepare_conv_weight(r.get(f"{d}.embed.w")).astype(dtype),
+        "embed_b": g(f"{d}.embed.b"),
+        "fln_w": g(f"{d}.final_ln.w"),
+        "fln_b": g(f"{d}.final_ln.b"),
+        "head_w": g(f"{d}.head.out.w"),
+        "head_b": g(f"{d}.head.out.b"),
+        "window": (g(f"{d}.istft.window").reshape(-1)
+                   if r.has_tensor(f"{d}.istft.window") else None),
     }
     for group, n in (("prior", 2), ("post", 2)):
         blocks = []
         for li in range(n):
-            pre = f"neucodec.decode.{group}.{li}"
+            pre = f"{d}.{group}.{li}"
             blocks.append({
                 "n1_w": g(pre + ".norm1.w"), "n1_b": g(pre + ".norm1.b"),
                 "c1_w": conv.prepare_conv_weight(r.get(pre + ".conv1.w")).astype(dtype),
@@ -90,7 +94,7 @@ def load_neu_params(r: GGUFReader, cfg: NeuConfig, dtype=jnp.float32):
         p[group] = blocks
     layers = []
     for li in range(cfg.num_layers):
-        pre = f"neucodec.decode.transformer.{li}"
+        pre = f"{d}.transformer.{li}"
         layers.append({
             "att_norm": g(pre + ".att_norm.w"), "ffn_norm": g(pre + ".ffn_norm.w"),
             "c_attn": g(pre + ".att.c_attn.w"), "c_proj": g(pre + ".att.c_proj.w"),

@@ -108,3 +108,9 @@ def _neucodec():
 def _distill_neucodec():
     from .neucodec import DistillNeuCodec
     return DistillNeuCodec
+
+
+@register("xcodec2", "x-codec2", "x_codec2")
+def _xcodec2():
+    from .xcodec2 import XCodec2
+    return XCodec2

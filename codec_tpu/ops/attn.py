@@ -59,6 +59,31 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
+def sdpa_rel_key(q: jax.Array, k: jax.Array, v: jax.Array,
+                 dist_emb: jax.Array, left_max: int, right_max: int,
+                 scale: Optional[float] = None) -> jax.Array:
+    """Shaw relative-key attention (W2V-BERT conformer; reference:
+    codec_op_lm_attn_rel_key_dth, src/ops/lm_attn.cpp:216).
+
+    q,k,v: [B, H, T, D]; dist_emb: [left_max+right_max+1, D].
+    scores = (q·kᵀ + q·E[bucket]ᵀ) · scale with scale applied AFTER the add
+    (matches HF Wav2Vec2Bert "relative_key"), bucket(tq,tk) =
+    clamp(tk−tq, −left, right) + left.
+    """
+    t = q.shape[-2]
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    rel = jnp.arange(t)[None, :] - jnp.arange(t)[:, None]          # tk - tq
+    bucket = jnp.clip(rel, -left_max, right_max) + left_max        # [T_q, T_k]
+    e = jnp.take(dist_emb, bucket, axis=0)                         # [T_q, T_k, D]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + jnp.einsum("bhqd,qkd->bhqk", q, e,
+                                 preferred_element_type=jnp.float32)
+    w = jax.nn.softmax((logits * scale).astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+
+
 def mha(x: jax.Array, wq, wk, wv, wo, n_heads: int,
         rope_fn=None, causal: bool = True, window: Optional[int] = None,
         n_valid: Optional[jax.Array] = None,

@@ -1,0 +1,337 @@
+"""XCodec2 parity: decode vs the shared Vocos/RoFormer torch mirror, encode
+vs HF Wav2Vec2BertEncoderLayer (conformer oracle) + torch mirrors of the
+BigCodec acoustic encoder, SemanticEncoder, and FSQ."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from codec_tpu.dsp.audio import mel_filter_bank, w2v_bert_features
+from codec_tpu.io.gguf import GGUFWriter
+
+from test_neucodec_parity import TorchNeu, V, HOP as NEU_HOP, N_FFT as NEU_N_FFT
+
+# ---- tiny encoder dims ----
+HID = 32                 # w2v hidden == acoustic output channels
+NH, HD_ = 2, 16
+NL_W2V = 2
+LEFT, RIGHT = 4, 2
+DWK = 7
+N_MELS, STRIDE = 8, 2
+INPUT_DIM = N_MELS * STRIDE
+MEL_NFFT, MEL_WIN, MEL_HOP = 64, 64, 160
+NGF = 2
+UP_RATIOS = (2, 2, 4, 4, 5)
+HOP = 320
+CB_DIM = 8
+CB_SIZE = 4 ** CB_DIM
+VQD = 2 * HID            # concat(sem, ac)
+N_PCM = 3200
+
+
+def _kaiser12():
+    # symmetric 12-tap windowed-sinc lowpass (alias_free_torch style)
+    n = np.arange(12) - 5.5
+    k = np.kaiser(12, 9.0) * np.sinc(0.5 * n) * 0.5
+    assert np.allclose(k, k[::-1])
+    return torch.tensor(k, dtype=torch.float32)
+
+
+def up2(x, filt):
+    c = x.shape[1]
+    x = F.pad(x, (5, 5), mode="replicate")
+    w = filt.view(1, 1, 12).expand(c, 1, 12)
+    x = 2.0 * F.conv_transpose1d(x, w, stride=2, groups=c)
+    return x[..., 15:-15]
+
+
+def down2(x, filt):
+    c = x.shape[1]
+    x = F.pad(x, (5, 6), mode="replicate")
+    w = filt.view(1, 1, 12).expand(c, 1, 12)
+    return F.conv1d(x, w, stride=2, groups=c)
+
+
+def snake_b(x, alpha, inv_beta):
+    a = alpha.clamp(min=1e-9).view(1, -1, 1)
+    return x + torch.sin(a * x) ** 2 * inv_beta.view(1, -1, 1)
+
+
+def act1d(x, alpha, inv_beta, filt):
+    return down2(snake_b(up2(x, filt), alpha, inv_beta), filt)
+
+
+class TorchX2Enc:
+    """Encoder mirror. Conformer layers are genuine HF modules."""
+
+    def __init__(self, seed=0):
+        torch.manual_seed(seed)
+        self.t = {}
+        self.filt = _kaiser12()
+        self.t["xcodec2.enc.alias.filter"] = self.filt
+
+        def P(name, *shape, s=0.25, off=0.0):
+            v = torch.randn(*shape) * s + off
+            self.t[name] = v
+            return v
+
+        # BigCodec acoustic
+        P("xcodec2.enc.codec.conv0.w", NGF, 1, 7)
+        P("xcodec2.enc.codec.conv0.b", NGF)
+        ch = NGF
+        for bi in range(1, 6):
+            for ri in range(3):
+                pre = f"xcodec2.enc.codec.b{bi}.r{ri}"
+                P(pre + ".act1.alpha", ch, s=0.2, off=1.0)
+                P(pre + ".act1.inv_beta", ch, s=0.1, off=1.0)
+                P(pre + ".conv1.w", ch, ch, 7, s=0.15)
+                P(pre + ".conv1.b", ch)
+                P(pre + ".act2.alpha", ch, s=0.2, off=1.0)
+                P(pre + ".act2.inv_beta", ch, s=0.1, off=1.0)
+                P(pre + ".conv2.w", ch, ch, 1)
+                P(pre + ".conv2.b", ch)
+            pre = f"xcodec2.enc.codec.b{bi}"
+            P(pre + ".act.alpha", ch, s=0.2, off=1.0)
+            P(pre + ".act.inv_beta", ch, s=0.1, off=1.0)
+            s = UP_RATIOS[bi - 1]
+            P(pre + ".down.w", 2 * ch, ch, 2 * s, s=0.15)
+            P(pre + ".down.b", 2 * ch)
+            ch *= 2
+        P("xcodec2.enc.codec.final.act.alpha", ch, s=0.2, off=1.0)
+        P("xcodec2.enc.codec.final.act.inv_beta", ch, s=0.1, off=1.0)
+        P("xcodec2.enc.codec.final.conv.w", HID, ch, 3, s=0.15)
+        P("xcodec2.enc.codec.final.conv.b", HID)
+
+        # w2v feature projection
+        P("xcodec2.w2v.feat_ln.w", INPUT_DIM, s=0.1, off=1.0)
+        P("xcodec2.w2v.feat_ln.b", INPUT_DIM)
+        P("xcodec2.w2v.feat_proj.w", HID, INPUT_DIM)
+        P("xcodec2.w2v.feat_proj.b", HID)
+
+        # HF conformer layers
+        from transformers.models.wav2vec2_bert.modeling_wav2vec2_bert import (
+            Wav2Vec2BertEncoderLayer)
+        from transformers import Wav2Vec2BertConfig
+
+        hf_cfg = Wav2Vec2BertConfig(
+            hidden_size=HID, num_attention_heads=NH, intermediate_size=64,
+            conv_depthwise_kernel_size=DWK, position_embeddings_type="relative_key",
+            left_max_position_embeddings=LEFT, right_max_position_embeddings=RIGHT,
+            attention_dropout=0.0, hidden_dropout=0.0, conformer_conv_dropout=0.0)
+        self.hf_layers = torch.nn.ModuleList(
+            [Wav2Vec2BertEncoderLayer(hf_cfg) for _ in range(NL_W2V)]).eval()
+        hf_map = {
+            "ffn1_ln": "ffn1_layer_norm", "ffn1.fc1": "ffn1.intermediate_dense",
+            "ffn1.fc2": "ffn1.output_dense", "attn_ln": "self_attn_layer_norm",
+            "attn.q": "self_attn.linear_q", "attn.k": "self_attn.linear_k",
+            "attn.v": "self_attn.linear_v", "attn.o": "self_attn.linear_out",
+            "conv.ln": "conv_module.layer_norm",
+            "conv.dw_ln": "conv_module.depthwise_layer_norm",
+            "ffn2_ln": "ffn2_layer_norm", "ffn2.fc1": "ffn2.intermediate_dense",
+            "ffn2.fc2": "ffn2.output_dense", "final_ln": "final_layer_norm",
+        }
+        for li, layer in enumerate(self.hf_layers):
+            sd = dict(layer.named_parameters())
+            o = f"xcodec2.w2v.l{li}"
+            for mine, hf in hf_map.items():
+                self.t[f"{o}.{mine}.w"] = sd[hf + ".weight"]
+                self.t[f"{o}.{mine}.b"] = sd[hf + ".bias"]
+            self.t[f"{o}.attn.dist.w"] = sd["self_attn.distance_embedding.weight"]
+            self.t[f"{o}.conv.pw1.w"] = sd["conv_module.pointwise_conv1.weight"]
+            self.t[f"{o}.conv.dw.w"] = sd["conv_module.depthwise_conv.weight"]
+            self.t[f"{o}.conv.pw2.w"] = sd["conv_module.pointwise_conv2.weight"]
+
+        # SemanticEncoder + prior/FSQ
+        P("xcodec2.sem.initial.w", HID, HID, 3, s=0.15)
+        P("xcodec2.sem.r1.w", HID, HID, 3, s=0.15)
+        P("xcodec2.sem.r1.b", HID)
+        P("xcodec2.sem.r3.w", HID, HID, 3, s=0.15)
+        P("xcodec2.sem.r3.b", HID)
+        P("xcodec2.sem.final.w", HID, HID, 3, s=0.15)
+        P("xcodec2.enc.fc_prior.w", VQD, VQD, s=0.15)
+        P("xcodec2.enc.fc_prior.b", VQD)
+        P("xcodec2.enc.quant.project_in.w", CB_DIM, VQD)
+        P("xcodec2.enc.quant.project_in.b", CB_DIM)
+
+        # mel tables
+        self.mel_filters = mel_filter_bank(
+            MEL_NFFT // 2 + 1, N_MELS, min_frequency=20.0, max_frequency=8000.0,
+            sampling_rate=16000, norm=None, mel_scale="kaldi",
+            triangularize_in_mel_space=True)
+        self.t["xcodec2.enc.mel.filters"] = torch.tensor(
+            self.mel_filters, dtype=torch.float32)
+        self.mel_window = np.power(np.hanning(MEL_WIN), 0.85)
+        self.t["xcodec2.enc.mel.window"] = torch.tensor(
+            self.mel_window, dtype=torch.float32)
+
+    def acoustic(self, pcm):
+        t = self.t
+        x = F.conv1d(pcm.view(1, 1, -1), t["xcodec2.enc.codec.conv0.w"],
+                     t["xcodec2.enc.codec.conv0.b"], padding=3)
+        for bi in range(1, 6):
+            for ri, d in zip(range(3), (1, 3, 9)):
+                pre = f"xcodec2.enc.codec.b{bi}.r{ri}"
+                h = act1d(x, t[pre + ".act1.alpha"], t[pre + ".act1.inv_beta"],
+                          self.filt)
+                h = F.conv1d(h, t[pre + ".conv1.w"], t[pre + ".conv1.b"],
+                             dilation=d, padding=3 * d)
+                h = act1d(h, t[pre + ".act2.alpha"], t[pre + ".act2.inv_beta"],
+                          self.filt)
+                h = F.conv1d(h, t[pre + ".conv2.w"], t[pre + ".conv2.b"])
+                x = x + h
+            pre = f"xcodec2.enc.codec.b{bi}"
+            x = act1d(x, t[pre + ".act.alpha"], t[pre + ".act.inv_beta"], self.filt)
+            s = UP_RATIOS[bi - 1]
+            x = F.conv1d(x, t[pre + ".down.w"], t[pre + ".down.b"], stride=s,
+                         padding=s // 2 + s % 2)
+        x = act1d(x, t["xcodec2.enc.codec.final.act.alpha"],
+                  t["xcodec2.enc.codec.final.act.inv_beta"], self.filt)
+        x = F.conv1d(x, t["xcodec2.enc.codec.final.conv.w"],
+                     t["xcodec2.enc.codec.final.conv.b"], padding=1)
+        return x.transpose(1, 2)                        # [1, T_ac, HID]
+
+    def semantic(self, mel):
+        t = self.t
+        h = F.layer_norm(mel, (INPUT_DIM,), t["xcodec2.w2v.feat_ln.w"],
+                         t["xcodec2.w2v.feat_ln.b"], eps=1e-5)
+        h = h @ t["xcodec2.w2v.feat_proj.w"].T + t["xcodec2.w2v.feat_proj.b"]
+        for layer in self.hf_layers:
+            h = layer(h)[0]
+        h = h.transpose(1, 2)
+        h = F.relu(F.conv1d(h, t["xcodec2.sem.initial.w"], padding=1))
+        res = h
+        h = F.relu(F.conv1d(h, t["xcodec2.sem.r1.w"], t["xcodec2.sem.r1.b"],
+                            padding=1))
+        h = F.conv1d(h, t["xcodec2.sem.r3.w"], t["xcodec2.sem.r3.b"], padding=1)
+        h = h + res
+        h = F.conv1d(h, t["xcodec2.sem.final.w"], padding=1)
+        return h.transpose(1, 2)                         # [1, T_sem, HID]
+
+    def encode(self, pcm_np, mel_np):
+        t = self.t
+        with torch.no_grad():
+            ac = self.acoustic(torch.from_numpy(pcm_np).float())
+            sem = self.semantic(torch.from_numpy(mel_np).float()[None])
+            n = min(ac.shape[1], sem.shape[1])
+            h = torch.cat([sem[:, :n], ac[:, :n]], dim=-1)
+            h = h @ t["xcodec2.enc.fc_prior.w"].T + t["xcodec2.enc.fc_prior.b"]
+            z = h @ t["xcodec2.enc.quant.project_in.w"].T + \
+                t["xcodec2.enc.quant.project_in.b"]
+            eps = 1e-3
+            half_l = 3.0 * (1 + eps) / 2.0
+            shift = math.atanh(0.5 / half_l)
+            bound = lambda x: half_l * torch.tanh(x + shift) - 0.5
+            zq = torch.round(bound(bound(z)))
+            basis = torch.tensor([4.0 ** i for i in range(CB_DIM)])
+            idx = ((zq + 2.0) * basis).sum(-1)
+        return idx.numpy().astype(np.int64)[0], z[0].numpy()
+
+
+def _write_kvs(w, has_encoder, has_decoder, hop):
+    w.add_uint32("codec.sample_rate", 16000)
+    w.add_uint32("codec.hop_size", hop)
+    w.add_uint32("codec.n_fft", NEU_N_FFT)
+    w.add_uint32("codec.n_q", 1)
+    w.add_uint32("codec.codebook_size", CB_SIZE)
+    w.add_uint32("codec.codebook_dim", CB_DIM)
+    w.add_bool("codec.has_encoder", has_encoder)
+    w.add_bool("codec.has_decoder", has_decoder)
+    w.add_uint32("xcodec2.vq_dim", 24)
+    w.add_uint32("xcodec2.hidden_dim", 32)
+    w.add_uint32("xcodec2.num_layers", 2)
+    w.add_uint32("xcodec2.num_heads", 2)
+    w.add_uint32("xcodec2.head_dim", 16)
+    w.add_uint32("xcodec2.w2v.layers", NL_W2V)
+    w.add_uint32("xcodec2.w2v.hidden", HID)
+    w.add_uint32("xcodec2.w2v.heads", NH)
+    w.add_uint32("xcodec2.w2v.head_dim", HD_)
+    w.add_uint32("xcodec2.w2v.left_max_pos", LEFT)
+    w.add_uint32("xcodec2.w2v.right_max_pos", RIGHT)
+    w.add_uint32("xcodec2.w2v.dw_kernel", DWK)
+    w.add_uint32("xcodec2.w2v.input_dim", INPUT_DIM)
+    w.add_uint32("codec.mel.n_fft", MEL_NFFT)
+    w.add_uint32("codec.mel.win_length", MEL_WIN)
+    w.add_uint32("codec.mel.hop_length", MEL_HOP)
+    w.add_uint32("codec.mel.n_mels", N_MELS)
+    w.add_uint32("codec.mel.stride", STRIDE)
+
+
+@pytest.fixture(scope="module")
+def tiny_x2(tmp_path_factory):
+    """Encoder-only fixture (decode hop 320 is incompatible with the tiny
+    decode mirror's n_fft; decode gets its own fixture below)."""
+    enc = TorchX2Enc()
+    path = tmp_path_factory.mktemp("x2") / "x2_enc.gguf"
+    w = GGUFWriter(path, "xcodec2")
+    _write_kvs(w, has_encoder=True, has_decoder=False, hop=HOP)
+    for name, tensor in enc.t.items():
+        w.add_tensor(name, tensor.detach().numpy())
+    w.write()
+
+    import codec_tpu
+
+    return enc, codec_tpu.load_model(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_x2_dec(tmp_path_factory):
+    dec = TorchNeu()                   # shared Vocos mirror, keys renamed
+    path = tmp_path_factory.mktemp("x2") / "x2_dec.gguf"
+    w = GGUFWriter(path, "xcodec2")
+    _write_kvs(w, has_encoder=False, has_decoder=True, hop=NEU_HOP)
+    for name, tensor in dec.t.items():
+        w.add_tensor(name.replace("neucodec.", "xcodec2."),
+                     tensor.detach().numpy())
+    w.write()
+
+    import codec_tpu
+
+    return dec, codec_tpu.load_model(path)
+
+
+def test_config(tiny_x2):
+    _, ours = tiny_x2
+    assert ours.arch == "xcodec2"
+    assert ours.has_encoder and not ours.has_decoder
+    assert ours.codebook_size == CB_SIZE
+    assert ours.hop_size == HOP
+
+
+def test_encode_parity(tiny_x2):
+    enc, ours = tiny_x2
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(N_PCM) * 0.2).astype(np.float32)
+
+    mel = w2v_bert_features(pcm, n_mels=N_MELS, n_fft=MEL_NFFT, win=MEL_WIN,
+                            hop=MEL_HOP, sr=16000, stride=STRIDE,
+                            mel_filters=enc.mel_filters,
+                            window=enc.mel_window)
+    want, z_ref = enc.encode(pcm, mel)
+
+    got = ours.encode(pcm)
+    assert got.shape == (len(want), 1)
+    # codes are mixed-radix over 8 two-bit digits; compare digit-wise so one
+    # near-boundary rounding can't fail the whole frame
+    gd = (got[:, 0][:, None] // (4 ** np.arange(CB_DIM))) % 4
+    wd = (want[:, None] // (4 ** np.arange(CB_DIM))) % 4
+    match = (gd == wd).mean()
+    assert match == 1.0, f"digit match {match}: \n{gd}\n{wd}\nz={z_ref}"
+
+
+def test_decode_parity(tiny_x2_dec):
+    dec, ours = tiny_x2_dec
+    from codec_tpu.models.neucodec import neu_decode_head_fn
+
+    rng = np.random.default_rng(1)
+    t = 7
+    codes = rng.integers(0, V, (1, t, 1))
+    with torch.no_grad():
+        head = dec.decode_head(torch.from_numpy(codes[..., 0]))
+    got_head = np.asarray(neu_decode_head_fn(ours.params, codes, ours.cfg))
+    np.testing.assert_allclose(got_head[0], head[0].numpy(), atol=2e-4)
+    # full decode runs end-to-end (iSTFT n_fft from head dim, hop from KV)
+    pcm = ours.decode(codes[0].astype(np.int32))
+    assert pcm.shape == (t * NEU_HOP,)
