@@ -64,11 +64,15 @@ def _load(args):
 
 
 def _read_pcm(model, path):
+    """Encode-side input: validate against encode_sample_rate where it
+    differs from the output rate (e.g. Chatterbox-S3T: 16 kHz in, 24 kHz
+    token-rate context; reference keeps both on codec_model)."""
     from ..io.wav import read_wav, to_mono
 
     x, sr = read_wav(path)
-    if sr != model.sample_rate:
-        raise SystemExit(f"input sample rate {sr} != model {model.sample_rate}")
+    want = getattr(model, "encode_sample_rate", 0) or model.sample_rate
+    if sr != want:
+        raise SystemExit(f"input sample rate {sr} != model {want}")
     return to_mono(x)
 
 

@@ -189,16 +189,26 @@ def whisper_mel_padded(pcm: np.ndarray, sr: int, n_fft: int, hop: int,
 
 def whisper_log_mel(pcm: np.ndarray, n_mels: int = 80, n_fft: int = 400,
                     hop: int = 160, sr: int = 16000,
-                    mel_filters: Optional[np.ndarray] = None) -> np.ndarray:
+                    mel_filters: Optional[np.ndarray] = None,
+                    window: Optional[np.ndarray] = None) -> np.ndarray:
     """WhisperFeatureExtractor parity (reference: audio_dsp.h:190-199):
     reflect-pad centered STFT (periodic Hann), |X|^2, Slaney mel, log10
-    clipped at max-8, (x+4)/4. → [n_mels, n_frames]."""
+    clipped at max-8, (x+4)/4. → [n_mels, n_frames].
+
+    `window` overrides the periodic-Hann default (Chatterbox S3Tokenizer
+    bakes its own; shorter-than-n_fft windows are zero-extended, matching
+    chatterbox_s3t.cpp's win_length handling)."""
     pcm = np.asarray(pcm, np.float64).reshape(-1)
     if mel_filters is None:
         mel_filters = mel_filter_bank(
             n_fft // 2 + 1, n_mels, min_frequency=0.0, max_frequency=sr / 2.0,
             sampling_rate=sr, norm="slaney", mel_scale="slaney")  # [n_freq, n_mels]
-    window = hann_periodic(n_fft).astype(np.float64)
+    if window is None:
+        window = hann_periodic(n_fft).astype(np.float64)
+    else:
+        window = np.asarray(window, np.float64).reshape(-1)
+        if window.shape[0] < n_fft:
+            window = np.pad(window, (0, n_fft - window.shape[0]))
     pad = n_fft // 2
     x = np.pad(pcm, (pad, pad), mode="reflect")
     n_frames = 1 + (x.shape[0] - n_fft) // hop

@@ -114,3 +114,15 @@ def _distill_neucodec():
 def _xcodec2():
     from .xcodec2 import XCodec2
     return XCodec2
+
+
+@register("chatterbox_s3t", "chatterbox-s3t", "s3t")
+def _s3t():
+    from .chatterbox_s3t import ChatterboxS3T
+    return ChatterboxS3T
+
+
+@register("chatterbox_s3g", "chatterbox-s3g", "s3g")
+def _s3g():
+    from .chatterbox_s3g import ChatterboxS3G
+    return ChatterboxS3G

@@ -84,6 +84,45 @@ def sdpa_rel_key(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
 
 
+def espnet_rel_pos_emb(t: int, d_model: int) -> jax.Array:
+    """ESPnet RelPositionalEncoding table [2t-1, d] for positions
+    [t-1, ..., 0, ..., -(t-1)], interleaved sin/cos (reference:
+    codec_op_espnet_rel_pos_emb, src/ops/ggml_ops.cpp:684)."""
+    half = d_model // 2
+    pos = (t - 1) - jnp.arange(2 * t - 1, dtype=jnp.float32)       # [2t-1]
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                    * (-2.0 * jnp.log(10000.0) / d_model))
+    ang = pos[:, None] * freqs[None, :]                            # [2t-1, half]
+    return jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(2 * t - 1,
+                                                                    d_model)
+
+
+def sdpa_rel_pos(q: jax.Array, k: jax.Array, v: jax.Array, p: jax.Array,
+                 pos_bias_u: jax.Array, pos_bias_v: jax.Array,
+                 scale: Optional[float] = None) -> jax.Array:
+    """ESPnet RelPositionMultiHeadedAttention (Transformer-XL style;
+    reference: codec_op_lm_attn_rel_pos_dth, src/ops/lm_attn.cpp:166).
+
+    q,k,v: [B, H, T, D]; p: [B, H, 2T-1, D] (projected rel-pos embeddings,
+    row r ↔ relative position (T-1)-r); pos_bias_u/v: [H, D].
+    scores = ((q+u)·kᵀ + rel_shift((q+v)·pᵀ)) · scale.
+    """
+    t = q.shape[-2]
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    q_u = q + pos_bias_u[None, :, None, :]
+    q_v = q + pos_bias_v[None, :, None, :]
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("bhqd,bhrd->bhqr", q_v, p,
+                    preferred_element_type=jnp.float32)            # [B,H,T,2T-1]
+    # rel-shift: bd_shifted[q, k] = bd[q, (t-1) - (k - q)]
+    idx = (t - 1) - (jnp.arange(t)[None, :] - jnp.arange(t)[:, None])
+    bd = jnp.take_along_axis(bd, idx[None, None], axis=-1)
+    w = jax.nn.softmax(((ac + bd) * scale).astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+
+
 def mha(x: jax.Array, wq, wk, wv, wo, n_heads: int,
         rope_fn=None, causal: bool = True, window: Optional[int] = None,
         n_valid: Optional[jax.Array] = None,
