@@ -166,7 +166,9 @@ class LmState:
 
     @property
     def step_pending(self) -> bool:
-        return self._phase != "idle"
+        """True while codebooks remain in the current frame (reference:
+        codec_lm_step_pending, lm.cpp:592 — false once all are pushed)."""
+        return self._phase in ("begun", "await_push")
 
     def step_logits(self) -> Tuple[np.ndarray, int]:
         """→ (logits[codebook_sizes[k]], cb_idx)."""

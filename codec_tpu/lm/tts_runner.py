@@ -10,8 +10,8 @@ caller-supplied sampler, and drives the codec_lm step machine.
 Flows implemented (reference dispatch: tts_runner_synthesize,
 tts_runner.cpp:1043):
   - run_codebook_ar  (CSM / Qwen3-TTS / MOSS-TTSD — Type C/D)
-More flows (continuous, realtime-streaming, chatterbox CFG) arrive with
-their codec_lm kinds.
+  - run_continuous   (BlueMagpie continuous-latent CFM)
+  - run_chatterbox   (T3 dual-lane CFG loop, tts_runner.cpp:876)
 """
 
 from __future__ import annotations
@@ -83,6 +83,129 @@ def run_continuous(
     if decode and audio_lm.codec is not None and len(latents):
         pcm = audio_lm.codec.decode_latent(latents)
     return SynthesisResult(codes=latents, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
+
+
+class T3Sampler:
+    """T3-faithful chain: repetition penalty (full history, seeded with the
+    BOS speech token) → temperature → min_p → top_p → categorical
+    (reference: SamplerChain in tts_runner.cpp:965-975)."""
+
+    def __init__(self, seed: int = 0xC0DEC1AB, temperature: float = 0.8,
+                 top_p: float = 1.0, min_p: float = 0.05,
+                 repetition_penalty: float = 1.2,
+                 seed_token: Optional[int] = None):
+        self.rng = np.random.default_rng(seed)
+        self.temperature = temperature
+        self.top_p = top_p
+        self.min_p = min_p
+        self.rep_pen = repetition_penalty
+        self.history: List[int] = [] if seed_token is None else [seed_token]
+
+    def __call__(self, logits: np.ndarray) -> int:
+        logits = np.asarray(logits, np.float64).copy()
+        if self.temperature <= 0.0:
+            code = int(np.argmax(logits))
+            self.history.append(code)
+            return code
+        if self.rep_pen != 1.0 and self.history:
+            seen = np.unique(self.history)
+            pos = logits[seen] > 0
+            logits[seen[pos]] /= self.rep_pen
+            logits[seen[~pos]] *= self.rep_pen
+        logits /= self.temperature
+        probs = np.exp(logits - logits.max())
+        probs /= probs.sum()
+        if self.min_p > 0.0:
+            probs[probs < self.min_p * probs.max()] = 0.0
+        if self.top_p < 1.0:
+            order = np.argsort(probs)[::-1]
+            csum = np.cumsum(probs[order])
+            cut = np.searchsorted(csum, self.top_p) + 1
+            mask = np.zeros_like(probs)
+            mask[order[:cut]] = 1.0
+            probs *= mask
+        probs /= probs.sum()
+        code = int(self.rng.choice(len(probs), p=probs))
+        self.history.append(code)
+        return code
+
+
+def run_chatterbox(
+    audio_lm: AudioLM,
+    t3,
+    backbones: Sequence[Backbone],
+    text: str,
+    max_frames: int = 1024,
+    cfg_weight: float = 0.5,
+    sampler: Optional[Callable[[np.ndarray], int]] = None,
+    speaker_emb=None,
+    ref_speech_tokens=None,
+    ref_pcm=None,
+    emotion: Optional[float] = None,
+    decode: bool = True,
+) -> SynthesisResult:
+    """Chatterbox T3 flow (reference: run_chatterbox, tts_runner.cpp:876).
+
+    `t3` is a ChatterboxT3; `backbones` holds one Backbone per CFG lane
+    (the reference multiplexes lanes through llama seq-ids; here each lane
+    owns a backbone instance with its own KV state). Per step: speech-head
+    logits per lane via the codec_lm step machine → CFG combine
+    cond + w·(cond − uncond) → sample → stop on stop_speech_token →
+    compose next speech embedding fed to every lane.
+    """
+    text_ids = t3.tokenize(text)
+    prompt = t3.build_prompt(text_ids, cfg_weight=cfg_weight,
+                             speaker_emb=speaker_emb,
+                             ref_speech_tokens=ref_speech_tokens,
+                             ref_pcm=ref_pcm, emotion=emotion)
+    n_seq = prompt.shape[0]
+    if len(backbones) < n_seq:
+        raise ValueError(f"chatterbox needs {n_seq} backbone lanes "
+                         f"(cfg_weight={cfg_weight})")
+    if sampler is None:
+        sampler = T3Sampler(seed_token=t3.info.start_speech_token)
+
+    hiddens = []
+    for s in range(n_seq):
+        h = None
+        for row in prompt[s]:
+            h = backbones[s].step(row)
+        hiddens.append(h)
+
+    def speech_logits(h):
+        st = audio_lm.state
+        st.step_begin(np.asarray(h, np.float32))
+        logits, _ = st.step_logits()
+        st.step_push_code(0)
+        st.step_finish()
+        return logits
+
+    audio_lm.reset()
+    codes: List[int] = []
+    stopped = False
+    steps = 0
+    for step in range(max_frames):
+        cond = speech_logits(hiddens[0])
+        logits = cond
+        if n_seq == 2:
+            uncond = speech_logits(hiddens[1])
+            logits = cond + cfg_weight * (cond - uncond)
+        code = sampler(np.asarray(logits))
+        steps += 1
+        if code == t3.info.stop_speech_token:
+            stopped = True
+            break
+        if code < t3.info.start_speech_token:
+            codes.append(code)
+        nb = t3.compose_speech_embd(code, step + 1)
+        hiddens = [backbones[s].step(nb) for s in range(n_seq)]
+
+    codes_arr = np.asarray(codes, np.int32).reshape(-1, 1)
+    pcm = None
+    if decode and audio_lm.codec is not None and len(codes_arr):
+        pcm = audio_lm.codec.decode(codes_arr)
+    return SynthesisResult(codes=codes_arr, pcm=pcm, n_steps=steps,
                            stopped_by_eos=stopped)
 
 
