@@ -7,9 +7,13 @@ transformer blocks (RMSNorm eps1e-6, fused QKV no-bias, RoPE-NORMAL,
 non-causal SDPA, SiLU MLP) → 2 post resnet blocks → final LN → iSTFT head
 (optional baked window) → 24 kHz PCM.
 
-The BigCodec/HuBERT encode branch (and the distill local-attention encoder)
-is round-2 work; decode-only matches the reference e2e config for neucodec
-(decode-only thresholds, tests/e2e/config.json).
+Encode (distill_neucodec only — matching the reference, which returns
+NOT_SUPPORTED for the base encoder_type): distill acoustic encoder
+(multi-scale abs/max/avg-pool first block → ConvNeXt-ish base units with
+snake+GRN → stride-4 downsamples → block-causal local-attention
+transformers with dynamic position bias → stride-5 down) ‖ HuBERT semantic
+stack (conv feature extractor, pos-conv, post-LN transformer) → semantic
+conv encoder → concat → fc_prior → FSQ (levels [4]^8) → codes.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..ops import act, conv, norms, rope
+from ..ops.attn import sdpa
 from ..ops.istft import istft_from_head
 from ..runtime.model import CodecModel, CodecError
 
@@ -155,20 +160,394 @@ class NeuCodec(CodecModel):
     arch = "neucodec"
     causal_time = False
 
+    encoder_type = 0
+
     def _load(self, reader: GGUFReader) -> None:
         self.cfg = NeuConfig.from_gguf(reader)
-        self.params = load_neu_params(reader, self.cfg, dtype=self.compute_dtype)
         self.sample_rate = self.cfg.sample_rate
         self.hop_size = self.cfg.hop_size
         self.n_q = self.cfg.n_q
         self.codebook_size = self.cfg.codebook_size
         self.latent_dim = self.cfg.vq_dim
-        self.has_encoder = False        # BigCodec/HuBERT encode branch: round 2
         self.has_decoder = reader.get_bool("codec.has_decoder", True)
+        if self.has_decoder:
+            self.params = load_neu_params(reader, self.cfg,
+                                          dtype=self.compute_dtype)
+        et = reader.get_str("neucodec.encoder_type", "")
+        if et:
+            self.encoder_type = 1 if et == "distill" else 0
+        # reference: encode is implemented only for the distill encoder
+        self.has_encoder = (reader.get_bool("codec.has_encoder", False)
+                            and self.encoder_type == 1)
+        if self.has_encoder:
+            self.enc_cfg = NeuEncConfig.from_gguf(reader)
+            self.enc_params = load_neu_encode_params(reader, self.enc_cfg,
+                                                     dtype=self.compute_dtype)
 
     def _decode_impl(self, codes, n_q):
         return neu_decode_fn(self.params, codes, self.cfg)
 
+    def encode(self, pcm, n_q: int = 0):
+        """Distill encode (reference: codec_neu_encode_graph — pcm padded
+        UP to the next 320 multiple, semantic input gets an extra 160-sample
+        zero lead/tail)."""
+        if not self.has_encoder:
+            raise CodecError(f"{self.arch}: model has no encoder"
+                             if self.encoder_type == 1 else
+                             "NeuCodec encoder_type not supported "
+                             "(only distill implemented)")
+        if n_q not in (0, 1):
+            raise CodecError("NeuCodec encode n_q must be 0 or 1")
+        pcm = np.asarray(pcm, np.float32)
+        squeeze = pcm.ndim == 1
+        if squeeze:
+            pcm = pcm[None]
+        outs = []
+        for row in pcm:
+            n_in = len(row)
+            pad = 320 - (n_in % 320)          # reference pads even when aligned
+            row_pad = np.pad(row, (0, pad))
+            sem = np.pad(row_pad, (160, 160))
+            fn = self._jitted(
+                ("enc", len(row_pad)),
+                lambda: lambda x, s: neu_encode_fn(
+                    self.enc_params, x, s, self.enc_cfg,
+                    self.cfg.codebook_dim))
+            codes = np.asarray(jax.block_until_ready(
+                fn(jnp.asarray(row_pad)[None], jnp.asarray(sem)[None])))
+            outs.append(np.clip(codes[0], 0, self.codebook_size - 1))
+        return outs[0] if squeeze else np.stack(outs)
+
 
 class DistillNeuCodec(NeuCodec):
     arch = "distill_neucodec"
+    encoder_type = 1
+
+
+# =====================================================================
+# Distill encoder (reference: codec_neu_build_encode, neucodec.cpp:956 —
+# the reference supports encode only for encoder_type == "distill")
+# =====================================================================
+
+POOL_KERNELS = (1, 5, 11, 21, 45)
+HUBERT_DEFAULT_DIM = (512, 512, 512, 512, 512, 512, 512)
+HUBERT_DEFAULT_KERNEL = (10, 3, 3, 3, 3, 2, 2)
+HUBERT_DEFAULT_STRIDE = (5, 2, 2, 2, 2, 2, 2)
+
+
+@dataclass(frozen=True)
+class NeuEncConfig:
+    hubert_hidden: int = 768
+    hubert_heads: int = 12
+    hubert_intermediate: int = 3072
+    hubert_layers: int = 12
+    hubert_pos_k: int = 128
+    hubert_pos_groups: int = 16
+    hubert_ln_eps: float = 1e-5
+    hubert_conv_dim: tuple = HUBERT_DEFAULT_DIM
+    hubert_conv_kernel: tuple = HUBERT_DEFAULT_KERNEL
+    hubert_conv_stride: tuple = HUBERT_DEFAULT_STRIDE
+    distill_heads: int = 6
+    down_window: int = 3000
+    local_window: int = 600
+
+    @classmethod
+    def from_gguf(cls, r: GGUFReader) -> "NeuEncConfig":
+        d = cls()
+        arr = lambda k, v: tuple(r.get_arr(f"neucodec.hubert.{k}") or v)
+        return cls(
+            hubert_hidden=r.get_i32("neucodec.hubert.hidden_size", d.hubert_hidden),
+            hubert_heads=r.get_i32("neucodec.hubert.num_heads", d.hubert_heads),
+            hubert_intermediate=r.get_i32("neucodec.hubert.intermediate_size",
+                                          d.hubert_intermediate),
+            hubert_layers=r.get_i32("neucodec.hubert.num_layers", d.hubert_layers),
+            hubert_pos_k=r.get_i32("neucodec.hubert.num_conv_pos_embeddings",
+                                   d.hubert_pos_k),
+            hubert_pos_groups=r.get_i32(
+                "neucodec.hubert.num_conv_pos_embedding_groups", d.hubert_pos_groups),
+            hubert_ln_eps=r.get_f32("neucodec.hubert.layer_norm_eps", d.hubert_ln_eps),
+            hubert_conv_dim=arr("conv_dim", d.hubert_conv_dim),
+            hubert_conv_kernel=arr("conv_kernel", d.hubert_conv_kernel),
+            hubert_conv_stride=arr("conv_stride", d.hubert_conv_stride),
+            distill_heads=r.get_i32("neucodec.distill.heads", d.distill_heads),
+            down_window=r.get_i32("neucodec.distill.down_window", d.down_window),
+            local_window=r.get_i32("neucodec.distill.local_window", d.local_window),
+        )
+
+
+def _pool1d_same(x, k: int, op: str):
+    """Stride-1 pool with zero pad k//2 (PyTorch MaxPool1d / AvgPool1d with
+    count_include_pad=True). x [B, T, C]; output length T - (1 - k % 2)."""
+    if k == 1:
+        return x
+    import jax.lax as lax
+
+    pad = k // 2
+    if op == "max":
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        return lax.reduce_window(xp, -jnp.inf, lax.max, (1, k, 1), (1, 1, 1),
+                                 "VALID")
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    s = lax.reduce_window(xp, 0.0, lax.add, (1, k, 1), (1, 1, 1), "VALID")
+    return s / k
+
+
+def _grn(x, gamma, beta):
+    """distill GRN (channels-last, T=1 reduction ⇒ x + γ·x + β;
+    reference codec_neu_grn_tc)."""
+    return x + gamma * x + beta
+
+
+def dynamic_pos_bias(p, max_dist: int) -> jax.Array:
+    """3-layer SiLU MLP over integer distances → [heads, max_dist]
+    (reference codec_neu_build_dynamic_pos_bias)."""
+    d = jnp.arange(max_dist, dtype=jnp.float32)[:, None]       # [D, 1]
+    h = jax.nn.silu(d * p["w0"][:, 0][None, :] + p["b0"])
+    h = jax.nn.silu(h @ p["w1"].T + p["b1"])
+    return (h @ p["w2"].T + p["b2"]).T                         # [heads, D]
+
+
+def local_attn_bias(bias_hd: jax.Array, t: int, window: int) -> jax.Array:
+    """Causal block-window mask + rel-pos bias → [heads, T_q, T_k]
+    (reference codec_local_attn_fill_mask: key allowed iff
+    q-(q%W+W) <= k <= q, W = window/2; bias index d = q-k)."""
+    heads, max_dist = bias_hd.shape
+    w_blk = max(1, max(2, window) // 2)
+    q = jnp.arange(t)[:, None]
+    k = jnp.arange(t)[None, :]
+    d = q - k
+    k_lo = q - (q % w_blk + w_blk)
+    ok = (k <= q) & (k >= k_lo)
+    bias = jnp.where(d < max_dist,
+                     bias_hd[:, jnp.clip(d, 0, max_dist - 1)], 0.0)
+    return jnp.where(ok[None], bias, -jnp.inf)
+
+
+def _load_dpb(r: GGUFReader, prefix: str, dtype):
+    g = lambda n: jnp.asarray(r.get(n)).astype(dtype)
+    return {"w0": g(prefix + ".mlp.0.weight"), "b0": g(prefix + ".mlp.0.bias"),
+            "w1": g(prefix + ".mlp.2.weight"), "b1": g(prefix + ".mlp.2.bias"),
+            "w2": g(prefix + ".mlp.4.weight"), "b2": g(prefix + ".mlp.4.bias")}
+
+
+def load_neu_encode_params(r: GGUFReader, cfg: "NeuEncConfig", dtype=jnp.float32):
+    from ..ops import conv as _c
+
+    g = lambda n: jnp.asarray(r.get(n)).astype(dtype)
+    gc = lambda n: _c.prepare_conv_weight(r.get(n)).astype(dtype)
+    gb = lambda n: g(n) if r.has_tensor(n) else None
+    enc = "neucodec.encode"
+    dc = enc + ".distill.codec_encoder"
+
+    def base_unit(prefix):
+        return {
+            "dw_w": gc(prefix + ".dw_conv.weight"), "dw_b": g(prefix + ".dw_conv.bias"),
+            "pw1_w": g(prefix + ".pw_conv1.weight"), "pw1_b": g(prefix + ".pw_conv1.bias"),
+            "alpha": g(prefix + ".act.alpha"),
+            "grn_g": g(prefix + ".grn.gamma").reshape(-1),
+            "grn_b": g(prefix + ".grn.beta").reshape(-1),
+            "pw2_w": g(prefix + ".pw_conv2.weight"), "pw2_b": g(prefix + ".pw_conv2.bias"),
+        }
+
+    def local_trans(prefix, depth):
+        layers = []
+        for li in range(depth):
+            lp = f"{prefix}.layers.{li}"
+            layers.append({
+                "ln_w": g(lp + ".0.norm.weight"), "ln_b": g(lp + ".0.norm.bias"),
+                "qkv_w": g(lp + ".0.to_qkv.weight"),
+                "out_w": g(lp + ".0.to_out.weight"),
+                "ff_ln_w": g(lp + ".1.0.weight"), "ff_ln_b": g(lp + ".1.0.bias"),
+                "ff_w1": g(lp + ".1.1.weight"), "ff_w2": g(lp + ".1.4.weight"),
+            })
+        return layers
+
+    p: Dict[str, Any] = {
+        "first_branches": [
+            {"w": gc(f"{dc}.encoder.blocks.0.blocks.{i}.1.weight"),
+             "b": g(f"{dc}.encoder.blocks.0.blocks.{i}.1.bias")}
+            for i in range(len(POOL_KERNELS))],
+        "first_conv1_w": gc(f"{dc}.encoder.blocks.0.conv_1.weight"),
+        "first_conv1_b": g(f"{dc}.encoder.blocks.0.conv_1.bias"),
+        "first_conv2_w": gc(f"{dc}.encoder.blocks.0.conv_2.weight"),
+        "first_conv2_b": g(f"{dc}.encoder.blocks.0.conv_2.bias"),
+        "units": [base_unit(f"{dc}.encoder.blocks.{b}.0.module")
+                  for b in (1, 3, 5, 7)],
+        "unit_7_1": base_unit(f"{dc}.encoder.blocks.7.1.module"),
+        "downs": [{"w": gc(f"{dc}.encoder.blocks.{b}.0.weight"),
+                   "b": g(f"{dc}.encoder.blocks.{b}.0.bias")} for b in (2, 4, 6)],
+        "final_w": gc(f"{dc}.encoder.blocks.8.weight"),
+        "final_b": g(f"{dc}.encoder.blocks.8.bias"),
+        "down_trans": local_trans(f"{dc}.en_encoder.down_trans.trans", 2),
+        "down_dpb": _load_dpb(r, f"{dc}.en_encoder.down_trans.trans.dynamic_pos_bias", dtype),
+        "down_layer_w": gc(f"{dc}.en_encoder.down_trans.down_layer.weight"),
+        "down_layer_b": g(f"{dc}.en_encoder.down_trans.down_layer.bias"),
+        "local_trans": local_trans(f"{dc}.en_encoder.local_trans", 3),
+        "local_dpb": _load_dpb(r, f"{dc}.en_encoder.local_trans.dynamic_pos_bias", dtype),
+        "fc_sq_w": g(enc + ".fc_sq_prior.w"), "fc_sq_b": g(enc + ".fc_sq_prior.b"),
+        "hubert_feat": [{"w": gc(f"{enc}.hubert.feat.conv.{li}.w")}
+                        for li in range(len(cfg.hubert_conv_stride))],
+        "hubert_gn_w": g(enc + ".hubert.feat.conv.0.gn.w"),
+        "hubert_gn_b": g(enc + ".hubert.feat.conv.0.gn.b"),
+        "hubert_proj_w": g(enc + ".hubert.feature_projection.w"),
+        "hubert_proj_b": g(enc + ".hubert.feature_projection.b"),
+        "hubert_pos_w": gc(enc + ".hubert.encoder.pos_conv.w"),
+        "hubert_pos_b": g(enc + ".hubert.encoder.pos_conv.b"),
+        "hubert_enc_ln_w": g(enc + ".hubert.encoder.layer_norm.w"),
+        "hubert_enc_ln_b": g(enc + ".hubert.encoder.layer_norm.b"),
+        "sem_init_w": gc(enc + ".semantic_encoder.initial_conv.w"),
+        "sem_r1_w": gc(enc + ".semantic_encoder.residual.1.w"),
+        "sem_r1_b": g(enc + ".semantic_encoder.residual.1.b"),
+        "sem_r3_w": gc(enc + ".semantic_encoder.residual.3.w"),
+        "sem_r3_b": g(enc + ".semantic_encoder.residual.3.b"),
+        "sem_out_w": gc(enc + ".semantic_encoder.final_conv.w"),
+        "fc_prior_w": g(enc + ".fc_prior.w"), "fc_prior_b": g(enc + ".fc_prior.b"),
+        "proj_in_w": g(enc + ".quant.project_in.w"),
+        "proj_in_b": g(enc + ".quant.project_in.b"),
+    }
+    layers = []
+    for li in range(cfg.hubert_layers):
+        lp = f"{enc}.hubert.encoder.layers.{li}"
+        layers.append({k: g(f"{lp}.{n}") for k, n in (
+            ("q_w", "att.q.w"), ("q_b", "att.q.b"), ("k_w", "att.k.w"),
+            ("k_b", "att.k.b"), ("v_w", "att.v.w"), ("v_b", "att.v.b"),
+            ("o_w", "att.o.w"), ("o_b", "att.o.b"), ("ln_w", "ln.w"),
+            ("ln_b", "ln.b"), ("ff1_w", "ffn.fc1.w"), ("ff1_b", "ffn.fc1.b"),
+            ("ff2_w", "ffn.fc2.w"), ("ff2_b", "ffn.fc2.b"),
+            ("ffn_ln_w", "ffn_ln.w"), ("ffn_ln_b", "ffn_ln.b"))})
+    p["hubert_layers"] = layers
+    return p
+
+
+def _base_unit_fwd(x, u):
+    h = conv.conv1d(x, u["dw_w"], u["dw_b"], padding=3, groups=x.shape[-1])
+    h = h @ u["pw1_w"].T + u["pw1_b"]
+    h = act.snake(h, u["alpha"], eps=1.1920929e-7)
+    h = _grn(h, u["grn_g"], u["grn_b"])
+    h = h @ u["pw2_w"].T + u["pw2_b"]
+    return x + h
+
+
+def _local_trans_fwd(x, layers, bias_hd, window: int, heads: int):
+    """LocalTransformer stage: LocalMHA (qkv fused no-bias, block-causal
+    windowed attention with dynamic pos bias) + GEGLU FF."""
+    b, t, dim = x.shape
+    head_dim = dim // 4
+    inner = heads * head_dim
+    ff_inner = dim * 4 * 2 // 3
+    mask = local_attn_bias(bias_hd, t, window)                 # [H, T, T]
+    for lw in layers:
+        h = norms.layer_norm(x, lw["ln_w"], lw["ln_b"], 1e-5)
+        qkv = h @ lw["qkv_w"].T
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, heads, head_dim).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (head_dim ** -0.5) + mask[None]
+        w = jax.nn.softmax(logits, axis=-1)
+        a = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+        a = a.transpose(0, 2, 1, 3).reshape(b, t, inner)
+        x = x + a @ lw["out_w"].T
+        f = norms.layer_norm(x, lw["ff_ln_w"], lw["ff_ln_b"], 1e-5)
+        f = f @ lw["ff_w1"].T
+        f1, f2 = f[..., :ff_inner], f[..., ff_inner:]
+        f = f1 * act.gelu_erf(f2)
+        x = x + f @ lw["ff_w2"].T
+    return x
+
+
+def neu_distill_acoustic_fn(params, pcm, cfg: "NeuEncConfig"):
+    """pcm [B, n] (padded to a 320 multiple) → acoustic branch
+    [B, n/320, fc_sq_out]."""
+    x = pcm[..., None]
+    # first block: 5 parallel abs→max→avg→conv branches (kernels 1..45)
+    branches = []
+    for k, br in zip(POOL_KERNELS, params["first_branches"]):
+        h = _pool1d_same(jnp.abs(x), k, "max")
+        h = _pool1d_same(h, k, "avg")
+        branches.append(conv.conv1d(h, br["w"], br["b"], padding=3))
+    h = jnp.concatenate(branches, axis=-1)
+    h = conv.conv1d(h, params["first_conv1_w"], params["first_conv1_b"])
+    h = act.gelu_erf(h)
+    h = jnp.concatenate([h, x], axis=-1)
+    x = conv.conv1d(h, params["first_conv2_w"], params["first_conv2_b"])
+
+    for i in range(3):
+        x = _base_unit_fwd(x, params["units"][i])
+        x = conv.conv1d(x, params["downs"][i]["w"], params["downs"][i]["b"],
+                        stride=4)
+    x = _base_unit_fwd(x, params["units"][3])
+    x = _base_unit_fwd(x, params["unit_7_1"])
+    x = conv.conv1d(x, params["final_w"], params["final_b"], padding=1)
+
+    heads = cfg.distill_heads
+    down_bias = dynamic_pos_bias(params["down_dpb"], cfg.down_window)
+    x = _local_trans_fwd(x, params["down_trans"], down_bias,
+                         cfg.down_window, heads)
+    x = conv.conv1d(x, params["down_layer_w"], params["down_layer_b"], stride=5)
+    local_bias = dynamic_pos_bias(params["local_dpb"], cfg.local_window)
+    x = _local_trans_fwd(x, params["local_trans"], local_bias,
+                         cfg.local_window, heads)
+    return x @ params["fc_sq_w"].T + params["fc_sq_b"]
+
+
+def neu_hubert_fn(params, sem_pcm, cfg: "NeuEncConfig"):
+    """sem_pcm [B, n_sem] → HuBERT hidden states [B, T_sem, hidden]."""
+    h = sem_pcm[..., None]
+    for li, (lw, stride) in enumerate(zip(params["hubert_feat"],
+                                          cfg.hubert_conv_stride)):
+        h = conv.conv1d(h, lw["w"], stride=stride)
+        if li == 0:
+            h = norms.group_norm(h, params["hubert_gn_w"],
+                                 params["hubert_gn_b"],
+                                 cfg.hubert_conv_dim[0], cfg.hubert_ln_eps)
+        h = act.gelu_erf(h)
+    h = h @ params["hubert_proj_w"].T + params["hubert_proj_b"]
+    pos = conv.conv1d(h, params["hubert_pos_w"], params["hubert_pos_b"],
+                      padding=cfg.hubert_pos_k // 2,
+                      groups=cfg.hubert_pos_groups)
+    if cfg.hubert_pos_k % 2 == 0:
+        pos = pos[:, :-1]
+    h = h + act.gelu_erf(pos)
+    h = norms.layer_norm(h, params["hubert_enc_ln_w"],
+                         params["hubert_enc_ln_b"], cfg.hubert_ln_eps)
+    b, t, c = h.shape
+    nh = cfg.hubert_heads
+    hd = c // nh
+    eps = cfg.hubert_ln_eps
+    for lw in params["hubert_layers"]:
+        q = (h @ lw["q_w"].T + lw["q_b"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = (h @ lw["k_w"].T + lw["k_b"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = (h @ lw["v_w"].T + lw["v_b"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        a = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(b, t, c)
+        h = h + (a @ lw["o_w"].T + lw["o_b"])
+        h = norms.layer_norm(h, lw["ln_w"], lw["ln_b"], eps)
+        f = act.gelu_erf(h @ lw["ff1_w"].T + lw["ff1_b"])
+        h = h + (f @ lw["ff2_w"].T + lw["ff2_b"])
+        h = norms.layer_norm(h, lw["ffn_ln_w"], lw["ffn_ln_b"], eps)
+    return h
+
+
+def neu_encode_fn(params, pcm, sem_pcm, cfg_enc: "NeuEncConfig",
+                  codebook_dim: int):
+    """Distill encode: pcm [B, n_pad], sem_pcm [B, n_pad+320] →
+    codes [B, T, 1] int32."""
+    from .xcodec2 import fsq_quantize_x2
+
+    ac = neu_distill_acoustic_fn(params, pcm, cfg_enc)
+    hs = neu_hubert_fn(params, sem_pcm, cfg_enc)
+    s = conv.conv1d(hs, params["sem_init_w"], padding=1)
+    s = jax.nn.relu(s)
+    res = s
+    s = jax.nn.relu(conv.conv1d(s, params["sem_r1_w"], params["sem_r1_b"],
+                                padding=1))
+    s = conv.conv1d(s, params["sem_r3_w"], params["sem_r3_b"], padding=1)
+    s = s + res
+    s = conv.conv1d(s, params["sem_out_w"], padding=1)
+    n = min(s.shape[1], ac.shape[1])
+    h = jnp.concatenate([s[:, :n], ac[:, :n]], axis=-1)
+    h = h @ params["fc_prior_w"].T + params["fc_prior_b"]
+    z = h @ params["proj_in_w"].T + params["proj_in_b"]
+    return fsq_quantize_x2(z, codebook_dim)[..., None]
