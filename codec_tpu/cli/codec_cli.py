@@ -79,6 +79,8 @@ def _read_pcm(model, path):
 def main(argv=None) -> int:
     try:
         return _run(build_parser().parse_args(argv))
+    except BrokenPipeError:
+        return 0                      # e.g. `... | head` closed stdout
     except Exception as e:  # clean one-line errors (reference CLI behavior)
         from ..runtime.model import CodecError
 

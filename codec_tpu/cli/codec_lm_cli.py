@@ -104,6 +104,8 @@ def _run(args) -> int:
 def main(argv=None) -> int:
     try:
         return _run(build_parser().parse_args(argv))
+    except BrokenPipeError:
+        return 0                      # e.g. `... | head` closed stdout
     except Exception as e:
         if isinstance(e, (ValueError, FileNotFoundError, KeyError)):
             print(f"error: {e}", file=sys.stderr)

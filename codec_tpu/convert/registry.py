@@ -5,9 +5,10 @@ from typing import Callable, Dict
 _REGISTRY: Dict[str, Callable] = {}
 
 
-def register(name: str):
+def register(*names: str):
     def deco(cls):
-        _REGISTRY[name] = cls
+        for name in names:
+            _REGISTRY[name] = cls
         return cls
     return deco
 
@@ -23,7 +24,9 @@ def known_converters():
 
 
 def _autoload():
-    from . import dac, mimi, nemo_nano, pocket_tts, qwen3_tts_tokenizer, snac, soprano, wavtokenizer  # noqa: F401
+    from . import (dac, mimi, nemo_nano, neucodec, pocket_tts,  # noqa: F401
+                   qwen3_tts_tokenizer, snac, soprano, wavtokenizer,
+                   xcodec2)
 
 
 _autoload()

@@ -9,9 +9,11 @@ caller-supplied sampler, and drives the codec_lm step machine.
 
 Flows implemented (reference dispatch: tts_runner_synthesize,
 tts_runner.cpp:1043):
-  - run_codebook_ar  (CSM / Qwen3-TTS / MOSS-TTSD — Type C/D)
-  - run_continuous   (BlueMagpie continuous-latent CFM)
-  - run_chatterbox   (T3 dual-lane CFG loop, tts_runner.cpp:876)
+  - run_codebook_ar         (CSM / Qwen3-TTS / MOSS-TTSD — Type C/D)
+  - run_continuous          (BlueMagpie continuous-latent CFM)
+  - run_chatterbox          (T3 dual-lane CFG loop, tts_runner.cpp:876)
+  - run_realtime_streaming  (MOSS-TTS-Realtime text⊕audio interleave, :490)
+  - run_lfm2_sequential     (LFM2-Audio text→audio switch, :609)
 """
 
 from __future__ import annotations
@@ -86,20 +88,22 @@ def run_continuous(
                            stopped_by_eos=stopped)
 
 
-class T3Sampler:
-    """T3-faithful chain: repetition penalty (full history, seeded with the
-    BOS speech token) → temperature → min_p → top_p → categorical
-    (reference: SamplerChain in tts_runner.cpp:965-975)."""
+class SamplerChain:
+    """llama-style chain: repetition penalty (ring buffer) → temperature →
+    top_k → top_p → min_p → categorical (reference: SamplerChain,
+    tts_runner.cpp). window<0 ⇒ unbounded history; 0 ⇒ no penalty."""
 
     def __init__(self, seed: int = 0xC0DEC1AB, temperature: float = 0.8,
-                 top_p: float = 1.0, min_p: float = 0.05,
-                 repetition_penalty: float = 1.2,
+                 top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0, repetition_window: int = -1,
                  seed_token: Optional[int] = None):
         self.rng = np.random.default_rng(seed)
         self.temperature = temperature
+        self.top_k = top_k
         self.top_p = top_p
         self.min_p = min_p
         self.rep_pen = repetition_penalty
+        self.rep_window = repetition_window
         self.history: List[int] = [] if seed_token is None else [seed_token]
 
     def __call__(self, logits: np.ndarray) -> int:
@@ -108,16 +112,19 @@ class T3Sampler:
             code = int(np.argmax(logits))
             self.history.append(code)
             return code
-        if self.rep_pen != 1.0 and self.history:
-            seen = np.unique(self.history)
+        hist = self.history if self.rep_window < 0 else \
+            self.history[-self.rep_window:] if self.rep_window else []
+        if self.rep_pen != 1.0 and hist:
+            seen = np.unique(hist)
             pos = logits[seen] > 0
             logits[seen[pos]] /= self.rep_pen
             logits[seen[~pos]] *= self.rep_pen
         logits /= self.temperature
+        if self.top_k > 0 and self.top_k < len(logits):
+            kth = np.partition(logits, -self.top_k)[-self.top_k]
+            logits[logits < kth] = -np.inf
         probs = np.exp(logits - logits.max())
         probs /= probs.sum()
-        if self.min_p > 0.0:
-            probs[probs < self.min_p * probs.max()] = 0.0
         if self.top_p < 1.0:
             order = np.argsort(probs)[::-1]
             csum = np.cumsum(probs[order])
@@ -125,10 +132,168 @@ class T3Sampler:
             mask = np.zeros_like(probs)
             mask[order[:cut]] = 1.0
             probs *= mask
+        if self.min_p > 0.0:
+            probs[probs < self.min_p * probs.max()] = 0.0
         probs /= probs.sum()
         code = int(self.rng.choice(len(probs), p=probs))
         self.history.append(code)
         return code
+
+
+class T3Sampler(SamplerChain):
+    """Chatterbox T3 preset: penalties(full history, BOS-seeded) → temp →
+    min_p → top_p (reference: tts_runner.cpp:965-975)."""
+
+    def __init__(self, seed: int = 0xC0DEC1AB, temperature: float = 0.8,
+                 top_p: float = 1.0, min_p: float = 0.05,
+                 repetition_penalty: float = 1.2,
+                 seed_token: Optional[int] = None):
+        super().__init__(seed=seed, temperature=temperature, top_k=0,
+                         top_p=top_p, min_p=min_p,
+                         repetition_penalty=repetition_penalty,
+                         repetition_window=-1, seed_token=seed_token)
+
+
+def run_realtime_streaming(
+    audio_lm: AudioLM,
+    backbone: Backbone,
+    text_embd_fn: Callable[[int], np.ndarray],
+    ctx_tokens: Sequence[int],
+    text_tokens: Sequence[int],
+    pi,
+    max_frames: int = 1024,
+    samplers: Optional[Sequence[Callable[[np.ndarray], int]]] = None,
+    decode: bool = True,
+) -> SynthesisResult:
+    """MOSS-TTS-Realtime streaming interleave (reference:
+    run_realtime_streaming, tts_runner.cpp:490). Each backbone input row is
+    text_embd[token] + compose_audio_embd(codes); the prompt prefill pads
+    the audio channel, the last prefill row carries the BOS code, then the
+    spoken text streams one token per generated audio frame (padded out
+    with text_pad once exhausted). `pi` is a PromptInfo."""
+    if audio_lm.lm is None:
+        raise ValueError("model has no codec_lm adaptor")
+    audio_lm.reset()
+    audio_lm.set_uses_embed_override(True, start_step=1)
+    n_cb = audio_lm.n_codebook
+    pad_codes = [pi.audio_pad_code] * n_cb
+    if samplers is None:
+        samplers = [SamplerChain(temperature=pi.default_temperature,
+                                 top_k=pi.default_top_k, top_p=pi.default_top_p,
+                                 repetition_penalty=pi.default_repetition_penalty,
+                                 repetition_window=pi.repetition_window)
+                    for _ in range(n_cb)]
+
+    def compose_row(text_tok: int, codes) -> np.ndarray:
+        return (np.asarray(text_embd_fn(text_tok), np.float32) +
+                audio_lm.lm.compose_audio_embd(codes))
+
+    prefill_n = min(pi.prefill_text_len, len(text_tokens))
+    h = None
+    for tok in ctx_tokens:
+        h = backbone.step(compose_row(tok, pad_codes))
+    for i in range(prefill_n):
+        codes = list(pad_codes)
+        if i == prefill_n - 1:
+            codes[0] = pi.bos_code_c0
+        h = backbone.step(compose_row(text_tokens[i], codes))
+    if h is None:
+        raise ValueError("empty context tokens")
+
+    st = audio_lm.state
+    text_idx = prefill_n
+    stopped = False
+    steps = 0
+    for _ in range(max_frames):
+        st.step_begin(np.asarray(h, np.float32))
+        for cb in range(n_cb):
+            logits, cb_idx = st.step_logits()
+            st.step_push_code(samplers[cb_idx](logits))
+        codes = st.step_finish()
+        action = audio_lm.observe_codes(codes, last_hidden=h)
+        if action is ObserveAction.STOP:
+            stopped = True
+            break
+        steps += 1
+        text_tok = (text_tokens[text_idx] if text_idx < len(text_tokens)
+                    else pi.text_pad_id)
+        text_idx += 1
+        h = backbone.step(compose_row(text_tok, codes))
+
+    codes = audio_lm.codes_matrix()
+    if stopped and audio_lm.lm.info.eos_code_c0 >= 0 and len(codes):
+        codes = codes[:-1]
+    pcm = None
+    if decode and audio_lm.codec is not None and len(codes):
+        pcm = audio_lm.codec.decode(codes)
+    return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
+
+
+def run_lfm2_sequential(
+    audio_lm: AudioLM,
+    backbone: Backbone,
+    text_embd_table: np.ndarray,
+    prompt_tokens: Sequence[int],
+    pi,
+    max_frames: int = 1024,
+    sampler: Optional[Callable[[np.ndarray], int]] = None,
+    decode: bool = True,
+) -> SynthesisResult:
+    """LFM2-Audio sequential text→audio (reference: run_lfm2_sequential,
+    tts_runner.cpp:609). Free-runs in text modality (tied-embedding logits
+    = text_embd_table @ hidden) until audio_start_id, then codebook-AR
+    until EOS. One sampler stream drives both phases."""
+    if audio_lm.lm is None:
+        raise ValueError("model has no codec_lm adaptor")
+    audio_lm.reset()
+    audio_lm.set_uses_embed_override(True, start_step=1)
+    table = np.asarray(text_embd_table, np.float32)
+    if sampler is None:
+        sampler = SamplerChain(temperature=pi.default_temperature,
+                               top_k=pi.default_top_k, top_p=pi.default_top_p)
+
+    h = None
+    for tok in prompt_tokens:
+        h = backbone.step(table[tok])
+    if h is None:
+        raise ValueError("empty prompt tokens")
+
+    for _ in range(pi.max_text_tokens):
+        tok = sampler(table @ np.asarray(h, np.float32))
+        if tok == pi.audio_start_id:
+            break
+        if tok == pi.text_end_id:
+            return SynthesisResult(codes=np.zeros((0, audio_lm.n_codebook),
+                                                  np.int32),
+                                   pcm=None, n_steps=0, stopped_by_eos=True)
+        h = backbone.step(table[tok])
+    h = backbone.step(table[pi.audio_start_id])
+
+    st = audio_lm.state
+    stopped = False
+    steps = 0
+    for _ in range(max_frames):
+        st.step_begin(np.asarray(h, np.float32))
+        for _cb in range(audio_lm.n_codebook):
+            logits, _ = st.step_logits()
+            st.step_push_code(sampler(logits))
+        codes = st.step_finish()
+        action = audio_lm.observe_codes(codes, last_hidden=h)
+        if action is ObserveAction.STOP:
+            stopped = True
+            break
+        steps += 1
+        h = backbone.step(audio_lm.lm.compose_audio_embd(codes))
+
+    codes = audio_lm.codes_matrix()
+    if stopped and audio_lm.lm.info.eos_code_c0 >= 0 and len(codes):
+        codes = codes[:-1]
+    pcm = None
+    if decode and audio_lm.codec is not None and len(codes):
+        pcm = audio_lm.codec.decode(codes)
+    return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
 
 
 def run_chatterbox(

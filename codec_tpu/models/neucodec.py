@@ -230,6 +230,27 @@ class DistillNeuCodec(NeuCodec):
 # =====================================================================
 
 POOL_KERNELS = (1, 5, 11, 21, 45)
+
+
+def neu_encode_name(name: str) -> str:
+    """Encode-side tensors are stored under FNV-1a-64 digests (`nce.<hex>`)
+    to fit the 63-char GGUF tensor-name limit (reference:
+    codec_neu_encode_name, neucodec.cpp:49 / converter _enc_name)."""
+    if not name.startswith("neucodec.encode."):
+        return name
+    h = 1469598103934665603
+    for b in name.encode("utf-8"):
+        h ^= b
+        h = (h * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return f"nce.{h:016x}"
+
+
+def _neu_get(r: GGUFReader, name: str):
+    """Resolve a logical encode tensor: plain name first (tiny test
+    fixtures), else the hashed wire name (real converted GGUFs)."""
+    if r.has_tensor(name):
+        return r.get(name)
+    return r.get(neu_encode_name(name))
 HUBERT_DEFAULT_DIM = (512, 512, 512, 512, 512, 512, 512)
 HUBERT_DEFAULT_KERNEL = (10, 3, 3, 3, 3, 2, 2)
 HUBERT_DEFAULT_STRIDE = (5, 2, 2, 2, 2, 2, 2)
@@ -324,7 +345,7 @@ def local_attn_bias(bias_hd: jax.Array, t: int, window: int) -> jax.Array:
 
 
 def _load_dpb(r: GGUFReader, prefix: str, dtype):
-    g = lambda n: jnp.asarray(r.get(n)).astype(dtype)
+    g = lambda n: jnp.asarray(_neu_get(r, n)).astype(dtype)
     return {"w0": g(prefix + ".mlp.0.weight"), "b0": g(prefix + ".mlp.0.bias"),
             "w1": g(prefix + ".mlp.2.weight"), "b1": g(prefix + ".mlp.2.bias"),
             "w2": g(prefix + ".mlp.4.weight"), "b2": g(prefix + ".mlp.4.bias")}
@@ -333,9 +354,8 @@ def _load_dpb(r: GGUFReader, prefix: str, dtype):
 def load_neu_encode_params(r: GGUFReader, cfg: "NeuEncConfig", dtype=jnp.float32):
     from ..ops import conv as _c
 
-    g = lambda n: jnp.asarray(r.get(n)).astype(dtype)
-    gc = lambda n: _c.prepare_conv_weight(r.get(n)).astype(dtype)
-    gb = lambda n: g(n) if r.has_tensor(n) else None
+    g = lambda n: jnp.asarray(_neu_get(r, n)).astype(dtype)
+    gc = lambda n: _c.prepare_conv_weight(_neu_get(r, n)).astype(dtype)
     enc = "neucodec.encode"
     dc = enc + ".distill.codec_encoder"
 

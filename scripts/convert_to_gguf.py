@@ -35,8 +35,12 @@ def main() -> int:
     conv = get_converter(args.type)(quantization=args.quant,
                                     quantize_codebook=args.quantize_codebook,
                                     verbose=args.verbose)
-    conv.load_from_checkpoint(Path(args.checkpoint))
-    conv.convert_and_save(Path(args.out))
+    try:
+        conv.load_from_checkpoint(Path(args.checkpoint))
+        conv.convert_and_save(Path(args.out))
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     print(f"wrote {args.out}")
     return 0
 
