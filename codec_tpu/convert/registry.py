@@ -24,9 +24,9 @@ def known_converters():
 
 
 def _autoload():
-    from . import (dac, mimi, nemo_nano, neucodec, pocket_tts,  # noqa: F401
-                   qwen3_tts_tokenizer, snac, soprano, wavtokenizer,
-                   xcodec2)
+    from . import (bluemagpie, chatterbox, dac, mimi, moss_audio,  # noqa: F401
+                   nemo_nano, neucodec, pocket_tts, qwen3_tts_tokenizer,
+                   snac, soprano, wavtokenizer, xcodec2, xy_tokenizer)
 
 
 _autoload()
