@@ -44,6 +44,15 @@ class BaseConverter:
         self.verbose = verbose
         self.state_dict: Optional[Dict[str, np.ndarray]] = None
         self.config: Optional[Dict[str, Any]] = None
+        self.lm_source_sd: Optional[Dict[str, np.ndarray]] = None
+        self.lm_source_cfg: Optional[Dict[str, Any]] = None
+
+    def set_lm_source(self, state_dict, config) -> None:
+        """Bundle an LM-adaptor section into the same GGUF (reference:
+        codec converters call lm_adaptor.dump_lm_into when --lm-source is
+        given)."""
+        self.lm_source_sd = {k: np.asarray(v) for k, v in state_dict.items()}
+        self.lm_source_cfg = dict(config)
 
     # -- loading -----------------------------------------------------------
     def load_from_state_dict(self, state_dict: Dict[str, Any], config: Dict[str, Any]) -> None:
@@ -105,6 +114,10 @@ class BaseConverter:
         writer = GGUFWriter(output_path, self.architecture)
         self.write_metadata(writer)
         self.write_tensors(writer)
+        if self.lm_source_sd is not None:
+            from .lm_adaptor import dump_lm_into
+
+            dump_lm_into(writer, self.lm_source_sd, self.lm_source_cfg)
         writer.write()
         if self.verbose:
             print(f"wrote {output_path}")

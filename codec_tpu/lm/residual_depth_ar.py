@@ -95,6 +95,9 @@ class ResidualDepthArLM(CodecLM):
                 self.heads_pre_norm.append(jnp.asarray(pn) if pn is not None else None)
         self.in_proj = (jnp.asarray(g("lm.depth.in_proj.weight"))
                         if self.has_in_proj or self.in_proj_per_pos else None)
+        if self.in_proj is not None and self.in_proj.ndim == 3:
+            # reference infers per-pos from in_proj->ne[2] > 1 at init
+            self.in_proj_per_pos = True
         ipb = gopt("lm.depth.in_proj.bias")
         self.in_proj_bias = jnp.asarray(ipb) if ipb is not None else None
         self.output_norm = (jnp.asarray(g("lm.depth.output_norm.weight"))
@@ -124,7 +127,9 @@ class ResidualDepthArLM(CodecLM):
         # LFM2 backbone-side compose table (optional)
         ct = gopt("lm.compose.audio_embd.weight")
         self.compose_table = jnp.asarray(ct) if ct is not None else None
-        self.compose_stride = r.get_i32("codec.lm.residual.compose_codebook_stride", 0)
+        self.compose_stride = r.get_i32(
+            "codec.lm.compose.codebook_stride",
+            r.get_i32("codec.lm.residual.compose_codebook_stride", 0))
 
         self._c0_fn = (jax.jit(lambda h: self.c0_head @ h)
                        if self.c0_head is not None else None)

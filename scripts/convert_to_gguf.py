@@ -28,6 +28,9 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--quant", default="F16",
                     choices=["F32", "F16", "Q8_0", "Q4_K_M", "Q5_K_M"])
+    ap.add_argument("--lm-source", default=None,
+                    help="TTS LM checkpoint dir to bundle as the lm.* "
+                         "adaptor section (config.json + model.safetensors)")
     ap.add_argument("--quantize-codebook", action="store_true")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
@@ -37,8 +40,21 @@ def main() -> int:
                                     verbose=args.verbose)
     try:
         conv.load_from_checkpoint(Path(args.checkpoint))
+        if args.lm_source:
+            import json
+            from safetensors import safe_open
+
+            lm_dir = Path(args.lm_source)
+            lm_cfg = json.loads((lm_dir / "config.json").read_text())
+            lm_sd = {}
+            with safe_open(str(lm_dir / "model.safetensors"),
+                           framework="np") as h:
+                for key in h.keys():
+                    lm_sd[key] = h.get_tensor(key)
+            conv.set_lm_source(lm_sd, lm_cfg)
         conv.convert_and_save(Path(args.out))
-    except (FileNotFoundError, KeyError, ValueError) as e:
+    except (FileNotFoundError, KeyError, ValueError,
+            NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     print(f"wrote {args.out}")
