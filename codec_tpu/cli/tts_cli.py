@@ -1,0 +1,191 @@
+"""tts-cli: info / decode / synthesize over a codec(+LM) GGUF.
+
+Mirrors the reference CLI surface (reference: examples/tts-cli.cpp). The
+`synthesize` subcommand implements the self-contained FlowLM path
+(reference: common/tts_runner_flow.cpp — Pocket-TTS: the AR transformer,
+text LUT, LSD flow head and EOS head all live in the codec GGUF, so no
+external backbone is needed). Backbone-driven flows (CSM / Qwen3 / MOSS /
+Chatterbox) go through `codec_tpu.lm.tts_runner` with a caller-supplied
+`Backbone`, exactly as the reference isolates llama.cpp behind
+libttsbackbone.
+
+Usage:
+  python -m codec_tpu.cli.tts_cli info --model pocket.gguf
+  python -m codec_tpu.cli.tts_cli decode --model mimi.gguf --codes c.npy --out o.wav
+  python -m codec_tpu.cli.tts_cli synthesize --model pocket.gguf \
+      --text "Hello there." --out o.wav [--ref-audio voice.wav] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tts-cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info")
+    p.add_argument("--model", required=True)
+
+    p = sub.add_parser("decode")
+    p.add_argument("--model", required=True)
+    p.add_argument("--codes", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--nq", type=int, default=0)
+
+    p = sub.add_parser("synthesize")
+    p.add_argument("--model", required=True)
+    p.add_argument("--text", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ref-audio", dest="ref_audio", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--min-len", type=int, default=0)
+    return ap
+
+
+def flow_prepare_text(text: str):
+    """pocket_tts prepare_text_prompt parity (tts_runner_flow.cpp:34-56):
+    strip, collapse spaces, uppercase first letter, ensure trailing
+    punctuation; returns (text, frames_after_eos_guess)."""
+    text = " ".join(text.split())
+    if not text:
+        return text, 3
+    words = len(text.split(" "))
+    guess = 3 if words <= 4 else 1
+    if text[0].islower() and text[0].isascii():
+        text = text[0].upper() + text[1:]
+    if text[-1].isalnum():
+        text += "."
+    return text, guess
+
+
+def run_flow_synthesize(model, lm, text: str, seed: int = 0,
+                        ref_pcm=None, max_frames: int = 0,
+                        min_len: int = 0):
+    """Self-contained FlowLM synthesize (reference:
+    tts_runner_synthesize_selfcontained). → (pcm, n_frames, stop_reason)."""
+    text, fae_guess = flow_prepare_text(text)
+    fae_guess += 2                                       # reference adds +2
+    ids = lm.tokenize(text)
+    print(f'flow_lm: text="{text}" -> {len(ids)} tokens; '
+          f"d_model={lm.info.hidden_dim} ldim={lm.ldim}")
+
+    voice_rows = None
+    if ref_pcm is not None:
+        mu = model.encode_latent(np.asarray(ref_pcm, np.float32))
+        voice_rows = lm.speaker_rows(mu)
+        print(f"flow_lm: voice conditioning -> {len(voice_rows)} rows")
+
+    st = lm.new_state()
+    lm.flow_prefill(st, ids, voice_rows=voice_rows)
+
+    fae = lm.frames_after_eos if lm.frames_after_eos >= 0 else fae_guess
+    max_gen = max_frames if max_frames > 0 else \
+        max(8, int(math.ceil((len(ids) / 3.0 + 2.0) * 12.5)))
+
+    rng = np.random.default_rng(seed)
+    noise_std = math.sqrt(lm.temperature)
+    latents = []
+    prev = None
+    eos_step = -1
+    stop = "max_frames"
+    for step in range(max_gen):
+        noise = (rng.standard_normal(lm.ldim) * noise_std).astype(np.float32)
+        lat, eos_logit, is_eos = lm.flow_step(st, prev_latent=prev, noise=noise)
+        if is_eos and eos_step < 0 and step >= min_len:
+            eos_step = step
+        if eos_step >= 0 and step >= eos_step + fae:
+            stop = "eos_head"
+            break
+        latents.append(lm.denorm_latent(lat))
+        prev = lat
+    print(f"flow_lm: AR done: {len(latents)} frames, eos_step={eos_step}, "
+          f"stop={stop}")
+    if not latents:
+        raise ValueError("flow_lm: no frames generated")
+    pcm = model.decode_latent(np.stack(latents))
+    return pcm, len(latents), stop
+
+
+def _run(args) -> int:
+    from ..io.gguf import GGUFReader
+
+    if args.cmd == "info":
+        r = GGUFReader(args.model)
+        print(f"architecture: {r.architecture}")
+        print(f"lm kind:      {r.get_str('codec.lm.kind', '<none>')}")
+        print(f"host arch:    {r.get_str('codec.lm.host_arch', '<none>')}")
+        for k in sorted(r.kv):
+            if k.startswith(("codec.lm.", "codec.speaker.")) and \
+                    not k.endswith("_b64"):
+                v = r.kv[k]
+                if isinstance(v, str) and len(v) > 60:
+                    v = v[:57] + "..."
+                print(f"  {k} = {v}")
+        return 0
+
+    import codec_tpu
+    from ..io.wav import read_wav, to_mono, write_wav
+
+    if args.cmd == "decode":
+        model = codec_tpu.load_model(args.model)
+        codes = np.load(args.codes)
+        pcm = model.decode(codes, n_q=args.nq)
+        write_wav(args.out, pcm, model.sample_rate)
+        print(f"wrote {args.out}: {pcm.shape[0]} samples @ {model.sample_rate} Hz")
+        return 0
+
+    if args.cmd == "synthesize":
+        from ..lm import create_lm
+        from ..lm.flow_lm import FlowLM
+
+        reader = GGUFReader(args.model)
+        lm = create_lm(reader)
+        if lm is None:
+            raise ValueError("GGUF has no codec.lm.* adaptor section")
+        if not isinstance(lm, FlowLM):
+            raise ValueError(
+                f"synthesize currently covers the self-contained flow_lm "
+                f"path; kind {lm.info.kind!r} needs an external backbone — "
+                f"use codec_tpu.lm.tts_runner with your Backbone")
+        model = codec_tpu.load_model(args.model)
+        ref = None
+        if args.ref_audio:
+            x, sr = read_wav(args.ref_audio)
+            if sr != model.sample_rate:
+                raise ValueError(f"ref audio rate {sr} != {model.sample_rate}")
+            ref = to_mono(x)
+        pcm, n_frames, stop = run_flow_synthesize(
+            model, lm, args.text, seed=args.seed, ref_pcm=ref,
+            max_frames=args.max_frames, min_len=args.min_len)
+        write_wav(args.out, pcm, model.sample_rate)
+        print(f"wrote {args.out}: {pcm.shape[0]} samples "
+              f"({n_frames} frames, stop={stop})")
+        return 0
+
+    return 2
+
+
+def main(argv=None) -> int:
+    try:
+        return _run(build_parser().parse_args(argv))
+    except BrokenPipeError:
+        return 0
+    except Exception as e:
+        from ..lm.base import LmError
+        from ..runtime.model import CodecError
+
+        if isinstance(e, (CodecError, LmError, ValueError, FileNotFoundError)):
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())
