@@ -16,8 +16,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.gguf import GGUFReader
+from . import op_profile
 from .bucketing import bucket_batch, bucket_length
 from .perf_log import perf_event, perf_scope
+
+
+class _ProfiledFn:
+    """jit wrapper that AOT-lowers on first call so the optimized HLO and
+    XLA cost analysis can be dumped to $CODEC_OP_PROFILE (the reference's
+    per-node op profiler analog — see runtime/op_profile.py). Optionally
+    wraps every compute in a jax.profiler trace ($CODEC_OP_PROFILE_TRACE)
+    for node-level timing on real hardware."""
+
+    def __init__(self, key, jit_fn):
+        self.key = key
+        self.jit_fn = jit_fn
+        self.compiled = None
+
+    def __call__(self, *args):
+        if self.compiled is None:
+            self.compiled = self.jit_fn.lower(*args).compile()
+            op_profile.dump_graph_profile(self.key, self.compiled)
+        tdir = op_profile.trace_dir()
+        if tdir:
+            with jax.profiler.trace(tdir):
+                return self.compiled(*args)
+        return self.compiled(*args)
 
 
 class CodecError(ValueError):
@@ -67,6 +91,8 @@ class CodecModel:
         if fn is None:
             t0 = time.monotonic()
             fn = jax.jit(make())
+            if op_profile.enabled():
+                fn = _ProfiledFn(key, fn)
             self._jit_cache[key] = fn
             perf_event("graph_build", (time.monotonic() - t0) * 1e6, str(key))
         return fn

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Benchmark harness: wraps codec-cli, parses CODEC_PERF_LOG phases, and
+emits a stable JSON report with mean/p50/p95/std per (model, phase), plus
+a `compare` subcommand that flags regressions.
+
+TPU-native rebuild of the reference harness (reference: tools/benchmark.py
+— wraps codec-cli with /usr/bin/time -v for peak RSS, N iterations + 1
+warmup, parses the perf-log phases into its report; results land in
+benchmarks/baseline.json). Differences here: peak RSS comes from
+resource.getrusage(RUSAGE_CHILDREN) (no /usr/bin/time in the image), and
+the warmup iteration also primes the persistent XLA compile cache so the
+measured iterations reflect warm-graph compute, which is the steady state
+that matters on TPU.
+
+Usage:
+  python tools/benchmark.py run --model mimi=mimi.gguf [--model dac=...]
+      [--input in.wav] [--op e2e|encode|decode] [--codes c.npy]
+      [--iterations 3] [--warmup 1] --out report.json
+  python tools/benchmark.py compare baseline.json new.json [--threshold 0.10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import resource
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _stats(xs):
+    xs = sorted(float(x) for x in xs)
+    n = len(xs)
+    if n == 0:
+        return {}
+    mean = sum(xs) / n
+
+    def pct(p):
+        i = min(n - 1, max(0, int(math.ceil(p * n)) - 1))
+        return xs[i]
+
+    std = (sum((x - mean) ** 2 for x in xs) / n) ** 0.5
+    return {"mean": round(mean, 3), "p50": round(pct(0.50), 3),
+            "p95": round(pct(0.95), 3), "std": round(std, 3),
+            "min": round(xs[0], 3), "max": round(xs[-1], 3)}
+
+
+def _synth_wav(path: str, sample_rate: int, seconds: float = 1.0) -> None:
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from codec_tpu.io.wav import write_wav
+
+    t = np.arange(int(sample_rate * seconds), dtype=np.float32) / sample_rate
+    write_wav(path, (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32),
+              sample_rate)
+
+
+def _model_sample_rate(gguf_path: str) -> int:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from codec_tpu.io.gguf import GGUFReader
+
+    r = GGUFReader(gguf_path)
+    return r.get_i32("codec.sample_rate", r.get_i32("sample_rate", 24000))
+
+
+def _cli_args(op: str, gguf: str, inp: str, codes: str, outdir: str):
+    base = [sys.executable, "-m", "codec_tpu.cli.codec_cli"]
+    if op == "e2e":
+        return base + ["e2e", "--model", gguf, "--in", inp,
+                       "--out", os.path.join(outdir, "out.wav")]
+    if op == "encode":
+        return base + ["encode", "--model", gguf, "--in", inp,
+                       "--out", os.path.join(outdir, "codes.npy")]
+    if op == "decode":
+        if not codes:
+            raise SystemExit("error: --op decode requires --codes")
+        return base + ["decode", "--model", gguf, "--codes", codes,
+                       "--out", os.path.join(outdir, "out.wav")]
+    raise SystemExit(f"error: unknown --op {op!r}")
+
+
+def _read_phases(perf_path: str):
+    """Sum same-phase wall_us within one run (e2e logs graph_compute twice:
+    once per direction)."""
+    sums = {}
+    if os.path.exists(perf_path):
+        with open(perf_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                sums[rec["phase"]] = sums.get(rec["phase"], 0.0) \
+                    + rec.get("wall_us", 0.0)
+    return {k: v / 1e3 for k, v in sums.items()}  # → ms
+
+
+def cmd_run(args) -> int:
+    models = {}
+    for spec in args.model:
+        if "=" not in spec:
+            raise SystemExit(f"error: --model expects name=path.gguf, got {spec!r}")
+        name, path = spec.split("=", 1)
+        if not os.path.exists(path):
+            raise SystemExit(f"error: no such model file: {path}")
+        models[name] = path
+
+    report = {"meta": {"iterations": args.iterations, "warmup": args.warmup,
+                       "op": args.op, "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                       "argv": sys.argv[1:]},
+              "models": {}}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, gguf in models.items():
+            inp = args.input
+            if inp is None and args.op in ("e2e", "encode"):
+                inp = os.path.join(tmp, f"{name}_in.wav")
+                _synth_wav(inp, _model_sample_rate(gguf), args.seconds)
+
+            walls, phase_runs = [], []
+            rss0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            for i in range(args.warmup + args.iterations):
+                perf = os.path.join(tmp, f"{name}_{i}.jsonl")
+                env = dict(os.environ, CODEC_PERF_LOG=perf)
+                t0 = time.monotonic()
+                r = subprocess.run(_cli_args(args.op, gguf, inp, args.codes, tmp),
+                                   env=env, capture_output=True, text=True)
+                wall = (time.monotonic() - t0) * 1e3
+                if r.returncode != 0:
+                    sys.stderr.write(r.stderr)
+                    raise SystemExit(
+                        f"error: {name} iteration {i} failed (exit {r.returncode})")
+                if i >= args.warmup:
+                    walls.append(wall)
+                    phase_runs.append(_read_phases(perf))
+            rss_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+            peak_rss_mb = round(max(rss_kb, rss0) / 1024.0, 1)
+
+            phases = {}
+            for ph in sorted({p for run in phase_runs for p in run}):
+                phases[ph] = _stats([run[ph] for run in phase_runs if ph in run])
+            report["models"][name] = {
+                "op": args.op,
+                "wall_ms": _stats(walls),
+                "peak_rss_mb": peak_rss_mb,
+                "phases": phases,
+            }
+            print(f"{name}: wall {report['models'][name]['wall_ms']['mean']} ms "
+                  f"(p95 {report['models'][name]['wall_ms']['p95']}), "
+                  f"rss {peak_rss_mb} MB, phases: "
+                  + ", ".join(f"{p} {s['mean']}ms" for p, s in phases.items()))
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_compare(args) -> int:
+    with open(args.baseline) as f:
+        base = json.load(f)
+    with open(args.new) as f:
+        new = json.load(f)
+    regressions = []
+    for name, nm in sorted(new.get("models", {}).items()):
+        bm = base.get("models", {}).get(name)
+        if bm is None:
+            print(f"{name}: (new — no baseline)")
+            continue
+        rows = [("wall_ms", bm.get("wall_ms", {}).get("mean"),
+                 nm.get("wall_ms", {}).get("mean"))]
+        for ph in sorted(set(bm.get("phases", {})) & set(nm.get("phases", {}))):
+            rows.append((ph, bm["phases"][ph].get("mean"),
+                         nm["phases"][ph].get("mean")))
+        for metric, old_v, new_v in rows:
+            if not old_v or new_v is None:
+                continue
+            delta = (new_v - old_v) / old_v
+            flag = ""
+            if delta > args.threshold:
+                flag = "  <-- REGRESSION"
+                regressions.append((name, metric, old_v, new_v, delta))
+            print(f"{name:>20s} {metric:<16s} {old_v:>10.1f} -> {new_v:>10.1f} ms "
+                  f"({delta:+.1%}){flag}")
+    if regressions:
+        print(f"\n{len(regressions)} regression(s) beyond "
+              f"{args.threshold:.0%} threshold")
+        return 1
+    print("\nno regressions")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="benchmark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run")
+    p.add_argument("--model", action="append", required=True,
+                   help="name=path.gguf (repeatable)")
+    p.add_argument("--input", default=None, help="input wav (default: synth sine)")
+    p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--op", default="e2e", choices=["e2e", "encode", "decode"])
+    p.add_argument("--codes", default=None)
+    p.add_argument("--iterations", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("compare")
+    p.add_argument("baseline")
+    p.add_argument("new")
+    p.add_argument("--threshold", type=float, default=0.10)
+    p.set_defaults(fn=cmd_compare)
+
+    args = ap.parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except json.JSONDecodeError as e:
+        print(f"error: bad report JSON: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
