@@ -13,10 +13,25 @@ Public API mirrors the reference C API surface (include/codec.h):
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Union
 
+import jax
 import jax.numpy as jnp
+
+# Persistent XLA compile cache: with weights passed as jit arguments
+# (runtime/model.py), compiled graphs are weight-independent, so every
+# process loading any checkpoint of a known arch reuses prior compiles.
+# Override the location with CODEC_JAX_CACHE; set it to "0" to disable.
+_cache = os.environ.get("CODEC_JAX_CACHE",
+                        os.path.expanduser("~/.cache/codec_tpu/jax"))
+if _cache and _cache != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
 
 from .io.gguf import GGUFReader
 from .runtime.model import CodecModel, CodecError

@@ -86,13 +86,71 @@ class CodecModel:
         raise NotImplementedError
 
     # -- jit cache (graph-cache equivalent) --------------------------------
+    # Weight pytrees are passed as jit *arguments*, not closed-over
+    # constants: the compiled graph is then weight-independent, so a
+    # different checkpoint (or quantization level) of the same arch hits
+    # both the in-process and the persistent XLA compile cache instead of
+    # re-optimizing a graph with multi-MB constants baked in. `make()`
+    # closures read `self.params` / `self.enc_params` at trace time; the
+    # wrapper swaps tracers into those attributes for the duration of the
+    # trace.
+    _PARAM_ATTRS = ("params", "enc_params")
+
+    def _split_params(self):
+        """Partition the weight trees into (array leaves → jit arguments,
+        everything else → static closure values). Scalar leaves (kernel
+        sizes, strides) must stay concrete for padding/shape math."""
+        from jax import tree_util as jtu
+
+        flat = []
+        specs = []
+        for a in self._PARAM_ATTRS:
+            tree = getattr(self, a, None)
+            if tree is None:
+                continue
+            leaves, td = jtu.tree_flatten(tree)
+            idx = [i for i, l in enumerate(leaves)
+                   if isinstance(l, (jax.Array, np.ndarray))]
+            specs.append((a, td, leaves, idx, len(flat)))
+            flat.extend(leaves[i] for i in idx)
+
+        def rebuild(dyn):
+            from jax import tree_util as jtu
+            out = {}
+            for a, td, leaves, idx, start in specs:
+                merged = list(leaves)
+                for j, i in enumerate(idx):
+                    merged[i] = dyn[start + j]
+                out[a] = jtu.tree_unflatten(td, merged)
+            return out
+
+        return flat, rebuild
+
     def _jitted(self, key: Tuple, make: Callable[[], Callable]) -> Callable:
         fn = self._jit_cache.get(key)
         if fn is None:
             t0 = time.monotonic()
-            fn = jax.jit(make())
+            inner = make()
+            flat, rebuild = self._split_params()
+
+            def wrapped(dyn, *args):
+                trees = rebuild(dyn)
+                saved = {a: getattr(self, a, None) for a in trees}
+                try:
+                    for a, v in trees.items():
+                        setattr(self, a, v)
+                    return inner(*args)
+                finally:
+                    for a, v in saved.items():
+                        setattr(self, a, v)
+
+            jfn = jax.jit(wrapped)
             if op_profile.enabled():
-                fn = _ProfiledFn(key, fn)
+                jfn = _ProfiledFn(key, jfn)
+
+            def fn(*args, _jfn=jfn, _flat=flat):
+                return _jfn(_flat, *args)
+
             self._jit_cache[key] = fn
             perf_event("graph_build", (time.monotonic() - t0) * 1e6, str(key))
         return fn
