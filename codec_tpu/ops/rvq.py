@@ -23,6 +23,7 @@ def rvq_layer_encode(residual: jax.Array, codebook: jax.Array) -> Tuple[jax.Arra
 
     Returns (indices [B, T] int32, new_residual [B, T, D])."""
     scores = 2.0 * jnp.einsum("btd,vd->btv", residual, codebook,
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
     scores = scores - jnp.sum(jnp.square(codebook.astype(jnp.float32)), axis=-1)
     idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
