@@ -14,6 +14,26 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# Sliding-window flash attention (ops/attn_pallas.py) beats the masked XLA
+# path once the O(T²) mask work dominates: measured on TPU v5e (h8 d64
+# w250, chained on-device timing): 1.0x at T=512, 2.5x at T=3750 f32,
+# 3.1x at T=3750 bf16 b4, 6.3x at T=8192. Dense causal (no window) stays
+# on XLA (0.9x). End-to-end full-size Mimi decode at T=3750 (5 min audio):
+# 64.9 -> 55.5 ms/iter (+17% xRT) and 3.3x faster compile (no [T,T] mask
+# constant in the graph). Disable with CODEC_NO_FLASH_ATTN=1.
+_FLASH_MIN_T = 1024
+
+
+def _use_flash_window(t, causal, window, n_valid) -> bool:
+    import os
+
+    import jax as _jax
+
+    return (causal and window is not None and n_valid is None
+            and t >= _FLASH_MIN_T and window < t
+            and _jax.default_backend() == "tpu"
+            and not os.environ.get("CODEC_NO_FLASH_ATTN"))
+
 
 def attn_mask(t_q: int, t_k: int, causal: bool = True,
               window: Optional[int] = None,
@@ -154,8 +174,12 @@ def mha(x: jax.Array, wq, wk, wv, wo, n_heads: int,
         rep = n_heads // n_kv
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    m = attn_mask(t, t, causal=causal, window=window, n_valid=n_valid)
-    ctx = sdpa(q, k, v, mask=m)
+    if _use_flash_window(t, causal, window, n_valid):
+        from .attn_pallas import flash_sdpa_window
+        ctx = flash_sdpa_window(q, k, v, window=window)
+    else:
+        m = attn_mask(t, t, causal=causal, window=window, n_valid=n_valid)
+        ctx = sdpa(q, k, v, mask=m)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, n_heads * d)
     y = ctx @ wo.T
     if bo is not None:
