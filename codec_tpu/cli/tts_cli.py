@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True)
     p.add_argument("--text", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--backbone", default=None,
+                   help="backbone GGUF (convert_to_gguf.py --type "
+                        "llama_backbone) for codebook-AR kinds")
     p.add_argument("--ref-audio", dest="ref_audio", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=0)
@@ -113,6 +116,54 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
     return pcm, len(latents), stop
 
 
+def run_backbone_synthesize(model, reader, backbone_path, text: str,
+                            seed: int = 0, max_frames: int = 0):
+    """Codebook-AR synthesize with the JAX llama backbone (reference:
+    tts-cli over tts_runner_synthesize → run_codebook_ar,
+    tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113)."""
+    from ..io.gguf import GGUFReader
+    from ..lm.audio_lm import AudioLM
+    from ..lm.backbone import create_backbone
+    from ..lm.prompt_info import build_prompt_info
+    from ..lm.spm import SpmUnigram
+    from ..lm.tts_runner import SamplerChain, run_codebook_ar
+
+    bb = create_backbone(backbone_path)
+    pi = build_prompt_info(reader)
+    if pi.hidden_dim and bb.cfg.hidden != pi.hidden_dim:
+        raise ValueError(f"backbone hidden {bb.cfg.hidden} != "
+                         f"codec.lm hidden {pi.hidden_dim}")
+
+    bb_reader = GGUFReader(backbone_path)
+    spm_b64 = bb_reader.get_str("backbone.tokenizer.spm_b64", "")
+    if not spm_b64:
+        raise ValueError("backbone GGUF has no baked tokenizer "
+                         "(backbone.tokenizer.spm_b64) — re-convert with "
+                         "a tokenizer, or drive codec_tpu.lm.tts_runner "
+                         "directly with token ids")
+    tok = SpmUnigram.from_b64(spm_b64)
+    ids = tok.encode(pi.prompt_prefix + text + pi.prompt_suffix)
+    print(f"backbone: {len(ids)} prompt tokens; "
+          f"hidden={bb.cfg.hidden} layers={bb.cfg.n_layers}")
+
+    audio_lm = AudioLM(reader, codec=model)
+    chain = SamplerChain(seed=seed, temperature=pi.default_temperature,
+                         top_k=pi.default_top_k)
+
+    def sampler(cb_idx, logits):
+        return chain(logits) if cb_idx == 0 else int(logits.argmax())
+
+    max_steps = max_frames if max_frames > 0 else 512
+    res = run_codebook_ar(audio_lm, bb, list(bb.embed_tokens(ids)),
+                          max_steps=max_steps, sampler=sampler)
+    print(f"backbone AR done: {res.n_steps} steps, "
+          f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
+    if res.pcm is None:
+        raise ValueError("no audio frames generated")
+    return res.pcm, res.codes.shape[0], \
+        "eos" if res.stopped_by_eos else "max_frames"
+
+
 def _run(args) -> int:
     from ..io.gguf import GGUFReader
 
@@ -149,12 +200,19 @@ def _run(args) -> int:
         lm = create_lm(reader)
         if lm is None:
             raise ValueError("GGUF has no codec.lm.* adaptor section")
-        if not isinstance(lm, FlowLM):
+        if not isinstance(lm, FlowLM) and not args.backbone:
             raise ValueError(
-                f"synthesize currently covers the self-contained flow_lm "
-                f"path; kind {lm.info.kind!r} needs an external backbone — "
-                f"use codec_tpu.lm.tts_runner with your Backbone")
+                f"kind {lm.info.kind!r} needs a backbone — pass "
+                f"--backbone bb.gguf (flow_lm models are self-contained)")
         model = codec_tpu.load_model(args.model)
+        if not isinstance(lm, FlowLM):
+            pcm, n_frames, stop = run_backbone_synthesize(
+                model, reader, args.backbone, args.text,
+                seed=args.seed, max_frames=args.max_frames)
+            write_wav(args.out, pcm, model.sample_rate)
+            print(f"wrote {args.out}: {pcm.shape[0]} samples "
+                  f"({n_frames} frames, stop={stop})")
+            return 0
         ref = None
         if args.ref_audio:
             x, sr = read_wav(args.ref_audio)

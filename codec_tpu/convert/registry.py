@@ -24,9 +24,10 @@ def known_converters():
 
 
 def _autoload():
-    from . import (bluemagpie, chatterbox, dac, mimi, moss_audio,  # noqa: F401
-                   nemo_nano, neucodec, pocket_tts, qwen3_tts_tokenizer,
-                   snac, soprano, wavtokenizer, xcodec2, xy_tokenizer)
+    from . import (backbone, bluemagpie, chatterbox, dac, mimi,  # noqa: F401
+                   moss_audio, nemo_nano, neucodec, pocket_tts,
+                   qwen3_tts_tokenizer, snac, soprano, wavtokenizer,
+                   xcodec2, xy_tokenizer)
 
 
 _autoload()
