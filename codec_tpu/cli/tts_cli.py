@@ -155,7 +155,7 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
 
     max_steps = max_frames if max_frames > 0 else 512
     res = run_codebook_ar(audio_lm, bb, list(bb.embed_tokens(ids)),
-                          max_steps=max_steps, sampler=sampler)
+                          max_steps=max_steps, sampler=sampler, pi=pi)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
     if res.pcm is None:

@@ -374,6 +374,27 @@ def run_chatterbox(
                            stopped_by_eos=stopped)
 
 
+class RangeConstraint:
+    """GBNF-grammar analog (reference: tts_runner.h:64-73 constrains the
+    backbone sampler so generated tokens stay inside the audio-token
+    vocabulary). Masks every logit outside [start, end) plus `extra` ids
+    (EOS) to -inf before delegating to the wrapped sampler."""
+
+    def __init__(self, sampler: Callable[[np.ndarray], int], start: int,
+                 end: int, extra: Sequence[int] = ()):
+        self.sampler = sampler
+        self.start, self.end = int(start), int(end)
+        self.extra = [int(e) for e in extra if e is not None and e >= 0]
+
+    def __call__(self, logits: np.ndarray) -> int:
+        masked = np.full_like(logits, -np.inf)
+        masked[self.start: self.end] = logits[self.start: self.end]
+        for e in self.extra:
+            if e < len(logits):
+                masked[e] = logits[e]
+        return self.sampler(masked)
+
+
 def run_codebook_ar(
     audio_lm: AudioLM,
     backbone: Backbone,
@@ -382,13 +403,28 @@ def run_codebook_ar(
     sampler: Callable[[int, np.ndarray], int] = greedy_sampler,
     decode: bool = True,
     n_q: int = 0,
+    pi=None,
 ) -> SynthesisResult:
     """Type C/D AR loop (reference: run_codebook_ar, tts_runner.cpp:707).
 
     Per frame: backbone step → codec_lm step machine (begin → logits/sample/
-    push × n_cb → finish) → EOS check → compose next backbone input."""
+    push × n_cb → finish) → EOS check → compose next backbone input.
+
+    `pi` (PromptInfo): when its cb0 speech range is set (MOSS-TTSD — the
+    c0 head is the tied backbone lm_head over the full text vocab), cb0
+    sampling is range-constrained, the analog of the reference's GBNF
+    grammar on the backbone sampler."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
+    if pi is not None and pi.cb0_speech_range_start >= 0 \
+            and pi.cb0_speech_range_end > pi.cb0_speech_range_start:
+        base = sampler
+        rc = RangeConstraint(lambda lg: base(0, lg),
+                             pi.cb0_speech_range_start,
+                             pi.cb0_speech_range_end,
+                             extra=(pi.eos_code_c0,))
+        sampler = lambda cb, lg, _rc=rc, _b=base: \
+            _rc(lg) if cb == 0 else _b(cb, lg)
     audio_lm.reset()
     st = audio_lm.state
 

@@ -145,3 +145,16 @@ def test_sampler_chain():
     s.temperature = 1.0
     s.top_k = 1
     assert s(np.array([1.0, 0.99])) == 1         # 0 penalized below 0.99
+
+
+def test_range_constraint():
+    """GBNF analog: cb0 sampling restricted to the speech range + EOS
+    (reference: tts_runner.h:64-73)."""
+    from codec_tpu.lm.tts_runner import RangeConstraint
+
+    greedy = lambda lg: int(np.argmax(lg))
+    logits = np.array([9.0, 8.0, 1.0, 2.0, 3.0, 7.0], np.float32)
+    # unconstrained argmax = 0; range [2, 5) forces 4; extra id 5 can win
+    assert RangeConstraint(greedy, 2, 5)(logits) == 4
+    assert RangeConstraint(greedy, 2, 5, extra=(5,))(logits) == 5
+    assert RangeConstraint(greedy, 2, 5, extra=(-1, None))(logits) == 4
