@@ -70,6 +70,32 @@ def _bench_decode(cfg, params, batch: int, t_frames: int, n_iters: int = 10):
     return audio_s / wall, wall, compile_s
 
 
+def _bench_generic(decode_fn, params, codes0, out_samples: int,
+                   sample_rate: int, vocab: int, n_iters: int = 10):
+    """Chained-iteration timing for an arbitrary decode fn (same
+    methodology as _bench_decode)."""
+    # params closed over (not a jit argument): these trees carry Python-int
+    # kernel sizes used for static padding math.
+    @jax.jit
+    def chained(codes):
+        def body(i, carry):
+            codes, acc = carry
+            pcm = decode_fn(params, codes)
+            # derive next codes from the output -> serializes iterations
+            nxt = (jnp.abs(pcm[:, : codes.size]).reshape(codes.shape)
+                   * 1e6).astype(jnp.int32) % vocab
+            return nxt, acc + pcm[0, 0]
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (codes, jnp.float32(0)))
+        return acc
+
+    np.asarray(chained(codes0))
+    rtt = _readback_rtt()
+    t0 = time.monotonic()
+    np.asarray(chained(codes0))
+    wall = max(1e-9, (time.monotonic() - t0) - rtt) / n_iters
+    return (out_samples / sample_rate) / wall, wall
+
+
 def main():
     from codec_tpu.models.mimi import MimiConfig
     from codec_tpu.models.mimi_init import random_mimi_params
@@ -85,6 +111,47 @@ def main():
     xrt_f32, wall_f32, compile_s = _bench_decode(cfg, params32, 1, t_frames)
     xrt_bf16_b8, wall_bf16_b8, _ = _bench_decode(cfg, params_bf16, 8, t_frames)
 
+    # DAC / WavTokenizer per-chip xRT (SURVEY §7.8: record Mimi/DAC/WT)
+    from codec_tpu.models.bench_init import (random_dac_decode_params,
+                                             random_wt_decode_params)
+    from codec_tpu.models.dac import dac_decode_fn
+    from codec_tpu.models.wavtokenizer import wt_decode_fn
+
+    rng = np.random.default_rng(0)
+    dcfg, dparams = random_dac_decode_params()
+    t_dac = 24000 * 20 // dcfg.hop_size                 # 20 s of audio
+    dac_codes = jnp.asarray(rng.integers(0, dcfg.codebook_size,
+                                         (1, t_dac, dcfg.n_q)), jnp.int32)
+    xrt_dac, wall_dac = _bench_generic(
+        lambda p, c: dac_decode_fn(p, c, dcfg), dparams, dac_codes,
+        t_dac * dcfg.hop_size, dcfg.sample_rate, dcfg.codebook_size)
+
+    # streaming decode: steady-state latency for one 80 ms frame
+    from codec_tpu.models.mimi import (mimi_decode_stream_init,
+                                       mimi_decode_stream_step)
+
+    sstate = mimi_decode_stream_init(params32, cfg, 1)
+    sstep = jax.jit(
+        lambda p, s, c: mimi_decode_stream_step(p, s, c, cfg),
+        donate_argnums=(1,))
+    c1 = jnp.asarray(rng.integers(0, cfg.codebook_size, (1, 1, cfg.n_q)),
+                     jnp.int32)
+    pcm1, sstate = sstep(params32, sstate, c1)
+    np.asarray(pcm1)
+    t0 = time.monotonic()
+    for _ in range(50):
+        pcm1, sstate = sstep(params32, sstate, c1)
+    np.asarray(pcm1)
+    stream_ms = (time.monotonic() - t0 - _readback_rtt()) / 50 * 1e3
+
+    wcfg, wparams = random_wt_decode_params()
+    t_wt = 24000 * 20 // wcfg.hop_size
+    wt_codes = jnp.asarray(rng.integers(0, wcfg.codebook_size,
+                                        (1, t_wt, 1)), jnp.int32)
+    xrt_wt, wall_wt = _bench_generic(
+        lambda p, c: wt_decode_fn(p, c, wcfg), wparams, wt_codes,
+        t_wt * wcfg.hop_size, wcfg.sample_rate, wcfg.codebook_size)
+
     headline = xrt_f32
     print(json.dumps({
         "metric": "mimi_decode_xrt_per_chip",
@@ -96,6 +163,9 @@ def main():
             "t_frames": t_frames,
             "f32_b1": {"xrt": round(xrt_f32, 1), "wall_ms": round(wall_f32 * 1e3, 2)},
             "bf16_b8_throughput": {"xrt": round(xrt_bf16_b8, 1), "wall_ms": round(wall_bf16_b8 * 1e3, 2)},
+            "dac_f32_b1": {"xrt": round(xrt_dac, 1), "wall_ms": round(wall_dac * 1e3, 2)},
+            "wavtokenizer_f32_b1": {"xrt": round(xrt_wt, 1), "wall_ms": round(wall_wt * 1e3, 2)},
+            "streaming_frame_latency_ms": round(stream_ms, 2),
             "first_compile_s": round(compile_s, 1),
         },
     }))

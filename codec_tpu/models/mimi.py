@@ -255,3 +255,125 @@ def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
         acu = x @ params["acu_ip"].T
         parts.append(rvq.rvq_encode(acu, params["cb_acu"][: n_q - n_sem]))
     return jnp.concatenate(parts, axis=-1)                 # [B, T, n_q]
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) decode
+# ---------------------------------------------------------------------------
+# The reference decodes whole sequences per call; frame-level streaming is
+# the TPU-native upgrade (SURVEY §7 "hard parts"): carried causal-conv
+# tails + a sliding-window KV cache make chunked decode bit-identical to a
+# full-sequence call, with one compiled step graph per chunk size.
+
+def _transformer_stream(x: jax.Array, tp: Dict[str, jax.Array],
+                        cfg: MimiConfig, kv: jax.Array, pos0: jax.Array):
+    """x: [B, Tc, C]; kv: [L, 2, B, H, W-1, Dh] (post-rope keys / values for
+    the last window-1 absolute positions; slots for negative positions are
+    masked). Returns (y, new_kv)."""
+    b, tc, c = x.shape
+    w1 = kv.shape[4]
+    d = cfg.head_dim
+    qpos = pos0 + jnp.arange(tc)
+    kpos = pos0 - w1 + jnp.arange(w1 + tc)
+    ok = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] >= 0)
+    if cfg.window:
+        ok &= kpos[None, :] > qpos[:, None] - cfg.window
+    mask = jnp.where(ok, 0.0, -1e30)
+
+    def layer(xb, inp):
+        lw, kv_l = inp
+        h = norms.layer_norm(xb, lw["inln_w"], lw["inln_b"], cfg.norm_eps)
+        q = (h @ lw["q_w"].T).reshape(b, tc, cfg.n_heads, d).transpose(0, 2, 1, 3)
+        k = (h @ lw["k_w"].T).reshape(b, tc, cfg.n_heads, d).transpose(0, 2, 1, 3)
+        v = (h @ lw["v_w"].T).reshape(b, tc, cfg.n_heads, d).transpose(0, 2, 1, 3)
+        q = rope.apply_rope(q, positions=qpos, theta=cfg.rope_theta,
+                            freq_scale=cfg.freq_scale, neox=True)
+        k = rope.apply_rope(k, positions=qpos, theta=cfg.rope_theta,
+                            freq_scale=cfg.freq_scale, neox=True)
+        k_ctx = jnp.concatenate([kv_l[0], k], axis=2)
+        v_ctx = jnp.concatenate([kv_l[1], v], axis=2)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_ctx,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (d ** -0.5) + mask[None, None]
+        wts = jax.nn.softmax(logits.astype(jnp.float32),
+                             axis=-1).astype(v_ctx.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", wts, v_ctx)
+        a = ctx.transpose(0, 2, 1, 3).reshape(b, tc, cfg.n_heads * d) @ lw["o_w"].T
+        xb = xb + a * lw["sa_scale"]
+        m = norms.layer_norm(xb, lw["paln_w"], lw["paln_b"], cfg.norm_eps)
+        m = act.gelu_erf(m @ lw["fc1_w"].T) @ lw["fc2_w"].T
+        xb = xb + m * lw["mlp_scale"]
+        kv_new = jnp.stack([k_ctx[:, :, -w1:], v_ctx[:, :, -w1:]])
+        return xb, kv_new
+
+    x, kv = jax.lax.scan(layer, x, (tp, kv))
+    return x, kv
+
+
+def mimi_decode_stream_init(params: Dict[str, Any], cfg: MimiConfig,
+                            batch: int = 1, dtype=jnp.float32) -> Dict[str, Any]:
+    """Zero state for chunked decode (reference has no streaming analog)."""
+    def cst(layer, stride=1):
+        k, cin = layer["w"].shape[0], layer["w"].shape[1]
+        return conv.conv1d_causal_stream_init(batch, cin, k, stride, dtype=dtype)
+
+    def tst(layer, stride):
+        k, cout = layer["w"].shape[0], layer["w"].shape[2]
+        return conv.convtr1d_causal_stream_init(batch, cout, k, stride, dtype=dtype)
+
+    w1 = (cfg.window or 1) - 1
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "up": tst(params["up"], 2),
+        "kv": jnp.zeros((cfg.n_layers, 2, batch, cfg.n_heads, w1,
+                         cfg.head_dim), dtype),
+        "l0": cst(params["dec_l0"]),
+        "stages": [{"tr": tst(s["tr"], st),
+                    "r1": cst(s["r1"]), "r2": cst(s["r2"])}
+                   for s, st in zip(params["dec_stages"], DEC_UP_STRIDES)],
+        "l14": cst(params["dec_l14"]),
+    }
+
+
+def mimi_decode_stream_step(params: Dict[str, Any], state: Dict[str, Any],
+                            codes: jax.Array, cfg: MimiConfig,
+                            n_q: Optional[int] = None):
+    """codes [B, Tc, Q] → (pcm [B, Tc*hop], new state). Chunk-exact vs
+    mimi_decode_fn on the concatenated stream."""
+    if n_q is None:
+        n_q = codes.shape[-1]
+    codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
+    n_sem = min(cfg.n_sem, n_q)
+    x = rvq.rvq_decode_sum(codes[..., :n_sem], params["cb_sem"], n_q=n_sem)
+    x = x @ params["sem_op"].T
+    if n_q > n_sem:
+        a = rvq.rvq_decode_sum(codes[..., n_sem:n_q], params["cb_acu"],
+                               n_q=n_q - n_sem)
+        x = x + a @ params["acu_op"].T
+
+    ns = {"stages": []}
+    x, ns["up"] = conv.convtr1d_causal_stream(x, params["up"]["w"], None,
+                                              state["up"], stride=2)
+    x, ns["kv"] = _transformer_stream(x, params["dtr"], cfg, state["kv"],
+                                      state["pos"])
+    ns["pos"] = state["pos"] + x.shape[1]
+    x, ns["l0"] = conv.conv1d_causal_stream(x, params["dec_l0"]["w"],
+                                            params["dec_l0"]["b"], state["l0"])
+    for st, (stage, stride) in zip(state["stages"],
+                                   zip(params["dec_stages"], DEC_UP_STRIDES)):
+        nst = {}
+        x = act.elu(x)
+        x, nst["tr"] = conv.convtr1d_causal_stream(
+            x, stage["tr"]["w"], stage["tr"]["b"], st["tr"], stride=stride)
+        h = act.elu(x)
+        h, nst["r1"] = conv.conv1d_causal_stream(h, stage["r1"]["w"],
+                                                 stage["r1"]["b"], st["r1"])
+        h = act.elu(h)
+        h, nst["r2"] = conv.conv1d_causal_stream(h, stage["r2"]["w"],
+                                                 stage["r2"]["b"], st["r2"])
+        x = x + h
+        ns["stages"].append(nst)
+    x = act.elu(x)
+    x, ns["l14"] = conv.conv1d_causal_stream(x, params["dec_l14"]["w"],
+                                             params["dec_l14"]["b"], state["l14"])
+    return x[..., 0], ns

@@ -5,6 +5,7 @@ codec_mimi_decode_with (src/models/mimi.cpp:1028-1272)."""
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..io.gguf import GGUFReader
 from ..runtime.model import CodecModel
@@ -30,3 +31,52 @@ class MimiCodec(CodecModel):
 
     def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
         return mimi_encode_fn(self.params, pcm, self.cfg, n_q=n_q)
+
+    def streaming_decoder(self, n_q: int = 0, batch: int = 1):
+        """Open a frame-streaming decode session (chunk-exact vs decode())."""
+        if not self.has_decoder:
+            raise ValueError("mimi: model has no decoder")
+        return MimiStreamingDecoder(self, n_q=n_q, batch=batch)
+
+
+class MimiStreamingDecoder:
+    """Frame-streaming decode session: push code chunks, receive PCM with
+    codec-latency only. Chunk-exact vs full-sequence decode; one compiled
+    step per chunk size, state donated so XLA updates KV/conv carries in
+    place. (The reference has no streaming path — SURVEY §7 lists carried
+    conv state as the "harder but better" TPU answer to its per-length
+    graph rebuilds.)"""
+
+    def __init__(self, model: "MimiCodec", n_q: int = 0, batch: int = 1):
+        from .mimi import mimi_decode_stream_init, mimi_decode_stream_step
+
+        self.model = model
+        self.n_q = n_q if n_q > 0 else model.n_q
+        self.batch = batch
+        self.state = mimi_decode_stream_init(model.params, model.cfg, batch,
+                                             dtype=model.compute_dtype)
+        cfg, nq = model.cfg, self.n_q
+
+        self._step = jax.jit(
+            lambda p, s, c: mimi_decode_stream_step(p, s, c, cfg, n_q=nq),
+            donate_argnums=(1,))
+
+    def push(self, codes) -> "np.ndarray":
+        """codes [Tc, n_q] or [B, Tc, n_q] int → pcm [(B,) Tc*hop]."""
+        import numpy as np
+
+        codes = np.asarray(codes, np.int32)
+        squeeze = codes.ndim == 2
+        if squeeze:
+            codes = codes[None]
+        pcm, self.state = self._step(self.model.params, self.state,
+                                     jnp.asarray(codes))
+        pcm = np.asarray(pcm)
+        return pcm[0] if squeeze else pcm
+
+    def reset(self) -> None:
+        from .mimi import mimi_decode_stream_init
+
+        self.state = mimi_decode_stream_init(
+            self.model.params, self.model.cfg, self.batch,
+            dtype=self.model.compute_dtype)

@@ -169,3 +169,53 @@ def prepare_convtr_weight(w_iok) -> jax.Array:
     [K, C_in, C_out] for convtr1d's dilated-conv formulation."""
     w = jnp.asarray(w_iok)
     return w[:, :, ::-1].transpose(2, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) causal variants
+# ---------------------------------------------------------------------------
+# The reference engine is non-streaming per call (SURVEY §7 "hard parts":
+# streaming chunked decode with carried conv state is "the harder but better
+# answer"). These wrappers make causal stacks chunk-exact: feeding chunks
+# whose length is a multiple of `stride` produces bit-identical output to
+# one full-sequence call.
+
+def conv1d_causal_stream(x, w, b, carry, stride: int = 1, dilation: int = 1,
+                         groups: int = 1):
+    """Chunked conv1d_causal. carry: [B, k_eff - stride, C_in] (zeros at
+    stream start — equals the causal left-pad). Returns (y, new_carry).
+    Chunk length must be a multiple of `stride`."""
+    xc = jnp.concatenate([carry, x], axis=1)
+    y = conv1d(xc, w, b, stride=stride, dilation=dilation, groups=groups)
+    tail = (w.shape[0] - 1) * dilation + 1 - stride
+    new_carry = xc[:, xc.shape[1] - tail:] if tail > 0 else xc[:, :0]
+    return y, new_carry
+
+
+def conv1d_causal_stream_init(batch: int, c_in: int, k: int, stride: int = 1,
+                              dilation: int = 1, dtype=jnp.float32):
+    tail = (k - 1) * dilation + 1 - stride
+    return jnp.zeros((batch, max(tail, 0), c_in), dtype)
+
+
+def convtr1d_causal_stream(x, w, b, carry, stride: int = 1):
+    """Chunked convtr1d_causal. carry: [B, k - stride, C_out] overlap tail
+    (zeros at stream start). The bias lands exactly once per emitted sample
+    (the carried tail is bias-free). Returns (y [B, T*stride, C], carry)."""
+    y = convtr1d(x, w, None, stride=stride)
+    t_out = x.shape[1] * stride
+    tail = max(0, w.shape[0] - stride)
+    out = y[:, :t_out]
+    if tail > 0:
+        out = out.at[:, :tail].add(carry)
+        new_carry = y[:, t_out:]
+    else:
+        new_carry = y[:, :0]
+    if b is not None:
+        out = out + b
+    return out, new_carry
+
+
+def convtr1d_causal_stream_init(batch: int, c_out: int, k: int,
+                                stride: int = 1, dtype=jnp.float32):
+    return jnp.zeros((batch, max(k - stride, 0), c_out), dtype)

@@ -135,3 +135,35 @@ def test_bucketing_consistency(tiny_mimi):
     full = ours.decode(codes)
     short = ours.decode(codes[:10])
     np.testing.assert_allclose(short, full[: 10 * 1920], rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_decode_matches_full(tiny_mimi):
+    """Chunked streaming decode == full-sequence decode (carried conv
+    tails + sliding-window KV; reference has no streaming path)."""
+    _, ours, cfg = tiny_mimi
+    rng = np.random.default_rng(5)
+    t = 24
+    codes = rng.integers(0, cfg.codebook_size, (t, cfg.num_quantizers)).astype(np.int32)
+    want = ours.decode(codes)
+
+    for chunk in (1, 3, 8):
+        dec = ours.streaming_decoder()
+        got = np.concatenate([dec.push(codes[i:i + chunk])
+                              for i in range(0, t, chunk)])
+        err = np.abs(got - want).max()
+        assert err < 2e-5, f"chunk={chunk}: max err {err}"
+
+
+def test_streaming_decoder_reset_and_batch(tiny_mimi):
+    _, ours, cfg = tiny_mimi
+    rng = np.random.default_rng(6)
+    codes = rng.integers(0, cfg.codebook_size, (2, 6, cfg.num_quantizers)).astype(np.int32)
+    want = ours.decode(codes)
+    dec = ours.streaming_decoder(batch=2)
+    a = dec.push(codes[:, :4])
+    b = dec.push(codes[:, 4:])
+    got = np.concatenate([a, b], axis=1)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    dec.reset()
+    a2 = dec.push(codes[:, :4])
+    np.testing.assert_allclose(a2, a, atol=1e-6)
