@@ -264,6 +264,12 @@ def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
 # the TPU-native upgrade (SURVEY §7 "hard parts"): carried causal-conv
 # tails + a sliding-window KV cache make chunked decode bit-identical to a
 # full-sequence call, with one compiled step graph per chunk size.
+# (On TPU, matmuls outside the HIGHEST-pinned RVQ scores run at DEFAULT
+# precision, so chunked-vs-full latents can differ by float-reorder noise;
+# with random bench weights that flips a few near-tie encode codes, while
+# CPU parity-fixture tests are bit-exact and trained checkpoints have wide
+# argmin margins. Measured v5e steady state: decode 2.8 ms and encode
+# 1.35 ms per 80 ms frame.)
 
 def _transformer_stream(x: jax.Array, tp: Dict[str, jax.Array],
                         cfg: MimiConfig, kv: jax.Array, pos0: jax.Array):
@@ -377,3 +383,69 @@ def mimi_decode_stream_step(params: Dict[str, Any], state: Dict[str, Any],
     x, ns["l14"] = conv.conv1d_causal_stream(x, params["dec_l14"]["w"],
                                              params["dec_l14"]["b"], state["l14"])
     return x[..., 0], ns
+
+
+def mimi_encode_stream_init(params: Dict[str, Any], cfg: MimiConfig,
+                            batch: int = 1, dtype=jnp.float32) -> Dict[str, Any]:
+    """Zero state for chunked encode (chunks of a multiple of hop_size)."""
+    def cst(layer, stride=1):
+        k, cin = layer["w"].shape[0], layer["w"].shape[1]
+        return conv.conv1d_causal_stream_init(batch, cin, k, stride, dtype=dtype)
+
+    w1 = (cfg.window or 1) - 1
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "l0": cst(params["enc_l0"]),
+        "stages": [{"r1": cst(s["r1"]), "r2": cst(s["r2"]),
+                    "dn": cst(s["dn"], st)}
+                   for s, st in zip(params["enc_stages"], (4, 5, 6, 8))],
+        "l14": cst(params["enc_l14"]),
+        "kv": jnp.zeros((cfg.n_layers, 2, batch, cfg.n_heads, w1,
+                         cfg.head_dim), dtype),
+        "dn": cst(params["dn"], 2),
+    }
+
+
+def mimi_encode_stream_step(params: Dict[str, Any], state: Dict[str, Any],
+                            pcm: jax.Array, cfg: MimiConfig,
+                            n_q: Optional[int] = None):
+    """pcm [B, Tc] (Tc a multiple of hop_size) → (codes [B, Tc/hop, n_q],
+    new state). Chunk-exact vs mimi_encode_fn."""
+    if n_q is None:
+        n_q = cfg.n_q
+    x = pcm[..., None]
+    ns: Dict[str, Any] = {"stages": []}
+    x, ns["l0"] = conv.conv1d_causal_stream(x, params["enc_l0"]["w"],
+                                            params["enc_l0"]["b"], state["l0"])
+    for st, (stage, stride) in zip(state["stages"],
+                                   zip(params["enc_stages"], (4, 5, 6, 8))):
+        nst = {}
+        h = act.elu(x)
+        h, nst["r1"] = conv.conv1d_causal_stream(h, stage["r1"]["w"],
+                                                 stage["r1"]["b"], st["r1"])
+        h = act.elu(h)
+        h, nst["r2"] = conv.conv1d_causal_stream(h, stage["r2"]["w"],
+                                                 stage["r2"]["b"], st["r2"])
+        x = x + h
+        x = act.elu(x)
+        x, nst["dn"] = conv.conv1d_causal_stream(x, stage["dn"]["w"],
+                                                 stage["dn"]["b"], st["dn"],
+                                                 stride=stride)
+        ns["stages"].append(nst)
+    x = act.elu(x)
+    x, ns["l14"] = conv.conv1d_causal_stream(x, params["enc_l14"]["w"],
+                                             params["enc_l14"]["b"], state["l14"])
+
+    x, ns["kv"] = _transformer_stream(x, params["etr"], cfg, state["kv"],
+                                      state["pos"])
+    ns["pos"] = state["pos"] + x.shape[1]
+    x, ns["dn"] = conv.conv1d_causal_stream_replicate(
+        x, params["dn"]["w"], None, state["dn"], state["pos"] == 0, stride=2)
+
+    n_sem = min(cfg.n_sem, n_q)
+    sem = x @ params["sem_ip"].T
+    parts = [rvq.rvq_encode(sem, params["cb_sem"][:n_sem])]
+    if n_q > n_sem:
+        acu = x @ params["acu_ip"].T
+        parts.append(rvq.rvq_encode(acu, params["cb_acu"][: n_q - n_sem]))
+    return jnp.concatenate(parts, axis=-1), ns

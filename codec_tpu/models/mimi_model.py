@@ -38,6 +38,11 @@ class MimiCodec(CodecModel):
             raise ValueError("mimi: model has no decoder")
         return MimiStreamingDecoder(self, n_q=n_q, batch=batch)
 
+    def streaming_encoder(self, n_q: int = 0, batch: int = 1):
+        if not self.has_encoder:
+            raise ValueError("mimi: model has no encoder")
+        return MimiStreamingEncoder(self, n_q=n_q, batch=batch)
+
 
 class MimiStreamingDecoder:
     """Frame-streaming decode session: push code chunks, receive PCM with
@@ -78,5 +83,46 @@ class MimiStreamingDecoder:
         from .mimi import mimi_decode_stream_init
 
         self.state = mimi_decode_stream_init(
+            self.model.params, self.model.cfg, self.batch,
+            dtype=self.model.compute_dtype)
+
+
+class MimiStreamingEncoder:
+    """Frame-streaming encode session: push PCM chunks (multiples of
+    hop_size), receive codes — the realtime-conversation direction
+    (Moshi-style). Chunk-exact vs encode()."""
+
+    def __init__(self, model: "MimiCodec", n_q: int = 0, batch: int = 1):
+        from .mimi import mimi_encode_stream_init, mimi_encode_stream_step
+
+        self.model = model
+        self.n_q = n_q if n_q > 0 else model.n_q
+        self.batch = batch
+        self.state = mimi_encode_stream_init(model.params, model.cfg, batch,
+                                             dtype=model.compute_dtype)
+        cfg, nq = model.cfg, self.n_q
+        self._step = jax.jit(
+            lambda p, s, x: mimi_encode_stream_step(p, s, x, cfg, n_q=nq),
+            donate_argnums=(1,))
+
+    def push(self, pcm) -> "np.ndarray":
+        import numpy as np
+
+        pcm = np.asarray(pcm, np.float32)
+        squeeze = pcm.ndim == 1
+        if squeeze:
+            pcm = pcm[None]
+        if pcm.shape[1] % self.model.hop_size:
+            raise ValueError(f"chunk length {pcm.shape[1]} not a multiple "
+                             f"of hop_size {self.model.hop_size}")
+        codes, self.state = self._step(self.model.params, self.state,
+                                       jnp.asarray(pcm))
+        codes = np.asarray(codes)
+        return codes[0] if squeeze else codes
+
+    def reset(self) -> None:
+        from .mimi import mimi_encode_stream_init
+
+        self.state = mimi_encode_stream_init(
             self.model.params, self.model.cfg, self.batch,
             dtype=self.model.compute_dtype)

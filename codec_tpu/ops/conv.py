@@ -219,3 +219,16 @@ def convtr1d_causal_stream(x, w, b, carry, stride: int = 1):
 def convtr1d_causal_stream_init(batch: int, c_out: int, k: int,
                                 stride: int = 1, dtype=jnp.float32):
     return jnp.zeros((batch, max(k - stride, 0), c_out), dtype)
+
+
+def conv1d_causal_stream_replicate(x, w, b, carry, first, stride: int = 1,
+                                   dilation: int = 1):
+    """Chunked conv1d_causal(pad_mode="replicate"): on the first chunk the
+    left pad replicates the first sample (edge padding); afterwards the
+    carry holds real history. `first`: traced bool scalar."""
+    tail = (w.shape[0] - 1) * dilation + 1 - stride
+    if tail > 0:
+        edge = jnp.repeat(x[:, :1], tail, axis=1)
+        carry = jnp.where(first, edge, carry)
+    return conv1d_causal_stream(x, w, b, carry, stride=stride,
+                                dilation=dilation)

@@ -167,3 +167,27 @@ def test_streaming_decoder_reset_and_batch(tiny_mimi):
     dec.reset()
     a2 = dec.push(codes[:, :4])
     np.testing.assert_allclose(a2, a, atol=1e-6)
+
+
+def test_streaming_encode_matches_full(tiny_mimi):
+    """Chunked streaming encode emits the same codes as full encode
+    (incl. the replicate-pad stride-2 downsample's first-chunk edge pad)."""
+    _, ours, cfg = tiny_mimi
+    rng = np.random.default_rng(7)
+    hop = ours.hop_size
+    n = hop * 12
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    want = ours.encode(pcm)
+
+    for chunk in (hop, 3 * hop, 5 * hop):
+        enc = ours.streaming_encoder()
+        got = np.concatenate([enc.push(pcm[i:i + chunk])
+                              for i in range(0, n, chunk)
+                              if i + chunk <= n or (n - i) % hop == 0])
+        m = min(len(got), len(want))
+        mism = int((got[:m] != want[:m]).sum())
+        assert mism == 0, f"chunk={chunk}: {mism} code mismatches"
+
+    enc = ours.streaming_encoder()
+    with pytest.raises(ValueError):
+        enc.push(pcm[: hop + 7])
