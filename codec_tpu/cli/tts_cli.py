@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import math
 import sys
+import time
 
 import numpy as np
 
@@ -49,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--stream", action="store_true",
+                   help="vocode each AR frame through the streaming decoder "
+                        "as it is generated (reports time-to-first-audio)")
     return ap
 
 
@@ -70,9 +74,14 @@ def flow_prepare_text(text: str):
 
 def run_flow_synthesize(model, lm, text: str, seed: int = 0,
                         ref_pcm=None, max_frames: int = 0,
-                        min_len: int = 0):
+                        min_len: int = 0, stream: bool = False):
     """Self-contained FlowLM synthesize (reference:
-    tts_runner_synthesize_selfcontained). → (pcm, n_frames, stop_reason)."""
+    tts_runner_synthesize_selfcontained). → (pcm, n_frames, stop_reason).
+
+    stream=True vocodes each frame through the chunk-exact streaming
+    decoder as the AR loop emits it (time-to-first-audio = one AR step +
+    one vocoder step, instead of the full utterance) — no reference
+    analog; the reference decodes the whole latent sequence at the end."""
     text, fae_guess = flow_prepare_text(text)
     fae_guess += 2                                       # reference adds +2
     ids = lm.tokenize(text)
@@ -94,7 +103,11 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     noise_std = math.sqrt(lm.temperature)
+    dec = model.streaming_decoder() if stream else None
+    t_start = time.monotonic()
+    ttfa = None
     latents = []
+    chunks = []
     prev = None
     eos_step = -1
     stop = "max_frames"
@@ -106,13 +119,24 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
         if eos_step >= 0 and step >= eos_step + fae:
             stop = "eos_head"
             break
-        latents.append(lm.denorm_latent(lat))
+        frame = lm.denorm_latent(lat)
+        latents.append(frame)
+        if dec is not None:
+            chunks.append(dec.push(frame[None]))
+            if ttfa is None:
+                ttfa = time.monotonic() - t_start
         prev = lat
     print(f"flow_lm: AR done: {len(latents)} frames, eos_step={eos_step}, "
           f"stop={stop}")
     if not latents:
         raise ValueError("flow_lm: no frames generated")
-    pcm = model.decode_latent(np.stack(latents))
+    if dec is not None:
+        print(f"flow_lm: streaming vocoder — time-to-first-audio "
+              f"{ttfa * 1e3:.0f} ms ({model.hop_size / model.sample_rate * 1e3:.0f} ms "
+              f"of audio per frame)")
+        pcm = np.concatenate(chunks)
+    else:
+        pcm = model.decode_latent(np.stack(latents))
     return pcm, len(latents), stop
 
 
@@ -221,7 +245,8 @@ def _run(args) -> int:
             ref = to_mono(x)
         pcm, n_frames, stop = run_flow_synthesize(
             model, lm, args.text, seed=args.seed, ref_pcm=ref,
-            max_frames=args.max_frames, min_len=args.min_len)
+            max_frames=args.max_frames, min_len=args.min_len,
+            stream=args.stream)
         write_wav(args.out, pcm, model.sample_rate)
         print(f"wrote {args.out}: {pcm.shape[0]} samples "
               f"({n_frames} frames, stop={stop})")

@@ -206,6 +206,13 @@ class PocketMimiCodec(CodecModel):
         pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
         return pcm[0] if squeeze else pcm
 
+    def streaming_decoder(self, batch: int = 1) -> "PocketStreamingDecoder":
+        """Open a latent-streaming vocoder session (chunk-exact vs
+        decode_latent; realtime-TTS path)."""
+        if not self.has_decoder:
+            raise CodecError("pocket_mimi: model has no decoder")
+        return PocketStreamingDecoder(self, batch=batch)
+
     def encode_latent(self, pcm) -> np.ndarray:
         """PCM → continuous latent mu (reference: codec_pocket_mimi_encode)."""
         pcm = np.asarray(pcm, dtype=np.float32)
@@ -223,3 +230,136 @@ class PocketMimiCodec(CodecModel):
 
     def encode(self, pcm, n_q: int = 0):
         raise CodecError("Pocket-Mimi encode produces a continuous latent; use encode_latent")
+
+
+# ---------------------------------------------------------------------------
+# Streaming (chunked) latent decode — the realtime-TTS vocoder direction:
+# the FlowLM emits one 32-d latent per 80 ms frame; pushing each frame
+# through this path gives time-to-first-audio of one step instead of
+# waiting for the full utterance. Chunk-exact vs pocket_decode_latent_fn.
+# ---------------------------------------------------------------------------
+
+def _transformer_stream_list(x, layers, cfg: PocketMimiConfig, kv, pos0):
+    """Unrolled-layer streaming attention (rope NORMAL, window tf_context).
+    kv: [L, 2, B, H, W-1, D]."""
+    b, tc, _ = x.shape
+    w1 = kv.shape[4]
+    d = cfg.tf_head_dim
+    window = cfg.tf_context if cfg.tf_context > 0 else None
+    qpos = pos0 + jnp.arange(tc)
+    kpos = pos0 - w1 + jnp.arange(w1 + tc)
+    ok = (kpos[None, :] <= qpos[:, None]) & (kpos[None, :] >= 0)
+    if window:
+        ok &= kpos[None, :] > qpos[:, None] - window
+    mask = jnp.where(ok, 0.0, -1e30)
+
+    new_kv = []
+    for li, lw in enumerate(layers):
+        h = norms.layer_norm(x, lw["inln_w"], lw["inln_b"], 1e-5)
+        q = (h @ lw["q_w"].T).reshape(b, tc, cfg.tf_heads, d).transpose(0, 2, 1, 3)
+        k = (h @ lw["k_w"].T).reshape(b, tc, cfg.tf_heads, d).transpose(0, 2, 1, 3)
+        v = (h @ lw["v_w"].T).reshape(b, tc, cfg.tf_heads, d).transpose(0, 2, 1, 3)
+        q = rope.apply_rope(q, positions=qpos, theta=cfg.tf_max_period, neox=False)
+        k = rope.apply_rope(k, positions=qpos, theta=cfg.tf_max_period, neox=False)
+        k_ctx = jnp.concatenate([kv[li, 0], k], axis=2)
+        v_ctx = jnp.concatenate([kv[li, 1], v], axis=2)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_ctx,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (d ** -0.5) + mask[None, None]
+        wts = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v_ctx.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", wts, v_ctx)
+        a = ctx.transpose(0, 2, 1, 3).reshape(b, tc, cfg.tf_heads * d) @ lw["o_w"].T
+        x = x + a * lw["sa"]
+        m = norms.layer_norm(x, lw["paln_w"], lw["paln_b"], 1e-5)
+        m = act.gelu_erf(m @ lw["fc1"].T) @ lw["fc2"].T
+        x = x + m * lw["mlp"]
+        new_kv.append(jnp.stack([k_ctx[:, :, -w1:], v_ctx[:, :, -w1:]]))
+    return x, jnp.stack(new_kv)
+
+
+def pocket_decode_stream_init(params, cfg: PocketMimiConfig, batch: int = 1,
+                              dtype=jnp.float32):
+    def cst(layer, stride=1):
+        k, cin = layer["w"].shape[0], layer["w"].shape[1]
+        return conv.conv1d_causal_stream_init(batch, cin, k, stride, dtype=dtype)
+
+    def tst(layer, stride):
+        k, cout = layer["w"].shape[0], layer["w"].shape[2]
+        return conv.convtr1d_causal_stream_init(batch, cout, k, stride, dtype=dtype)
+
+    d = params["dec"]
+    w1 = (cfg.tf_context if cfg.tf_context > 0 else 1) - 1
+    return {
+        "pos": jnp.zeros((), jnp.int32),
+        "up": tst(params["upsample"], cfg.resample_stride),
+        "kv": jnp.zeros((cfg.tf_layers, 2, batch, cfg.tf_heads, w1,
+                         cfg.tf_head_dim), dtype),
+        "l0": cst(d["l0"]),
+        "stages": [{"tr": tst(s["tr"], st), "c1": cst(s["c1"]),
+                    "c2": cst(s["c2"])}
+                   for s, st in zip(d["stages"], cfg.decoder_ratios)],
+        "l11": cst(d["l11"]),
+    }
+
+
+def pocket_decode_stream_step(params, state, latent: jax.Array,
+                              cfg: PocketMimiConfig):
+    """latent [B, Tc, 32] → (pcm [B, Tc*hop], new state)."""
+    x = conv.conv1d(latent, params["out_proj"]["w"], None)
+    ns = {"stages": []}
+    x, ns["up"] = conv.convtr1d_causal_stream(
+        x, params["upsample"]["w"], None, state["up"], stride=cfg.resample_stride)
+    x, ns["kv"] = _transformer_stream_list(x, params["dtr"], cfg,
+                                           state["kv"], state["pos"])
+    ns["pos"] = state["pos"] + x.shape[1]
+    d = params["dec"]
+    x, ns["l0"] = conv.conv1d_causal_stream(x, d["l0"]["w"], d["l0"]["b"],
+                                            state["l0"])
+    for st, (stage, stride) in zip(state["stages"],
+                                   zip(d["stages"], cfg.decoder_ratios)):
+        nst = {}
+        x = act.elu(x)
+        x, nst["tr"] = conv.convtr1d_causal_stream(
+            x, stage["tr"]["w"], stage["tr"]["b"], st["tr"], stride=stride)
+        h = act.elu(x)
+        h, nst["c1"] = conv.conv1d_causal_stream(h, stage["c1"]["w"],
+                                                 stage["c1"]["b"], st["c1"])
+        h = act.elu(h)
+        h, nst["c2"] = conv.conv1d_causal_stream(h, stage["c2"]["w"],
+                                                 stage["c2"]["b"], st["c2"])
+        x = x + h
+        ns["stages"].append(nst)
+    x = act.elu(x)
+    x, ns["l11"] = conv.conv1d_causal_stream(x, d["l11"]["w"], d["l11"]["b"],
+                                             state["l11"])
+    return x[..., 0], ns
+
+
+class PocketStreamingDecoder:
+    """Push latent frames [Tc, 32], receive PCM — the realtime-TTS vocoder
+    session. Chunk-exact vs decode_latent()."""
+
+    def __init__(self, model: "PocketMimiCodec", batch: int = 1):
+        self.model = model
+        self.batch = batch
+        self.state = pocket_decode_stream_init(model.params, model.cfg,
+                                               batch, dtype=model.compute_dtype)
+        cfg = model.cfg
+        self._step = jax.jit(
+            lambda p, s, z: pocket_decode_stream_step(p, s, z, cfg),
+            donate_argnums=(1,))
+
+    def push(self, latent) -> np.ndarray:
+        latent = np.asarray(latent, np.float32)
+        squeeze = latent.ndim == 2
+        if squeeze:
+            latent = latent[None]
+        pcm, self.state = self._step(self.model.params, self.state,
+                                     jnp.asarray(latent))
+        pcm = np.asarray(pcm)
+        return pcm[0] if squeeze else pcm
+
+    def reset(self) -> None:
+        self.state = pocket_decode_stream_init(
+            self.model.params, self.model.cfg, self.batch,
+            dtype=self.model.compute_dtype)

@@ -226,3 +226,20 @@ def test_encode_latent_parity(tiny_pocket):
     assert got.shape == want.shape
     err = np.abs(got - want).max()
     assert err < 1e-3, f"err={err}"
+
+
+def test_streaming_decode_latent_matches_full(tiny_pocket):
+    """Latent-streaming vocoder == full decode_latent (realtime-TTS path;
+    no reference analog — the reference decodes whole sequences)."""
+    _, ours = tiny_pocket
+    rng = np.random.default_rng(9)
+    t = 9
+    z = (rng.standard_normal((t, ours.latent_dim)) * 0.5).astype(np.float32)
+    want = ours.decode_latent(z)
+    for chunk in (1, 4):
+        dec = ours.streaming_decoder()
+        got = np.concatenate([dec.push(z[i:i + chunk])
+                              for i in range(0, t, chunk)])
+        m = min(len(got), len(want))
+        err = np.abs(got[:m] - want[:m]).max()
+        assert err < 2e-5, f"chunk={chunk}: err {err}"
