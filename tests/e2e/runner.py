@@ -158,8 +158,159 @@ def _build_snac():
                 ref_decode=ref_decode)
 
 
+def _build_soprano():
+    import torch
+    from test_soprano_parity import (DIM, DWK, HOP, INTER, LAT, LAYERS,
+                                     N_FFT, UPSCALE, make_sd, torch_decode)
+
+    sd = make_sd()
+
+    def ref_decode_latent(latent):                      # [T, LAT]
+        with torch.no_grad():
+            return torch_decode(
+                sd, torch.from_numpy(latent)[None]).numpy()[0]
+
+    return dict(converter="soprano",
+                sd={k: v.numpy() for k, v in sd.items()},
+                cfg={"sample_rate": 32000, "hop_size": HOP, "n_fft": N_FFT,
+                     "latent_dim": LAT, "decoder_dim": DIM,
+                     "intermediate_dim": INTER, "num_layers": LAYERS,
+                     "upscale": UPSCALE, "dw_kernel": DWK},
+                sample_rate=32000, latent_dim=LAT,
+                ref_decode_latent=ref_decode_latent)
+
+
+def _build_neucodec():
+    import torch
+    from test_neucodec_parity import HOP, N_FFT, V, TorchNeu
+    from test_neucodec_parity import CBD, HD_, HID, NH, NL, VQD
+
+    ref = TorchNeu()
+
+    def ref_decode(codes):                              # [T, 1] int
+        with torch.no_grad():
+            t = codes.shape[0]
+            head = ref.decode_head(torch.from_numpy(
+                codes[:, 0].astype(np.int64))[None])
+            n_bins = N_FFT // 2 + 1
+            mag = torch.clamp(torch.exp(head[..., :n_bins]), max=1e2)
+            S = mag * torch.exp(1j * head[..., n_bins:])
+            frames = torch.fft.irfft(S, N_FFT, dim=-1)
+            win = torch.hann_window(N_FFT)
+            frames = frames * win
+            y = torch.zeros(1, (t - 1) * HOP + N_FFT)
+            env = torch.zeros_like(y)
+            for i in range(t):
+                y[:, i * HOP: i * HOP + N_FFT] += frames[:, i]
+                env[:, i * HOP: i * HOP + N_FFT] += win ** 2
+            y = y / env.clamp(min=1e-11)
+            pad = (N_FFT - HOP) // 2            # vocos iSTFT center crop
+            return y[0, pad:-pad].numpy()
+
+    def write_gguf(path, quant):                        # wire-direct fixture
+        from codec_tpu.io.gguf import GGUFWriter
+
+        w = GGUFWriter(path, "neucodec")
+        w.add_uint32("codec.sample_rate", 24000)
+        w.add_uint32("codec.hop_size", HOP)
+        w.add_uint32("codec.n_q", 1)
+        w.add_uint32("codec.codebook_size", V)
+        w.add_uint32("codec.codebook_dim", CBD)
+        w.add_uint32("neucodec.vq_dim", VQD)
+        w.add_uint32("neucodec.hidden_dim", HID)
+        w.add_uint32("neucodec.num_layers", NL)
+        w.add_uint32("neucodec.num_heads", NH)
+        w.add_uint32("neucodec.head_dim", HD_)
+        w.add_bool("codec.has_encoder", False)
+        w.add_bool("codec.has_decoder", True)
+        for name, tensor in ref.t.items():
+            w.add_tensor(name, tensor.numpy())
+        w.write()
+
+    return dict(write_gguf=write_gguf, sample_rate=24000, n_q=1,
+                codebook_size=V, ref_decode=ref_decode)
+
+
+def _build_nemo():
+    import torch
+    from test_nemo_parity import HOP, LEVELS, N_Q, TorchNemo
+
+    ref = TorchNemo()
+
+    def ref_encode(pcm):
+        with torch.no_grad():
+            return ref.encode(
+                torch.from_numpy(pcm)[None, None]).numpy()[0].astype(np.int32)
+
+    def ref_decode(codes):                              # codes [T, Q]
+        with torch.no_grad():
+            return ref.decode(
+                torch.from_numpy(codes.astype(np.int64))[None]).numpy()[0, 0]
+
+    return dict(converter="nemo_nano_codec", sd=ref.sd,
+                cfg={"sample_rate": 22050, "samples_per_frame": HOP,
+                     "num_groups": N_Q, "num_levels": list(LEVELS)},
+                sample_rate=22050, ref_encode=ref_encode,
+                ref_decode=ref_decode)
+
+
+def _build_qwen3_tts_tokenizer():
+    import torch
+    from test_qwen3_tts_parity import (CBD, DEC_DIM, HD, HEADS, HID, HOP,
+                                       INTER, KVH, LAT, N_Q, RATES, RATIOS,
+                                       V, TorchQ3TDecoder)
+    from transformers import MimiConfig, MimiModel
+
+    torch.manual_seed(1)
+    enc_cfg = MimiConfig(
+        sampling_rate=24000, frame_rate=12.5, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=2, head_dim=32,
+        num_key_value_heads=2, intermediate_size=128, num_filters=8,
+        num_residual_layers=1, codebook_size=V, codebook_dim=CBD,
+        vector_quantization_hidden_dimension=CBD, num_quantizers=N_Q,
+        num_semantic_quantizers=1, sliding_window=250, upsample_groups=64,
+        upsampling_ratios=[8, 6, 5, 4], use_causal_conv=True)
+    hf_mimi = MimiModel(enc_cfg).eval()
+    dec = TorchQ3TDecoder()
+    sd = {f"encoder.{k}": v.numpy() for k, v in hf_mimi.state_dict().items()}
+    sd.update({k: v.numpy() for k, v in dec.sd.items()})
+
+    def ref_encode(pcm):
+        with torch.no_grad():
+            enc = hf_mimi.encode(torch.from_numpy(pcm)[None, None]).audio_codes
+        return enc.numpy()[0].T.astype(np.int32)
+
+    def ref_decode(codes):                              # codes [T, Q]
+        with torch.no_grad():
+            return dec.decode(
+                torch.from_numpy(codes.astype(np.int64))[None]).numpy()[0]
+
+    return dict(
+        converter="qwen3_tts_tokenizer", sd=sd,
+        cfg={"output_sample_rate": 24000, "decode_upsample_rate": HOP,
+             "decoder_config": {
+                 "num_quantizers": N_Q, "codebook_size": V,
+                 "codebook_dim": CBD, "latent_dim": LAT, "hidden_size": HID,
+                 "num_hidden_layers": 2, "num_attention_heads": HEADS,
+                 "num_key_value_heads": KVH, "head_dim": HD,
+                 "intermediate_size": INTER, "rope_theta": 10000.0,
+                 "sliding_window": 0, "decoder_dim": DEC_DIM,
+                 "upsampling_ratios": list(RATIOS),
+                 "upsample_rates": list(RATES)},
+             "encoder_config": {
+                 "num_quantizers": N_Q, "codebook_size": V,
+                 "codebook_dim": CBD, "hidden_size": 64,
+                 "num_hidden_layers": 2, "num_attention_heads": 2,
+                 "head_dim": 32, "intermediate_size": 128,
+                 "rope_theta": 10000.0}},
+        sample_rate=24000, ref_encode=ref_encode, ref_decode=ref_decode)
+
+
 BUILDERS = {"mimi": _build_mimi, "dac": _build_dac,
-            "wavtokenizer": _build_wavtokenizer, "snac": _build_snac}
+            "wavtokenizer": _build_wavtokenizer, "snac": _build_snac,
+            "nemo_nano_codec": _build_nemo,
+            "qwen3_tts_tokenizer": _build_qwen3_tts_tokenizer,
+            "soprano": _build_soprano, "neucodec": _build_neucodec}
 
 
 # --- compare (reference: compare_codes runner.py:265, compare_wav :318)
@@ -195,18 +346,78 @@ def _cli(sub, *extra):
     return [sys.executable, "-m", "codec_tpu.cli.codec_cli", sub, *extra]
 
 
+def _run_decode_only(name, built, thr, op, quant, cfg, strict, gguf, tmp):
+    """decode-only (neucodec) / latent-only (soprano, bluemagpie-style)
+    models: feed random codes/latents through the CLI, compare against the
+    torch reference decode of the same input."""
+    from codec_tpu.io.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(11)
+    out_wav = os.path.join(tmp, f"{name}_{quant}_dec.wav")
+    if op == "decode":
+        codes = rng.integers(0, built["codebook_size"],
+                             (32, built["n_q"])).astype(np.int32)
+        in_f = os.path.join(tmp, f"{name}_codes.npy")
+        np.save(in_f, codes)
+        ref_wav = built["ref_decode"](codes)
+        argv = _cli("decode", "--model", gguf, "--codes", in_f,
+                    "--out", out_wav)
+    else:
+        latent = (rng.standard_normal((16, built["latent_dim"]))
+                  * 0.5).astype(np.float32)
+        in_f = os.path.join(tmp, f"{name}_latent.npy")
+        np.save(in_f, latent)
+        ref_wav = built["ref_decode_latent"](latent)
+        argv = _cli("decode-latent", "--model", gguf, "--latent", in_f,
+                    "--out", out_wav)
+
+    t0 = time.monotonic()
+    r = subprocess.run(argv, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr)
+        raise SystemExit(f"error: {name}/{quant} CLI failed")
+    wall_ms = (time.monotonic() - t0) * 1e3
+
+    ref_f = os.path.join(tmp, f"{name}_ref.wav")
+    write_wav(ref_f, ref_wav, built["sample_rate"])
+    ref_wav = read_wav(ref_f)[0][:, 0]
+    corr_min, mse_max = thr["corr"], thr["mse"]
+    if not strict and quant in cfg["quant_relax"]:
+        rx = cfg["quant_relax"][quant]
+        corr_min += rx["corr_delta"]
+        mse_max *= rx["mse_mult"]
+    got_wav = read_wav(out_wav)[0][:, 0]
+    res = {"wall_ms": round(wall_ms, 1), "codes": {"ok": True},
+           "wav": compare_wav(got_wav, ref_wav, corr_min, mse_max)}
+    res["ok"] = res["wav"]["ok"]
+    status = "PASS" if res["ok"] else "FAIL"
+    print(f"{name:>14s} {quant:<5s} {status}  ({op})  "
+          f"corr={res['wav']['corr']:.6f} (>= {corr_min:.4f})  "
+          f"mse={res['wav']['mse']:.2e}  wall {res['wall_ms']} ms")
+    return res
+
+
 def run_model(name, spec, quants, cfg, strict, seconds, tmp):
     from codec_tpu.convert import get_converter
     from codec_tpu.io.wav import read_wav, write_wav
 
     built = BUILDERS[name]()
     thr = cfg["models"][name]
+    op = thr.get("op", "roundtrip")
     results = {}
     for quant in quants:
-        conv = get_converter(built["converter"])(quantization=quant)
-        conv.load_from_state_dict(built["sd"], built["cfg"])
         gguf = os.path.join(tmp, f"{name}_{quant}.gguf")
-        conv.convert_and_save(gguf)
+        if "write_gguf" in built:                   # wire-direct fixture
+            built["write_gguf"](gguf, quant)
+        else:
+            conv = get_converter(built["converter"])(quantization=quant)
+            conv.load_from_state_dict(built["sd"], built["cfg"])
+            conv.convert_and_save(gguf)
+
+        if op in ("decode", "decode_latent"):
+            results[quant] = _run_decode_only(name, built, thr, op, quant,
+                                              cfg, strict, gguf, tmp)
+            continue
 
         # Deterministic input; round-trip through the 16-bit WAV the CLI
         # reads, so the reference sees the same PCM (bit-exact code parity).
