@@ -231,6 +231,76 @@ def _build_neucodec():
                 codebook_size=V, ref_decode=ref_decode)
 
 
+def _build_xcodec2():
+    import torch
+    from test_xcodec2_parity import (HOP, MEL_HOP, MEL_NFFT, MEL_WIN,
+                                     N_MELS, STRIDE, TorchX2Enc, _write_kvs)
+    from codec_tpu.dsp.audio import w2v_bert_features
+
+    enc = TorchX2Enc()
+
+    def write_gguf(path, quant):
+        from codec_tpu.io.gguf import GGUFWriter
+
+        w = GGUFWriter(path, "xcodec2")
+        _write_kvs(w, has_encoder=True, has_decoder=False, hop=HOP)
+        for name, tensor in enc.t.items():
+            w.add_tensor(name, tensor.detach().numpy())
+        w.write()
+
+    def ref_encode(pcm):
+        mel = w2v_bert_features(pcm, n_mels=N_MELS, n_fft=MEL_NFFT,
+                                win=MEL_WIN, hop=MEL_HOP, sr=16000,
+                                stride=STRIDE, mel_filters=enc.mel_filters,
+                                window=enc.mel_window)
+        want, _ = enc.encode(pcm, mel)
+        return np.asarray(want)[:, None].astype(np.int32)
+
+    return dict(write_gguf=write_gguf, sample_rate=16000,
+                ref_encode=ref_encode)
+
+
+def _build_distill_neucodec():
+    import test_neucodec_encode_parity as tne
+
+    ref = tne.Mirror()
+
+    def write_gguf(path, quant):
+        from codec_tpu.io.gguf import GGUFWriter
+
+        w = GGUFWriter(path, "distill_neucodec")
+        w.add_uint32("codec.sample_rate", 24000)
+        w.add_uint32("codec.hop_size", 480)
+        w.add_uint32("codec.n_q", 1)
+        w.add_uint32("codec.codebook_size", tne.CBS)
+        w.add_uint32("codec.codebook_dim", tne.CBD)
+        w.add_bool("codec.has_encoder", True)
+        w.add_bool("codec.has_decoder", False)
+        w.add_string("neucodec.encoder_type", "distill")
+        w.add_uint32("neucodec.hubert.hidden_size", tne.HH)
+        w.add_uint32("neucodec.hubert.num_heads", tne.HHEADS)
+        w.add_uint32("neucodec.hubert.intermediate_size", tne.HINT)
+        w.add_uint32("neucodec.hubert.num_layers", tne.HL)
+        w.add_uint32("neucodec.hubert.num_conv_pos_embeddings", tne.HPOS_K)
+        w.add_uint32("neucodec.hubert.num_conv_pos_embedding_groups", tne.HPOS_G)
+        w.add_array("neucodec.hubert.conv_dim", list(tne.H_DIMS))
+        w.add_array("neucodec.hubert.conv_kernel", list(tne.H_KERNELS))
+        w.add_array("neucodec.hubert.conv_stride", list(tne.H_STRIDES))
+        w.add_uint32("neucodec.distill.heads", tne.HEADS)
+        w.add_uint32("neucodec.distill.down_window", tne.DOWN_W)
+        w.add_uint32("neucodec.distill.local_window", tne.LOCAL_W)
+        for name, tensor in ref.t.items():
+            w.add_tensor(name, tensor.numpy())
+        w.write()
+
+    def ref_encode(pcm):
+        want, _ = ref.encode(pcm)
+        return np.asarray(want)[:, None].astype(np.int32)
+
+    return dict(write_gguf=write_gguf, sample_rate=24000,
+                ref_encode=ref_encode)
+
+
 def _build_nemo():
     import torch
     from test_nemo_parity import HOP, LEVELS, N_Q, TorchNemo
@@ -310,7 +380,9 @@ BUILDERS = {"mimi": _build_mimi, "dac": _build_dac,
             "wavtokenizer": _build_wavtokenizer, "snac": _build_snac,
             "nemo_nano_codec": _build_nemo,
             "qwen3_tts_tokenizer": _build_qwen3_tts_tokenizer,
-            "soprano": _build_soprano, "neucodec": _build_neucodec}
+            "soprano": _build_soprano, "neucodec": _build_neucodec,
+            "xcodec2": _build_xcodec2,
+            "distill_neucodec": _build_distill_neucodec}
 
 
 # --- compare (reference: compare_codes runner.py:265, compare_wav :318)
@@ -397,6 +469,43 @@ def _run_decode_only(name, built, thr, op, quant, cfg, strict, gguf, tmp):
     return res
 
 
+def _run_encode_only(name, built, thr, quant, gguf, tmp, seconds):
+    """Encode-only models (XCodec2 enc fixture, distill-NeuCodec): CLI
+    encode vs the torch reference on the same WAV-roundtripped input."""
+    from codec_tpu.io.wav import read_wav, write_wav
+
+    rng = np.random.default_rng(7)
+    n = int(built["sample_rate"] * seconds)
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    in_wav = os.path.join(tmp, f"{name}_in.wav")
+    write_wav(in_wav, pcm, built["sample_rate"])
+    pcm16 = np.ascontiguousarray(read_wav(in_wav)[0][:, 0])
+    ref_codes = built["ref_encode"](pcm16)
+
+    codes_f = os.path.join(tmp, f"{name}_{quant}_codes.npy")
+    t0 = time.monotonic()
+    r = subprocess.run(_cli("encode", "--model", gguf, "--in", in_wav,
+                            "--codes", codes_f),
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr)
+        raise SystemExit(f"error: {name}/{quant} CLI encode failed")
+    wall_ms = (time.monotonic() - t0) * 1e3
+
+    got = np.load(codes_f)
+    mism_max = thr.get("code_mismatch_max", 0.0) if quant == "F32" else 1.0
+    res = {"wall_ms": round(wall_ms, 1),
+           "codes": compare_codes(got, ref_codes, mism_max),
+           "wav": {"ok": True, "corr": 1.0, "mse": 0.0}}
+    res["ok"] = res["codes"]["ok"]
+    status = "PASS" if res["ok"] else "FAIL"
+    print(f"{name:>14s} {quant:<5s} {status}  (encode)  "
+          f"codes {res['codes'].get('mismatch', '-')}/"
+          f"{res['codes'].get('total', '-')} flipped (max rate {mism_max})  "
+          f"wall {res['wall_ms']} ms")
+    return res
+
+
 def run_model(name, spec, quants, cfg, strict, seconds, tmp):
     from codec_tpu.convert import get_converter
     from codec_tpu.io.wav import read_wav, write_wav
@@ -417,6 +526,10 @@ def run_model(name, spec, quants, cfg, strict, seconds, tmp):
         if op in ("decode", "decode_latent"):
             results[quant] = _run_decode_only(name, built, thr, op, quant,
                                               cfg, strict, gguf, tmp)
+            continue
+        if op == "encode":
+            results[quant] = _run_encode_only(name, built, thr, quant,
+                                              gguf, tmp, seconds)
             continue
 
         # Deterministic input; round-trip through the 16-bit WAV the CLI
