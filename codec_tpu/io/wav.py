@@ -13,9 +13,15 @@ from typing import Tuple, Union
 import numpy as np
 
 
-def read_wav(path: Union[str, Path]) -> Tuple[np.ndarray, int]:
-    """Read a WAV file → (samples[n, channels] float32 in [-1, 1], sample_rate)."""
-    raw = Path(path).read_bytes()
+def read_wav(path) -> Tuple[np.ndarray, int]:
+    """Read a WAV file / bytes / file-like →
+    (samples[n, channels] float32 in [-1, 1], sample_rate)."""
+    if isinstance(raw := path, (bytes, bytearray)):
+        raw = bytes(raw)
+    elif hasattr(path, "read"):
+        raw = path.read()
+    else:
+        raw = Path(path).read_bytes()
     if raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE file: {path}")
     pos = 12

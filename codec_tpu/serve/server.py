@@ -1,0 +1,241 @@
+"""codec-serve: HTTP serving for codec + TTS models.
+
+No reference analog (the reference is a library + CLIs); this is the
+production-serving layer the TPU rebuild adds. One process owns the model
+(weights device-resident, compiled functions shared across requests; a lock
+serializes device work per chip), stdlib-only threaded HTTP front end.
+
+Endpoints:
+  GET  /health                 → model/LM info JSON
+  POST /decode                 body {"codes": [[...], ...], "n_q": 0}
+                               → audio/wav
+  POST /encode                 body: WAV bytes → {"codes": [[...], ...]}
+  POST /synthesize             body {"text": "...", "seed": 0,
+                                     "max_frames": 0}
+                               → audio/wav; with {"stream": true} the WAV
+                               is chunked-transfer-encoded as frames are
+                               vocoded (time-to-first-byte ≈ one AR step)
+
+Usage:
+  python -m codec_tpu.serve --model pocket.gguf [--port 8765]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import struct
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """PCM16 mono WAV header. n_samples < 0 → 'unknown length' sizes
+    (max-uint32 data size; players and ffmpeg accept this for streams)."""
+    data_bytes = n_samples * 2 if n_samples >= 0 else 0xFFFFFFFF - 44
+    riff = 36 + data_bytes if n_samples >= 0 else 0xFFFFFFFF
+    return (b"RIFF" + struct.pack("<I", riff) + b"WAVEfmt " +
+            struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2,
+                        2, 16) + b"data" + struct.pack("<I", data_bytes))
+
+
+def _pcm16(x: np.ndarray) -> bytes:
+    return (np.clip(x, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+class CodecHTTPServer:
+    def __init__(self, model_path: str, host: str = "127.0.0.1",
+                 port: int = 8765):
+        import codec_tpu
+        from ..io.gguf import GGUFReader
+        from ..lm import create_lm
+
+        self.model = codec_tpu.load_model(model_path)
+        self.reader = GGUFReader(model_path)
+        self.lm = create_lm(self.reader)
+        self.lock = threading.Lock()        # serialize device work per chip
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):
+                print(f"serve: {self.address_string()} {fmt % args}",
+                      file=sys.stderr)
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _err(self, code: int, msg: str) -> None:
+                self._json(code, {"error": msg})
+
+            def do_GET(self):
+                if self.path != "/health":
+                    return self._err(404, f"no route {self.path}")
+                m = outer.model
+                self._json(200, {
+                    "status": "ok", "arch": m.arch,
+                    "sample_rate": m.sample_rate, "hop_size": m.hop_size,
+                    "n_q": m.n_q, "has_encoder": m.has_encoder,
+                    "has_decoder": m.has_decoder,
+                    "lm_kind": outer.lm.info.kind if outer.lm else None,
+                })
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n)
+
+            def do_POST(self):
+                try:
+                    if self.path == "/decode":
+                        return self._decode()
+                    if self.path == "/encode":
+                        return self._encode()
+                    if self.path == "/synthesize":
+                        return self._synthesize()
+                    return self._err(404, f"no route {self.path}")
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    return self._err(400, str(e))
+                except BrokenPipeError:
+                    pass
+
+            def _decode(self):
+                req = json.loads(self._body())
+                codes = np.asarray(req["codes"], np.int32)
+                if codes.ndim != 2:
+                    raise ValueError("codes must be [T, n_q]")
+                with outer.lock:
+                    pcm = outer.model.decode(codes, n_q=int(req.get("n_q", 0)))
+                body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _encode(self):
+                from ..io.wav import read_wav, to_mono
+
+                x, sr = read_wav(io.BytesIO(self._body()))
+                want_sr = getattr(outer.model, "encode_sample_rate", 0) or \
+                    outer.model.sample_rate
+                if sr != want_sr:
+                    raise ValueError(f"sample rate {sr} != expected {want_sr}")
+                with outer.lock:
+                    codes = outer.model.encode(to_mono(x))
+                self._json(200, {"codes": codes.tolist()})
+
+            def _synthesize(self):
+                from ..cli.tts_cli import run_flow_synthesize
+                from ..lm.flow_lm import FlowLM
+
+                if outer.lm is None or not isinstance(outer.lm, FlowLM):
+                    raise ValueError(
+                        "synthesize needs a flow_lm model GGUF (self-"
+                        "contained); codebook-AR kinds need a backbone — "
+                        "use tts-cli")
+                req = json.loads(self._body())
+                text = req["text"]
+                if req.get("stream"):
+                    return self._synthesize_stream(req, text)
+                with outer.lock:
+                    pcm, n_frames, stop = run_flow_synthesize(
+                        outer.model, outer.lm, text,
+                        seed=int(req.get("seed", 0)),
+                        max_frames=int(req.get("max_frames", 0)))
+                body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("X-Frames", str(n_frames))
+                self.send_header("X-Stop", stop)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _synthesize_stream(self, req, text):
+                """Chunked-transfer WAV: each AR frame is vocoded through
+                the streaming decoder and flushed immediately."""
+                import math
+
+                from ..cli.tts_cli import flow_prepare_text
+
+                lm, model = outer.lm, outer.model
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data +
+                                     b"\r\n")
+                    self.wfile.flush()
+
+                chunk(_wav_header(-1, model.sample_rate))
+                with outer.lock:
+                    text2, fae_guess = flow_prepare_text(text)
+                    ids = lm.tokenize(text2)
+                    st = lm.new_state()
+                    lm.flow_prefill(st, ids)
+                    fae = lm.frames_after_eos if lm.frames_after_eos >= 0 \
+                        else fae_guess + 2
+                    max_gen = int(req.get("max_frames", 0)) or \
+                        max(8, int(math.ceil((len(ids) / 3.0 + 2.0) * 12.5)))
+                    rng = np.random.default_rng(int(req.get("seed", 0)))
+                    noise_std = math.sqrt(lm.temperature)
+                    dec = model.streaming_decoder()
+                    prev = None
+                    eos_step = -1
+                    for step in range(max_gen):
+                        noise = (rng.standard_normal(lm.ldim)
+                                 * noise_std).astype(np.float32)
+                        lat, _, is_eos = lm.flow_step(st, prev_latent=prev,
+                                                      noise=noise)
+                        if is_eos and eos_step < 0:
+                            eos_step = step
+                        if eos_step >= 0 and step >= eos_step + fae:
+                            break
+                        chunk(_pcm16(dec.push(lm.denorm_latent(lat)[None])))
+                        prev = lat
+                chunk(b"")                   # terminating chunk
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = host, self.httpd.server_address[1]
+
+    def serve_forever(self):
+        print(f"serve: listening on http://{self.host}:{self.port} "
+              f"(arch={self.model.arch}, lm={self.lm.info.kind if self.lm else None})")
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="codec-serve")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
+    args = ap.parse_args(argv)
+    try:
+        srv = CodecHTTPServer(args.model, args.host, args.port)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
