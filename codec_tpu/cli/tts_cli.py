@@ -140,6 +140,41 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
     return pcm, len(latents), stop
 
 
+def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
+                              seed: int = 0, max_frames: int = 0,
+                              cfg_weight: float = 0.5):
+    """Chatterbox T3 flow: dual CFG lanes over two backbone instances
+    (reference: run_chatterbox, tts_runner.cpp:876 — the reference
+    multiplexes lanes through llama seq-ids; here each lane owns a
+    backbone with its own KV state). Requires baked tokenizer + builtin
+    conds in the GGUF (codec.lm.chatterbox.*)."""
+    from ..lm.audio_lm import AudioLM
+    from ..lm.backbone import create_backbone
+    from ..lm.chatterbox_t3 import ChatterboxT3
+    from ..lm.tts_runner import T3Sampler, run_chatterbox
+
+    t3 = ChatterboxT3(reader)
+    if t3.tokenizer is None:
+        raise ValueError("chatterbox GGUF has no baked tokenizer "
+                         "(codec.lm.chatterbox.tokenizer.*)")
+    n_lanes = 2 if cfg_weight > 0.0 else 1
+    backbones = [create_backbone(backbone_path) for _ in range(n_lanes)]
+    if backbones[0].cfg.hidden != t3.info.hidden_dim:
+        raise ValueError(f"backbone hidden {backbones[0].cfg.hidden} != "
+                         f"t3 hidden {t3.info.hidden_dim}")
+    audio_lm = AudioLM(reader, codec=model)
+    sampler = T3Sampler(seed=seed, seed_token=t3.info.start_speech_token)
+    res = run_chatterbox(audio_lm, t3, backbones, text,
+                         max_frames=max_frames if max_frames > 0 else 512,
+                         cfg_weight=cfg_weight, sampler=sampler)
+    print(f"chatterbox AR done: {res.n_steps} steps, eos={res.stopped_by_eos}, "
+          f"codes {res.codes.shape}")
+    if res.pcm is None:
+        raise ValueError("no audio frames generated")
+    return res.pcm, res.codes.shape[0], \
+        "eos" if res.stopped_by_eos else "max_frames"
+
+
 def run_backbone_synthesize(model, reader, backbone_path, text: str,
                             seed: int = 0, max_frames: int = 0):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
@@ -151,6 +186,13 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     from ..lm.prompt_info import build_prompt_info
     from ..lm.spm import SpmUnigram
     from ..lm.tts_runner import SamplerChain, run_codebook_ar
+
+    from ..lm.chatterbox_t3 import is_chatterbox
+
+    if is_chatterbox(reader):
+        return run_chatterbox_synthesize(model, reader, backbone_path,
+                                         text, seed=seed,
+                                         max_frames=max_frames)
 
     bb = create_backbone(backbone_path)
     pi = build_prompt_info(reader)
