@@ -213,15 +213,34 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
           f"hidden={bb.cfg.hidden} layers={bb.cfg.n_layers}")
 
     audio_lm = AudioLM(reader, codec=model)
-    chain = SamplerChain(seed=seed, temperature=pi.default_temperature,
-                         top_k=pi.default_top_k)
-
-    def sampler(cb_idx, logits):
-        return chain(logits) if cb_idx == 0 else int(logits.argmax())
-
     max_steps = max_frames if max_frames > 0 else 512
-    res = run_codebook_ar(audio_lm, bb, list(bb.embed_tokens(ids)),
-                          max_steps=max_steps, sampler=sampler, pi=pi)
+
+    if pi.sequential_text_audio:        # LFM2-Audio (text→audio switch)
+        from ..lm.tts_runner import run_lfm2_sequential
+
+        table = np.asarray(bb.params["tok_embd"], np.float32)
+        res = run_lfm2_sequential(
+            audio_lm, bb, table, ids, pi, max_frames=max_steps,
+            sampler=SamplerChain(seed=seed,
+                                 temperature=pi.default_temperature,
+                                 top_k=pi.default_top_k))
+    elif pi.streaming_interleave:       # MOSS-TTS-Realtime
+        from ..lm.tts_runner import run_realtime_streaming
+
+        res = run_realtime_streaming(
+            audio_lm, bb, lambda tok: bb.embed_tokens([tok])[0],
+            ctx_tokens=ids[: max(1, len(ids) - pi.prefill_text_len)],
+            text_tokens=ids[max(1, len(ids) - pi.prefill_text_len):] or ids,
+            pi=pi, max_frames=max_steps)
+    else:                               # CSM / Qwen3 / MOSS-TTSD
+        chain = SamplerChain(seed=seed, temperature=pi.default_temperature,
+                             top_k=pi.default_top_k)
+
+        def sampler(cb_idx, logits):
+            return chain(logits) if cb_idx == 0 else int(logits.argmax())
+
+        res = run_codebook_ar(audio_lm, bb, list(bb.embed_tokens(ids)),
+                              max_steps=max_steps, sampler=sampler, pi=pi)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
     if res.pcm is None:
