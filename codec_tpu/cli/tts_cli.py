@@ -215,6 +215,18 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     audio_lm = AudioLM(reader, codec=model)
     max_steps = max_frames if max_frames > 0 else 512
 
+    if pi.is_continuous:                # BlueMagpie continuous-latent CFM
+        from ..lm.tts_runner import run_continuous
+
+        res = run_continuous(audio_lm, bb, list(bb.embed_tokens(ids)),
+                             max_steps=max_steps)
+        print(f"continuous AR done: {res.n_steps} steps, "
+              f"eos={res.stopped_by_eos}, latents {res.codes.shape}")
+        if res.pcm is None:
+            raise ValueError("no latents generated")
+        return res.pcm, res.codes.shape[0], \
+            "eos" if res.stopped_by_eos else "max_frames"
+
     if pi.sequential_text_audio:        # LFM2-Audio (text→audio switch)
         from ..lm.tts_runner import run_lfm2_sequential
 
