@@ -90,8 +90,9 @@ def run_continuous(
 
 class SamplerChain:
     """llama-style chain: repetition penalty (ring buffer) → temperature →
-    top_k → top_p → min_p → categorical (reference: SamplerChain,
-    tts_runner.cpp). window<0 ⇒ unbounded history; 0 ⇒ no penalty."""
+    top_k → min_p → top_p → categorical (reference: SamplerChain,
+    tts_runner.cpp:242-246 — llama samplers renormalize between stages).
+    window<0 ⇒ unbounded history; 0 ⇒ no penalty."""
 
     def __init__(self, seed: int = 0xC0DEC1AB, temperature: float = 0.8,
                  top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
@@ -125,6 +126,9 @@ class SamplerChain:
             logits[logits < kth] = -np.inf
         probs = np.exp(logits - logits.max())
         probs /= probs.sum()
+        if self.min_p > 0.0:
+            probs[probs < self.min_p * probs.max()] = 0.0
+            probs /= probs.sum()
         if self.top_p < 1.0:
             order = np.argsort(probs)[::-1]
             csum = np.cumsum(probs[order])
@@ -132,8 +136,6 @@ class SamplerChain:
             mask = np.zeros_like(probs)
             mask[order[:cut]] = 1.0
             probs *= mask
-        if self.min_p > 0.0:
-            probs[probs < self.min_p * probs.max()] = 0.0
         probs /= probs.sum()
         code = int(self.rng.choice(len(probs), p=probs))
         self.history.append(code)

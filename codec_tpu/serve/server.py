@@ -95,6 +95,7 @@ class CodecHTTPServer:
                 return self.rfile.read(n)
 
             def do_POST(self):
+                self._response_started = False
                 try:
                     if self.path == "/decode":
                         return self._decode()
@@ -104,9 +105,21 @@ class CodecHTTPServer:
                         return self._synthesize()
                     return self._err(404, f"no route {self.path}")
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    if self._response_started:
+                        # Status line + headers already on the wire (e.g. an
+                        # LmError mid-stream): a second response would corrupt
+                        # the chunked stream. Log and drop the connection so
+                        # the client sees a clean truncation, not a hang.
+                        self.log_message("mid-stream error: %s", e)
+                        self.close_connection = True
+                        return
                     return self._err(400, str(e))
                 except BrokenPipeError:
-                    pass
+                    self.close_connection = True
+
+            def send_response(self, code, message=None):
+                self._response_started = True
+                super().send_response(code, message)
 
             def _decode(self):
                 req = json.loads(self._body())

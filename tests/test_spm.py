@@ -76,8 +76,34 @@ def test_utf8_multibyte_fallback(spm):
     assert ids[2] == spm.byte0_id + 0xA9
 
 
-def test_matches_real_sentencepiece_if_available(spm):
-    """When the HF slow T5 tokenizer's sentencepiece is importable, verify on
-    a real grammar (optional heavier check)."""
-    pytest.importorskip("sentencepiece")
-    # (skipped in this image; kept for environments with sentencepiece)
+def test_matches_hf_unigram_oracle():
+    """Oracle: HF `tokenizers` Unigram (Rust reimplementation of the same
+    SentencePiece Viterbi) on a randomized vocab must segment identically.
+    Ties are avoided by giving every piece a distinct score."""
+    import random
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import Unigram
+
+    rng = random.Random(1234)
+    syll = ["he", "llo", "lo", "wor", "ld", "ab", "ba", "abc", "ca", "b",
+            "a", "c", "hel", "l", "o", "w", "d", "r", "e", "h"]
+    vocab = [("<unk>", 0.0, 2)]
+    seen = {"<unk>"}
+    for s in syll + [UNDERSCORE + s for s in syll] + [UNDERSCORE]:
+        if s not in seen:
+            seen.add(s)
+            vocab.append((s, -round(rng.uniform(1.0, 8.0), 3), 1))
+
+    ours = SpmUnigram.from_proto(_model(vocab))
+    oracle = Tokenizer(Unigram([(p, s) for p, s, _ in vocab], unk_id=0,
+                               byte_fallback=False))
+
+    words = ["hello", "world", "abba", "cab", "held", "lore", "wallow",
+             "abcabc", "hollow", "bald"]
+    for _ in range(50):
+        text = " ".join(rng.sample(words, rng.randint(1, 5)))
+        norm = UNDERSCORE + text.replace(" ", UNDERSCORE)
+        got = ours.encode(text)
+        want = oracle.encode(norm, add_special_tokens=False).ids
+        assert got == want, (text, got, want)
