@@ -40,12 +40,20 @@ from .models.registry import get_model_class, known_archs
 __version__ = "0.1.0"
 
 
-def load_model(path: Union[str, Path], compute_dtype=jnp.float32) -> CodecModel:
+def load_model(path: Union[str, Path], compute_dtype=jnp.float32,
+               mesh=None, mesh_axis: str = "dp") -> CodecModel:
     """Load a codec GGUF → arch-dispatched CodecModel
-    (reference: codec_model_load_from_file, src/codec.cpp:303-449)."""
+    (reference: codec_model_load_from_file, src/codec.cpp:303-449).
+
+    mesh: optional jax.sharding.Mesh — weights are replicated onto it and
+    encode/decode batches are sharded over `mesh_axis` (data parallelism
+    over ICI; the reference's codec_batch loops serially on one device)."""
     reader = GGUFReader(path)
     cls = get_model_class(reader.architecture)
-    return cls(reader, compute_dtype=compute_dtype)
+    model = cls(reader, compute_dtype=compute_dtype)
+    if mesh is not None:
+        model.set_mesh(mesh, axis=mesh_axis)
+    return model
 
 
 __all__ = ["load_model", "CodecModel", "CodecError", "GGUFReader", "known_archs"]

@@ -37,7 +37,12 @@ def main(argv=None) -> int:
     from ..io.wav import write_wav
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
-    model = codec_tpu.load_model(args.model, compute_dtype=dtype)
+    mesh = None
+    if args.dp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+    model = codec_tpu.load_model(args.model, compute_dtype=dtype, mesh=mesh)
 
     seqs = [np.load(p) for p in args.codes]
     lens = [s.shape[0] for s in seqs]
@@ -51,20 +56,9 @@ def main(argv=None) -> int:
     for i, s in enumerate(seqs):
         batch[i, : s.shape[0]] = s[:, :batch.shape[2]]
 
-    if args.dp > 1:
-        from ..parallel.mesh import make_mesh, shard_batch
-
-        import jax
-
-        mesh = make_mesh(args.dp)
-        pad_b = -(-batch.shape[0] // args.dp) * args.dp
-        if pad_b != batch.shape[0]:
-            batch = np.concatenate([batch, np.zeros((pad_b - batch.shape[0],) + batch.shape[1:],
-                                                    batch.dtype)])
-        arr = shard_batch(mesh, jnp.asarray(batch))
-        batch = np.asarray(arr)
-
     pcm = model.decode_latent(batch) if args.latent else model.decode(batch, n_q=args.nq)
+    if mesh is not None:
+        print(f"dp={args.dp}: device output sharding {model.last_out_sharding}")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -178,9 +178,10 @@ class BlueMagpieAudioVAE(CodecModel):
             latent = latent[None]
         if latent.shape[-1] != self.latent_dim:
             raise CodecError(f"latent_dim mismatch: {latent.shape[-1]} != {self.latent_dim}")
-        fn = self._jitted(("dec_lat",) + latent.shape,
-                          lambda: lambda z: bm_decode_latent_fn(self.params, z, self.cfg))
-        pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
+        pcm = self._run_batched(
+            ("dec_lat",),
+            lambda: lambda z: bm_decode_latent_fn(self.params, z, self.cfg),
+            latent)
         return pcm[0] if squeeze else pcm
 
     def encode_latent(self, pcm) -> np.ndarray:
@@ -191,7 +192,8 @@ class BlueMagpieAudioVAE(CodecModel):
         pad = (-pcm.shape[1]) % self.cfg.encode_hop
         if pad:
             pcm = np.pad(pcm, ((0, 0), (0, pad)))
-        fn = self._jitted(("enc_lat",) + pcm.shape,
-                          lambda: lambda x: bm_encode_latent_fn(self.params, x, self.cfg))
-        mu = np.asarray(jax.block_until_ready(fn(jnp.asarray(pcm))))
+        mu = self._run_batched(
+            ("enc_lat",),
+            lambda: lambda x: bm_encode_latent_fn(self.params, x, self.cfg),
+            pcm)
         return mu[0] if squeeze else mu

@@ -270,7 +270,8 @@ class DacCodec(CodecModel):
         squeeze = latent.ndim == 2
         if squeeze:
             latent = latent[None]
-        fn = self._jitted(("dec_lat",) + latent.shape,
-                          lambda: lambda z: dac_decode_from_latent(self.params, z, self.cfg))
-        pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
+        pcm = self._run_batched(
+            ("dec_lat",),
+            lambda: lambda z: dac_decode_from_latent(self.params, z, self.cfg),
+            latent)
         return pcm[0] if squeeze else pcm

@@ -26,6 +26,17 @@ class MimiCodec(CodecModel):
         self.has_encoder = self.cfg.has_encoder
         self.has_decoder = self.cfg.has_decoder
 
+    @classmethod
+    def from_params(cls, cfg: MimiConfig, params, compute_dtype=jnp.float32):
+        """In-memory Mimi (random or externally-built params) with the full
+        CodecModel surface — used by bench.py and the multi-chip dryrun so
+        they exercise the same decode/encode path as GGUF-loaded models."""
+        return cls.from_parts(
+            compute_dtype=compute_dtype, cfg=cfg, params=params,
+            sample_rate=cfg.sample_rate, hop_size=cfg.hop_size, n_q=cfg.n_q,
+            codebook_size=cfg.codebook_size, latent_dim=cfg.hidden,
+            has_encoder=cfg.has_encoder, has_decoder=cfg.has_decoder)
+
     def _decode_impl(self, codes: jax.Array, n_q: int) -> jax.Array:
         return mimi_decode_fn(self.params, codes, self.cfg, n_q=n_q)
 

@@ -201,9 +201,10 @@ class PocketMimiCodec(CodecModel):
             latent = latent[None]
         if latent.shape[-1] != self.cfg.latent_dim:
             raise CodecError(f"latent_dim mismatch: {latent.shape[-1]} != {self.cfg.latent_dim}")
-        fn = self._jitted(("dec_lat",) + latent.shape,
-                          lambda: lambda z: pocket_decode_latent_fn(self.params, z, self.cfg))
-        pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
+        pcm = self._run_batched(
+            ("dec_lat",),
+            lambda: lambda z: pocket_decode_latent_fn(self.params, z, self.cfg),
+            latent)
         return pcm[0] if squeeze else pcm
 
     def streaming_decoder(self, batch: int = 1) -> "PocketStreamingDecoder":
@@ -223,9 +224,10 @@ class PocketMimiCodec(CodecModel):
         pad = -(-n // self.hop_size) * self.hop_size - n
         if pad:
             pcm = np.pad(pcm, ((0, 0), (0, pad)))
-        fn = self._jitted(("enc_lat",) + pcm.shape,
-                          lambda: lambda x: pocket_encode_latent_fn(self.params, x, self.cfg))
-        mu = np.asarray(jax.block_until_ready(fn(jnp.asarray(pcm))))
+        mu = self._run_batched(
+            ("enc_lat",),
+            lambda: lambda x: pocket_encode_latent_fn(self.params, x, self.cfg),
+            pcm)
         return mu[0] if squeeze else mu
 
     def encode(self, pcm, n_q: int = 0):

@@ -132,7 +132,8 @@ class SopranoCodec(CodecModel):
             latent = latent[None]
         if latent.shape[-1] != self.cfg.latent_dim:
             raise CodecError(f"Soprano latent_dim mismatch: {latent.shape[-1]} != {self.cfg.latent_dim}")
-        fn = self._jitted(("dec_lat",) + latent.shape,
-                          lambda: lambda z: soprano_decode_latent_fn(self.params, z, self.cfg))
-        pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(latent))))
+        pcm = self._run_batched(
+            ("dec_lat",),
+            lambda: lambda z: soprano_decode_latent_fn(self.params, z, self.cfg),
+            latent)
         return pcm[0] if squeeze else pcm

@@ -31,6 +31,14 @@ def shard_batch(mesh: Mesh, x: jax.Array, axis: str = "dp") -> jax.Array:
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (weights) on every device of the mesh."""
+    """Replicate a pytree's ARRAY leaves on every device of the mesh.
+    Scalar leaves (kernel sizes, strides) stay plain Python values — they
+    must remain static for shape/padding math under jit."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+
+    def place(a):
+        if isinstance(a, (jax.Array, np.ndarray)):
+            return jax.device_put(a, sharding)
+        return a
+
+    return jax.tree_util.tree_map(place, tree)

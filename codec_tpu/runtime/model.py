@@ -72,7 +72,82 @@ class CodecModel:
         self.compute_dtype = compute_dtype
         self.metadata: Dict[str, Any] = dict(reader.kv)
         self._jit_cache: Dict[Any, Callable] = {}
+        self.mesh = None                    # set via set_mesh() for DP
+        self.mesh_axis = "dp"
+        self.last_out_sharding = None       # sharding of the last device output
         self._load(reader)
+
+    # -- multi-chip data parallelism ----------------------------------------
+    # The reference's codec_batch loops sequences serially on one device
+    # (src/batch/batch.cpp, src/codec.cpp:640-786). Here the batch dim of
+    # every decode/encode graph can be sharded over a device mesh: weights
+    # are replicated once, inputs are placed batch-split, and XLA partitions
+    # the whole graph per-chip with zero steady-state collectives.
+    def set_mesh(self, mesh, axis: str = "dp") -> None:
+        """Attach a jax.sharding.Mesh: weights are replicated onto it and all
+        subsequent encode/decode calls shard the batch dim over `axis`."""
+        from ..parallel.mesh import replicate
+
+        self.mesh, self.mesh_axis = mesh, axis
+        for a in self._PARAM_ATTRS:
+            tree = getattr(self, a, None)
+            if tree is not None:
+                setattr(self, a, replicate(mesh, tree))
+        self._jit_cache.clear()             # flat weight leaves changed
+
+    def _mesh_n(self) -> int:
+        return self.mesh.shape[self.mesh_axis] if self.mesh is not None else 1
+
+    def _bucket_b(self, b: int) -> int:
+        """Batch bucket, rounded up to a multiple of the mesh size."""
+        bb = bucket_batch(b)
+        n = self._mesh_n()
+        return bb if bb % n == 0 else -(-b // n) * n
+
+    def _place(self, buf: np.ndarray) -> jax.Array:
+        """Host buffer → device. With a mesh: committed batch-sharded."""
+        if self.mesh is None:
+            return jnp.asarray(buf)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.mesh_axis, *([None] * (buf.ndim - 1)))
+        return jax.device_put(buf, NamedSharding(self.mesh, spec))
+
+    def _readback(self, out: jax.Array) -> np.ndarray:
+        self.last_out_sharding = getattr(out, "sharding", None)
+        return np.asarray(out)
+
+    def _run_batched(self, key: Tuple, make: Callable[[], Callable],
+                     buf: np.ndarray) -> np.ndarray:
+        """Shared device-call path for latent encode/decode: pad the leading
+        batch dim to its bucket (a mesh-size multiple under DP), place the
+        buffer (batch-sharded when a mesh is attached), run, crop."""
+        b = buf.shape[0]
+        bb = self._bucket_b(b)
+        if bb != b:
+            buf = np.concatenate(
+                [buf, np.zeros((bb - b,) + buf.shape[1:], buf.dtype)])
+        fn = self._jitted(key + buf.shape, make)
+        out = self._readback(jax.block_until_ready(fn(self._place(buf))))
+        return out[:b]
+
+    @classmethod
+    def from_parts(cls, *, compute_dtype=jnp.float32, **attrs):
+        """In-memory instantiation without a GGUF file (tests, benchmarks,
+        multi-chip dryruns): bypasses `_load` and sets the given attributes
+        (cfg, params, sample_rate, ...) directly. Same public
+        encode/decode/set_mesh surface as a file-loaded model."""
+        self = cls.__new__(cls)
+        self.reader = None
+        self.compute_dtype = compute_dtype
+        self.metadata = {}
+        self._jit_cache = {}
+        self.mesh = None
+        self.mesh_axis = "dp"
+        self.last_out_sharding = None
+        for k, v in attrs.items():
+            setattr(self, k, v)
+        return self
 
     # -- subclass hooks ----------------------------------------------------
     def _load(self, reader: GGUFReader) -> None:
@@ -139,10 +214,19 @@ class CodecModel:
                 try:
                     for a, v in trees.items():
                         setattr(self, a, v)
-                    return inner(*args)
+                    out = inner(*args)
                 finally:
                     for a, v in saved.items():
                         setattr(self, a, v)
+                if self.mesh is not None:
+                    # Pin outputs batch-sharded so DP results stay resident
+                    # per-chip (no implicit gather at the jit boundary).
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    ns = NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
+                    out = jax.tree_util.tree_map(
+                        lambda o: jax.lax.with_sharding_constraint(o, ns), out)
+                return out
 
             jfn = jax.jit(wrapped)
             if op_profile.enabled():
@@ -173,7 +257,7 @@ class CodecModel:
             raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
         b, t = codes.shape[0], codes.shape[1]
         tb = bucket_length(t) if self.causal_time else t
-        bb = bucket_batch(b)
+        bb = self._bucket_b(b)
         buf = np.zeros((bb, tb, use_nq), dtype=np.int32)
         buf[:b, :t] = codes[:, :, :use_nq]
 
@@ -181,7 +265,7 @@ class CodecModel:
             fn = self._jitted(("dec", bb, tb, use_nq),
                               lambda: lambda c: self._decode_impl(c, use_nq))
             with perf_scope("graph_compute", "decode"):
-                pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
+                pcm = self._readback(jax.block_until_ready(fn(self._place(buf))))
         pcm = pcm[:b, : t * self.hop_size] if self.causal_time else pcm[:b]
         return pcm[0] if squeeze else pcm
 
@@ -201,7 +285,7 @@ class CodecModel:
         b, n = pcm.shape
         t_frames = -(-n // self.hop_size)
         nb = bucket_length(t_frames) * self.hop_size if self.causal_time else n
-        bb = bucket_batch(b)
+        bb = self._bucket_b(b)
         buf = np.zeros((bb, nb), dtype=np.float32)
         buf[:b, :n] = pcm
 
@@ -209,7 +293,8 @@ class CodecModel:
             fn = self._jitted(("enc", bb, nb, use_nq),
                               lambda: lambda x: self._encode_impl(x, use_nq))
             with perf_scope("graph_compute", "encode"):
-                codes = np.asarray(jax.block_until_ready(fn(jnp.asarray(buf))))
+                codes = self._readback(
+                    jax.block_until_ready(fn(self._place(buf))))
         codes = codes[:b, :t_frames] if self.causal_time else codes[:b]
         return codes[0] if squeeze else codes
 
