@@ -45,6 +45,10 @@ def load_model(path: Union[str, Path], compute_dtype=jnp.float32,
     """Load a codec GGUF → arch-dispatched CodecModel
     (reference: codec_model_load_from_file, src/codec.cpp:303-449).
 
+    compute_dtype: jnp dtype or "float32" | "bfloat16" | "float16" | "auto"
+    ("auto" = bfloat16 when the checkpoint has 16-bit weights, else f32).
+    16-bit modes keep F16/BF16 wire tensors native end-to-end: half the
+    host RAM, transfer bytes, and device HBM of the f32 path.
     mesh: optional jax.sharding.Mesh — weights are replicated onto it and
     encode/decode batches are sharded over `mesh_axis` (data parallelism
     over ICI; the reference's codec_batch loops serially on one device)."""

@@ -28,15 +28,14 @@ def main(argv=None) -> int:
     ap.add_argument("--nq", type=int, default=0)
     ap.add_argument("--dp", type=int, default=0,
                     help="shard batch over this many devices (0 = single device)")
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16", "float16", "auto"])
     args = ap.parse_args(argv)
-
-    import jax.numpy as jnp
 
     import codec_tpu
     from ..io.wav import write_wav
 
-    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    dtype = args.dtype
     mesh = None
     if args.dp > 1:
         from ..parallel.mesh import make_mesh

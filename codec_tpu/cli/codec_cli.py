@@ -26,8 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     def common(p):
         p.add_argument("--model", required=True, help="codec GGUF path")
         p.add_argument("--nq", type=int, default=0, help="codebooks to use (0=all)")
-        p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
-                       help="compute dtype (float32 = parity, bfloat16 = fast)")
+        p.add_argument("--dtype", default="float32",
+                       choices=["float32", "bfloat16", "float16", "auto"],
+                       help="compute dtype (float32 = parity, bfloat16 = "
+                            "fast, auto = follow checkpoint)")
 
     p = sub.add_parser("encode")
     common(p)
@@ -55,12 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _load(args):
-    import jax.numpy as jnp
-
     import codec_tpu
 
-    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
-    return codec_tpu.load_model(args.model, compute_dtype=dtype)
+    return codec_tpu.load_model(args.model, compute_dtype=args.dtype)
 
 
 def _read_pcm(model, path):

@@ -443,11 +443,19 @@ class GGUFReader:
         start = self.data_offset + info.offset
         return self._mmap[start:start + info.n_bytes]
 
+    #: When True, F16/BF16 tensors materialize in their NATIVE 16-bit dtype
+    #: (np.float16 / ml_dtypes.bfloat16) instead of upcasting to float32 —
+    #: set by CodecModel for 16-bit compute_dtype so host RAM and the
+    #: host→device transfer are half-width (reference analog:
+    #: codec_graph_weight_mat keeping F16/BF16 native as matmul LHS,
+    #: src/runtime/tensor_utils.h:30-52).
+    prefer_16bit: bool = False
+
     def get(self, name: str, dtype: Optional[np.dtype] = None) -> np.ndarray:
         """Materialize tensor `name` as a NumPy array in row-major (numpy) shape.
 
         Quantized tensors are dequantized to float32. F16/BF16 are upcast to
-        float32 unless dtype is given.
+        float32 unless dtype is given or `prefer_16bit` is set.
         """
         if name in self._cache:
             arr = self._cache[name]
@@ -458,9 +466,15 @@ class GGUFReader:
             if t == GGML_TYPE_F32:
                 arr = raw.view(np.float32).reshape(info.shape)
             elif t == GGML_TYPE_F16:
-                arr = raw.view(np.float16).astype(np.float32).reshape(info.shape)
+                arr = raw.view(np.float16).reshape(info.shape)
+                if not self.prefer_16bit:
+                    arr = arr.astype(np.float32)
             elif t == GGML_TYPE_BF16:
-                arr = (raw.view(np.uint16).astype(np.uint32) << 16).view(np.float32).reshape(info.shape)
+                if self.prefer_16bit:
+                    import ml_dtypes
+                    arr = raw.view(ml_dtypes.bfloat16).reshape(info.shape)
+                else:
+                    arr = (raw.view(np.uint16).astype(np.uint32) << 16).view(np.float32).reshape(info.shape)
             elif t == GGML_TYPE_I32:
                 arr = raw.view(np.int32).reshape(info.shape)
             elif t in _DEQUANT:

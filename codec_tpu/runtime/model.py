@@ -48,6 +48,41 @@ class CodecError(ValueError):
     """Invalid-argument / invalid-state errors (reference: codec_status enums)."""
 
 
+_DTYPE_ALIASES = {
+    "float32": jnp.float32, "f32": jnp.float32,
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    "float16": jnp.float16, "f16": jnp.float16,
+}
+
+
+def resolve_compute_dtype(spec, reader: Optional[GGUFReader] = None):
+    """Resolve a compute-dtype spec ("float32" | "bfloat16" | "float16" |
+    "auto" | a jnp dtype). "auto" follows the checkpoint: 16-bit wire
+    weights (F16/BF16) → bfloat16 compute (MXU-native), everything else
+    (F32 / quantized) → float32."""
+    if not isinstance(spec, str):
+        return spec
+    s = spec.lower()
+    if s in _DTYPE_ALIASES:
+        return _DTYPE_ALIASES[s]
+    if s == "auto":
+        if reader is not None:
+            from ..io.gguf import GGML_TYPE_BF16, GGML_TYPE_F16
+
+            # decide by byte share: some wire schemas keep a few tensors
+            # F16 regardless of quantization level (e.g. mimi resample
+            # kernels), so mere presence is not a signal
+            b16 = tot = 0
+            for i in reader.tensors.values():
+                tot += i.n_bytes
+                if i.ggml_type in (GGML_TYPE_F16, GGML_TYPE_BF16):
+                    b16 += i.n_bytes
+            if tot and b16 * 2 > tot:
+                return jnp.bfloat16
+        return jnp.float32
+    raise CodecError(f"unknown compute dtype {spec!r}")
+
+
 class CodecModel:
     """Base class; per-arch subclasses live in codec_tpu/models/ and register
     themselves in models/registry.py (reference vtable: src/codec.cpp:153-191)."""
@@ -69,7 +104,12 @@ class CodecModel:
 
     def __init__(self, reader: GGUFReader, compute_dtype=jnp.float32):
         self.reader = reader
-        self.compute_dtype = compute_dtype
+        self.compute_dtype = resolve_compute_dtype(compute_dtype, reader)
+        if np.dtype(self.compute_dtype).itemsize == 2:
+            # 16-bit compute: keep F16/BF16 wire tensors native on the host
+            # so RAM + host→device transfer are half-width; the loaders'
+            # .astype(compute_dtype) then converts on device.
+            reader.prefer_16bit = True
         self.metadata: Dict[str, Any] = dict(reader.kv)
         self._jit_cache: Dict[Any, Callable] = {}
         self.mesh = None                    # set via set_mesh() for DP

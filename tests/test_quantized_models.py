@@ -51,6 +51,59 @@ def test_quantized_mimi_decode(hf_mimi, tmp_path, quant, min_corr):
     assert corr > min_corr, f"{quant}: corr={corr}"
 
 
+def test_bf16_native_load(hf_mimi, tmp_path):
+    """16-bit compute path: an F16 checkpoint loads WITHOUT an f32 host
+    upcast (reader returns native f16), device weights are bfloat16 (half
+    the HBM of f32), and decode parity stays within the F16 gate."""
+    import jax
+    import jax.numpy as jnp
+
+    import codec_tpu
+    from codec_tpu.io.gguf import GGML_TYPE_F16
+
+    model, cfg = hf_mimi
+    path = tmp_path / "mimi_f16.gguf"
+    _convert(model, cfg, "F16", path)
+
+    ours = codec_tpu.load_model(path, compute_dtype="bfloat16")
+    assert ours.compute_dtype == jnp.bfloat16
+    assert ours.reader.prefer_16bit
+
+    # host materialization of a wire-F16 tensor stays 16-bit
+    name = next(n for n, i in ours.reader.tensors.items()
+                if i.ggml_type == GGML_TYPE_F16)
+    assert ours.reader.get(name).dtype == np.float16
+
+    # device weights are 16-bit (HBM halves vs the f32 path)
+    leaves = [l for l in jax.tree_util.tree_leaves(ours.params)
+              if isinstance(l, jax.Array)]
+    n16 = sum(1 for l in leaves if l.dtype == jnp.bfloat16)
+    assert n16 == len(leaves), f"{len(leaves) - n16} leaves not bf16"
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 64, (1, 4, 7))
+    with torch.no_grad():
+        want = model.decode(torch.from_numpy(codes))[0].numpy()[0, 0]
+    got = ours.decode(codes[0].T).astype(np.float32)
+    corr = np.corrcoef(got, want)[0, 1]
+    # bf16 compute on a random-init fixture: recorded delta vs the f32 path
+    assert corr > 0.95, f"bf16: corr={corr}"
+
+
+def test_auto_dtype_follows_checkpoint(hf_mimi, tmp_path):
+    import jax.numpy as jnp
+
+    import codec_tpu
+
+    model, cfg = hf_mimi
+    f16 = tmp_path / "a_f16.gguf"
+    f32 = tmp_path / "a_f32.gguf"
+    _convert(model, cfg, "F16", f16)
+    _convert(model, cfg, "F32", f32)
+    assert codec_tpu.load_model(f16, compute_dtype="auto").compute_dtype == jnp.bfloat16
+    assert codec_tpu.load_model(f32, compute_dtype="auto").compute_dtype == jnp.float32
+
+
 def test_q8_file_has_quantized_tensors(hf_mimi, tmp_path):
     from codec_tpu.io.gguf import GGUFReader, GGML_TYPE_Q8_0
 
