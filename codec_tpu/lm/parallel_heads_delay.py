@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.gguf import GGUFReader
+from ..ops.sample import sample_logits
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -43,6 +44,7 @@ class ParallelHeadsDelayLM(CodecLM):
 
         self._logits_fn = jax.jit(self._all_logits)
         self._compose_fn = jax.jit(self._compose)
+        self._fused_cache: Dict = {}
         return info
 
     def _all_logits(self, h: jax.Array) -> List[jax.Array]:
@@ -63,6 +65,29 @@ class ParallelHeadsDelayLM(CodecLM):
 
     def _logits(self, state: LmState, k: int) -> np.ndarray:
         return state.kind_state["logits"][k]
+
+    # -- fused on-device frame ----------------------------------------------
+    def fused_frame(self, *, temperature: float = 0.0, top_k: int = 0,
+                    top_p: float = 1.0, min_p: float = 0.0):
+        """All N heads + on-device sampling in one compiled graph (heads are
+        independent given the hidden, so this is exact, not just a fast
+        path). fn(h, key, text_ctx) → codes [n_codebook] int32; text_ctx is
+        ignored (uniform fused-frame signature across kinds)."""
+        chain = (float(temperature), int(top_k), float(top_p), float(min_p))
+        fn = self._fused_cache.get(chain)
+        if fn is not None:
+            return fn
+
+        def frame(h, key, text_ctx):
+            keys = jax.random.split(key, len(self.heads))
+            outs = [sample_logits(head @ h, keys[i], temperature=chain[0],
+                                  top_k=chain[1], top_p=chain[2], min_p=chain[3])
+                    for i, head in enumerate(self.heads)]
+            return jnp.stack(outs)
+
+        fn = jax.jit(frame)
+        self._fused_cache[chain] = fn
+        return fn
 
     # -- embeddings --------------------------------------------------------
     def audio_embd(self, cb_idx: int, code: int) -> np.ndarray:

@@ -31,6 +31,7 @@ import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..ops import attn, norms, rope
+from ..ops.sample import sample_logits
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -134,13 +135,16 @@ class ResidualDepthArLM(CodecLM):
         self._c0_fn = (jax.jit(lambda h: self.c0_head @ h)
                        if self.c0_head is not None else None)
         self._depth_cache: Dict[Tuple[int, int], Any] = {}
+        self._fused_cache: Dict[Tuple, Any] = {}
+        self._fused_consts_cache = None
         return info
 
     # -- depth forward -----------------------------------------------------
-    def _depth_forward(self, prefix: jax.Array, h_in: jax.Array,
-                       head_idx: int) -> jax.Array:
-        """prefix [T, row_dim], h_in [hidden] → logits [V_head]
-        (reference: rda_build_depth_step)."""
+    def _depth_trunk(self, prefix: jax.Array, h_in: jax.Array) -> jax.Array:
+        """prefix [T, row_dim], h_in [hidden] → hidden rows [T, depth_hidden]
+        after the output norm. Causal attention means row k depends only on
+        rows 0..k, so callers may pass a fixed-size buffer whose tail rows
+        are not yet filled (the fused frame path relies on this)."""
         t = prefix.shape[0]
         if not self.in_proj_per_pos:
             x = _per_pos_linear(self.in_proj, prefix) if self.in_proj is not None else prefix
@@ -207,7 +211,14 @@ class ResidualDepthArLM(CodecLM):
         x = xb[0]
         if self.output_norm is not None:
             x = norms.rms_norm(x, self.output_norm, self.rms_eps)
-        last = x[t - 1]
+        return x
+
+    def _depth_forward(self, prefix: jax.Array, h_in: jax.Array,
+                       head_idx: int) -> jax.Array:
+        """prefix [T, row_dim], h_in [hidden] → logits [V_head]
+        (reference: rda_build_depth_step)."""
+        x = self._depth_trunk(prefix, h_in)
+        last = x[prefix.shape[0] - 1]
         if self.has_pre_head_norm and self.heads_pre_norm[head_idx] is not None:
             last = norms.rms_norm(last, self.heads_pre_norm[head_idx], self.rms_eps)
         head = (self.flex_heads[head_idx] if self.flex_heads is not None
@@ -220,6 +231,116 @@ class ResidualDepthArLM(CodecLM):
         if fn is None:
             fn = jax.jit(lambda p, h: self._depth_forward(p, h, head_idx))
             self._depth_cache[key] = fn
+        return fn
+
+    # -- fused on-device frame ----------------------------------------------
+    def _fused_consts(self):
+        """Per-codebook heads/pre-norms/embed tables stacked (vocab-padded)
+        so a lax.scan can index them with a traced codebook index."""
+        c = self._fused_consts_cache
+        if c is not None:
+            return c
+        info = self.info
+        n = info.n_codebook
+        off = 0 if self.depth_emits_c0 else 1
+        n_dh = n - off
+        if self.flex_heads is not None:
+            heads = self.flex_heads                          # [n_dh, V, DH]
+        elif self.depth_heads:
+            vmax = max(int(w.shape[0]) for w in self.depth_heads)
+            heads = jnp.stack([jnp.pad(w, ((0, vmax - w.shape[0]), (0, 0)))
+                               for w in self.depth_heads])
+        else:
+            heads = None
+        sizes = jnp.asarray(info.codebook_sizes[off:], jnp.int32) if n_dh else None
+        pre_w = pre_m = None
+        if self.has_pre_head_norm and self.heads_pre_norm:
+            pre_w = jnp.stack(
+                [w if w is not None else jnp.ones((self.depth_hidden,), jnp.float32)
+                 for w in self.heads_pre_norm])
+            pre_m = jnp.asarray([w is not None for w in self.heads_pre_norm])
+        # embed tables consumed inside the scan: code for cb i (i in
+        # [off, n-2]) is embedded into prefix row i+1 for the next step
+        tabs = [self.audio_embds[i] for i in range(off, n - 1)]
+        if any(t is None for t in tabs):
+            raise LmError("fused frame: missing depth audio_embd table")
+        tabs_s = None
+        if tabs:
+            rmax = max(int(t.shape[0]) for t in tabs)
+            tabs_s = jnp.stack([jnp.pad(t, ((0, rmax - t.shape[0]), (0, 0)))
+                                for t in tabs])
+        c = (n, off, n_dh, heads, sizes, pre_w, pre_m, tabs_s)
+        self._fused_consts_cache = c
+        return c
+
+    def fused_frame(self, *, temperature: float = 0.0, top_k: int = 0,
+                    top_p: float = 1.0, min_p: float = 0.0):
+        """One whole frame as a single compiled graph: c0 head + lax.scan
+        over the depth codebooks with on-device sampling.
+
+        Returns a jitted fn(h [hidden] f32, key, text_ctx int32) →
+        codes [n_codebook] int32. The host step machine (step_begin/
+        step_logits/step_push_code) computes identical logits (the scan runs
+        the same full-prefix depth trunk over a fixed buffer; causal masking
+        makes unfilled tail rows inert) — it remains the parity/custom-
+        sampler API, this is the TPU fast path (one device round-trip per
+        frame instead of 2·n_codebook).
+
+        Reference contrast: src/lm/residual_depth_ar.cpp re-enters the host
+        per codebook for sampling; here sampling (temperature/top_k/min_p/
+        top_p chain, ops/sample.py) runs in-graph.
+        """
+        chain = (float(temperature), int(top_k), float(top_p), float(min_p))
+        fn = self._fused_cache.get(chain)
+        if fn is not None:
+            return fn
+        n, off, n_dh, heads, sizes, pre_w, pre_m, tabs_s = self._fused_consts()
+        info = self.info
+        row_dim = info.audio_embed_dim
+
+        def sample(lg, key):
+            return sample_logits(lg, key, temperature=chain[0], top_k=chain[1],
+                                 top_p=chain[2], min_p=chain[3])
+
+        def frame(h, key, text_ctx):
+            keys = jax.random.split(key, n)
+            buf = jnp.zeros((n, row_dim), jnp.float32)
+            codes = jnp.zeros((n,), jnp.int32)
+            if not self.in_proj_per_pos:
+                buf = buf.at[0, : info.hidden_dim].set(h)
+            elif self.c0_is_text:
+                buf = buf.at[0].set(self.text_embd[text_ctx])
+            # c0_is_none: row 0 stays zero
+            if not self.depth_emits_c0:
+                c0 = sample(self.c0_head @ h, keys[0])
+                codes = codes.at[0].set(c0)
+                if n > 1:
+                    buf = buf.at[1].set(self.audio_embds[0][c0])
+            if n_dh == 0:
+                return codes
+
+            def body(carry, i):
+                buf = carry
+                x = self._depth_trunk(buf, h)            # [n, depth_hidden]
+                row = x[i + off]
+                if pre_w is not None:
+                    row = jnp.where(pre_m[i],
+                                    norms.rms_norm(row, pre_w[i], self.rms_eps),
+                                    row)
+                lg = heads[i] @ row
+                lg = jnp.where(jnp.arange(lg.shape[0]) < sizes[i], lg, -jnp.inf)
+                c = sample(lg, keys[i + off])
+                if tabs_s is not None:
+                    emb = tabs_s[jnp.minimum(i, tabs_s.shape[0] - 1)][c]
+                    nxt = jax.lax.dynamic_update_slice(buf, emb[None],
+                                                       (i + off + 1, 0))
+                    buf = jnp.where(i < n_dh - 1, nxt, buf)
+                return buf, c
+            _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
+            return codes.at[off:].set(depth_codes) if off else depth_codes
+
+        fn = jax.jit(frame)
+        self._fused_cache[chain] = fn
         return fn
 
     # -- step machine hooks ------------------------------------------------

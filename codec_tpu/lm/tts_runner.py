@@ -23,6 +23,7 @@ from typing import Callable, List, Optional, Protocol, Sequence
 
 import numpy as np
 
+from ..ops.sample import OnDeviceSampling
 from .audio_lm import AudioLM, ObserveAction
 
 
@@ -406,6 +407,7 @@ def run_codebook_ar(
     decode: bool = True,
     n_q: int = 0,
     pi=None,
+    on_device: "OnDeviceSampling | None" = None,
 ) -> SynthesisResult:
     """Type C/D AR loop (reference: run_codebook_ar, tts_runner.cpp:707).
 
@@ -415,7 +417,13 @@ def run_codebook_ar(
     `pi` (PromptInfo): when its cb0 speech range is set (MOSS-TTSD — the
     c0 head is the tied backbone lm_head over the full text vocab), cb0
     sampling is range-constrained, the analog of the reference's GBNF
-    grammar on the backbone sampler."""
+    grammar on the backbone sampler.
+
+    `on_device` (ops.sample.OnDeviceSampling): TPU fast path — the whole
+    frame (all codebooks + sampling) runs as one compiled graph via the
+    kind's `fused_frame`, one device round-trip per frame instead of
+    2·n_codebook. Ignored (host path) when the kind lacks fused_frame or a
+    cb0 range constraint is active; `sampler` is unused on this path."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
     if pi is not None and pi.cb0_speech_range_start >= 0 \
@@ -430,6 +438,18 @@ def run_codebook_ar(
     audio_lm.reset()
     st = audio_lm.state
 
+    fused = None
+    fused_key = None
+    constrained = pi is not None and pi.cb0_speech_range_start >= 0
+    if on_device is not None and not constrained \
+            and hasattr(audio_lm.lm, "fused_frame"):
+        import jax
+
+        fused = audio_lm.lm.fused_frame(
+            temperature=on_device.temperature, top_k=on_device.top_k,
+            top_p=on_device.top_p, min_p=on_device.min_p)
+        fused_key = jax.random.PRNGKey(on_device.seed)
+
     h = None
     for e in prompt_embeds:
         h = backbone.step(np.asarray(e, np.float32))
@@ -439,11 +459,18 @@ def run_codebook_ar(
     stopped = False
     steps = 0
     for _ in range(max_steps):
-        st.step_begin(h)
-        for _k in range(audio_lm.n_codebook):
-            logits, cb_idx = st.step_logits()
-            st.step_push_code(sampler(cb_idx, logits))
-        codes = st.step_finish()
+        if fused is not None:
+            fused_key, sub = jax.random.split(fused_key)
+            tc = st.text_context if st.text_context is not None else 0
+            codes = st.push_frame(
+                np.asarray(fused(np.asarray(h, np.float32).reshape(-1),
+                                 sub, np.int32(tc))))
+        else:
+            st.step_begin(h)
+            for _k in range(audio_lm.n_codebook):
+                logits, cb_idx = st.step_logits()
+                st.step_push_code(sampler(cb_idx, logits))
+            codes = st.step_finish()
         steps += 1
         action = audio_lm.observe_codes(codes, last_hidden=h)
         if action is ObserveAction.STOP:

@@ -1,0 +1,88 @@
+"""On-device token sampling for fused AR decode loops.
+
+The reference samples on the host (llama.cpp sampler chain driven from
+common/tts_runner.cpp:242-246, order: penalties -> temperature -> top_k ->
+min_p -> top_p). For the TPU fast path the whole per-frame codebook loop
+lives in one compiled graph, so sampling must be expressible in jax. This
+module mirrors the host `SamplerChain` semantics (lm/tts_runner.py) with
+static chain parameters: every (temperature, top_k, top_p, min_p) combo
+compiles its own graph, which is fine — a synthesis run uses one setting.
+
+All filters operate on raw logits by masking to -inf (equivalent to
+llama.cpp's candidate-list truncation followed by softmax renormalisation:
+softmax over the surviving set equals softmax of masked logits).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -jnp.inf
+
+
+def _apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k highest logits (ties at the threshold all survive, which
+    only widens the candidate set the way llama.cpp's partial sort can)."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= kth, logits, _NEG)
+
+
+def _apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
+    """Drop tokens with prob < min_p * max_prob (llama.cpp llama_sampler_min_p).
+    In logit space: keep logit >= max_logit + log(min_p)."""
+    if min_p <= 0.0:
+        return logits
+    cutoff = jnp.max(logits, axis=-1, keepdims=True) + jnp.log(min_p)
+    return jnp.where(logits >= cutoff, logits, _NEG)
+
+
+def _apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filter: keep the smallest prefix of descending-prob tokens
+    whose cumulative probability reaches top_p (the token that crosses the
+    boundary is kept, matching llama.cpp llama_sampler_top_p)."""
+    if top_p >= 1.0:
+        return logits
+    sorted_lg = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_lg, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # position i survives if the cumulative mass BEFORE it is < top_p
+    keep = (cum - probs) < top_p
+    # threshold = smallest kept logit
+    kth = jnp.min(jnp.where(keep, sorted_lg, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits >= kth, logits, _NEG)
+
+
+def sample_logits(logits: jax.Array, key: jax.Array, *,
+                  temperature: float = 0.0, top_k: int = 0,
+                  top_p: float = 1.0, min_p: float = 0.0) -> jax.Array:
+    """One sampled token id (int32) from a 1-D logits row.
+
+    temperature <= 0 means greedy argmax (filters are then irrelevant).
+    Chain order matches the reference: temperature -> top_k -> min_p ->
+    top_p -> categorical. All chain params are Python statics: use inside
+    jit with a fixed config, not as traced values.
+    """
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / temperature
+    lg = _apply_top_k(lg, int(top_k))
+    lg = _apply_min_p(lg, float(min_p))
+    lg = _apply_top_p(lg, float(top_p))
+    return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+
+
+@dataclass(frozen=True)
+class OnDeviceSampling:
+    """Marker config for AR runners: requests the fused on-device frame
+    step (one device call per frame) instead of the host sampler chain.
+    Seed feeds a jax PRNG split per frame/codebook."""
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    min_p: float = 0.0
+    seed: int = 0xC0DEC1AB

@@ -1,0 +1,244 @@
+"""Fused on-device frame step: ops/sample.py chain semantics + parity of
+CodecLM.fused_frame against the host per-codebook step machine (which is
+itself parity-tested against torch mirrors in test_lm_adaptors.py).
+
+Reference contrast: the reference samples on the host per codebook
+(common/tts_runner.cpp:242-246, src/lm/residual_depth_ar.cpp step loop);
+the fused path is the TPU-native upgrade — one device call per frame.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from codec_tpu.io.gguf import GGUFReader, GGUFWriter
+from codec_tpu.lm import create_lm
+from codec_tpu.ops.sample import OnDeviceSampling, sample_logits
+
+from test_lm_adaptors import (phd_gguf, rda_gguf, _write_base,  # noqa: F401
+                              H, N_CB, SIZES, DH, DHEADS, DKV, DHD, DINTER,
+                              DLAYERS)
+
+
+# ---------------------------------------------------------------------------
+# sample_logits chain semantics
+# ---------------------------------------------------------------------------
+
+def test_sample_greedy_is_argmax():
+    rng = np.random.default_rng(0)
+    lg = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    got = sample_logits(lg, jax.random.PRNGKey(0))
+    assert int(got) == int(np.argmax(np.asarray(lg)))
+
+
+def test_sample_top_k_restricts_support():
+    rng = np.random.default_rng(1)
+    lg = jnp.asarray(rng.standard_normal(32), jnp.float32)
+    top4 = set(np.argsort(np.asarray(lg))[-4:].tolist())
+    for s in range(40):
+        c = int(sample_logits(lg, jax.random.PRNGKey(s),
+                              temperature=1.5, top_k=4))
+        assert c in top4
+
+
+def test_sample_top_p_restricts_support():
+    # peaked distribution: two tokens cover > 0.9 of the mass
+    lg = jnp.asarray([8.0, 7.9] + [0.0] * 30, jnp.float32)
+    for s in range(40):
+        c = int(sample_logits(lg, jax.random.PRNGKey(s),
+                              temperature=1.0, top_p=0.9))
+        assert c in (0, 1)
+
+
+def test_sample_min_p_restricts_support():
+    lg = jnp.asarray([5.0, 4.9, 0.0, -3.0], jnp.float32)
+    # min_p=0.5: keep prob >= 0.5 * max_prob -> tokens 0 and 1 only
+    for s in range(30):
+        c = int(sample_logits(lg, jax.random.PRNGKey(s),
+                              temperature=1.0, min_p=0.5))
+        assert c in (0, 1)
+
+
+def test_sample_temperature_distribution():
+    """With temperature -> categorical: empirical frequencies roughly match
+    softmax over many keys (loose sanity bound)."""
+    lg = jnp.asarray([2.0, 1.0, 0.0], jnp.float32)
+    want = np.exp([2.0, 1.0, 0.0])
+    want = want / want.sum()
+    counts = np.zeros(3)
+    n = 600
+    fn = jax.jit(lambda k: sample_logits(lg, k, temperature=1.0))
+    for s in range(n):
+        counts[int(fn(jax.random.PRNGKey(s)))] += 1
+    np.testing.assert_allclose(counts / n, want, atol=0.07)
+
+
+# ---------------------------------------------------------------------------
+# residual_depth_ar fused frame (CSM-style fixture from test_lm_adaptors)
+# ---------------------------------------------------------------------------
+
+def _host_greedy_frame(lm, h, text_ctx=None):
+    st = lm.new_state()
+    if text_ctx is not None:
+        st.set_text_context(text_ctx)
+    st.step_begin(h)
+    codes = []
+    for _ in range(lm.info.n_codebook):
+        logits, _cb = st.step_logits()
+        code = int(np.argmax(logits))
+        st.step_push_code(code)
+        codes.append(code)
+    assert st.step_finish() == codes
+    return codes
+
+
+def test_rda_fused_greedy_matches_host(rda_gguf):
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    fn = lm.fused_frame()          # greedy
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        h = rng.standard_normal(H).astype(np.float32)
+        want = _host_greedy_frame(lm, h)
+        got = np.asarray(fn(jnp.asarray(h), jax.random.PRNGKey(trial),
+                            jnp.int32(0)))
+        assert got.tolist() == want
+
+
+def test_rda_fused_sampled_codes_valid_and_deterministic(rda_gguf):
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    fn = lm.fused_frame(temperature=0.9, top_k=8)
+    h = jnp.asarray(np.random.default_rng(6).standard_normal(H), jnp.float32)
+    a = np.asarray(fn(h, jax.random.PRNGKey(11), jnp.int32(0)))
+    b = np.asarray(fn(h, jax.random.PRNGKey(11), jnp.int32(0)))
+    c = np.asarray(fn(h, jax.random.PRNGKey(12), jnp.int32(0)))
+    np.testing.assert_array_equal(a, b)        # same key -> same codes
+    for k, code in enumerate(a.tolist()):
+        assert 0 <= code < SIZES[k]
+    assert a.shape == c.shape == (N_CB,)
+
+
+def test_phd_fused_greedy_matches_host(phd_gguf):
+    path, _, _ = phd_gguf
+    lm = create_lm(GGUFReader(path))
+    fn = lm.fused_frame()
+    rng = np.random.default_rng(7)
+    h = rng.standard_normal(H).astype(np.float32)
+    want = _host_greedy_frame(lm, h)
+    got = np.asarray(fn(jnp.asarray(h), jax.random.PRNGKey(0), jnp.int32(0)))
+    assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# Moshi-style variant: per-pos in_proj, c0 from text context, flex 3D heads,
+# interleaved rope — exercises every stacked branch of the fused scan.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rda_moshi_gguf(tmp_path_factory):
+    g = torch.Generator().manual_seed(9)
+    n_cb, av, tv = 3, 24, 12        # audio vocab per cb, text vocab
+
+    def W(*shape, s=0.3):
+        return torch.randn(*shape, generator=g) * s
+
+    tensors = {
+        "lm.depth.text_embd.weight": W(tv, DH, s=0.5),
+        "lm.depth.in_proj.weight": W(n_cb, DH, H),
+        "lm.depth.in_proj.bias": W(n_cb, DH, s=0.1),
+        "lm.depth.heads.weight": W(n_cb, av, DH),
+        "lm.depth.output_norm.weight": W(DH, s=0.2) + 1.0,
+    }
+    for i in range(n_cb):
+        tensors[f"lm.depth.audio_embd_{i}.weight"] = W(av, DH, s=0.5)
+    for l in range(DLAYERS):
+        p = f"lm.depth.blk_{l}"
+        tensors[f"{p}.attn_norm.weight"] = W(DH, s=0.2) + 1.0
+        tensors[f"{p}.q.weight"] = W(DHEADS * DHD, DH)
+        tensors[f"{p}.k.weight"] = W(DKV * DHD, DH)
+        tensors[f"{p}.v.weight"] = W(DKV * DHD, DH)
+        tensors[f"{p}.o.weight"] = W(DH, DHEADS * DHD)
+        tensors[f"{p}.ffn_norm.weight"] = W(DH, s=0.2) + 1.0
+        tensors[f"{p}.ffn_gate.weight"] = W(DINTER, DH)
+        tensors[f"{p}.ffn_up.weight"] = W(DINTER, DH)
+        tensors[f"{p}.ffn_down.weight"] = W(DH, DINTER)
+
+    path = tmp_path_factory.mktemp("rda_moshi") / "rda_moshi.gguf"
+    w = GGUFWriter(path, "mimi")
+    _write_base(w)
+    w.add_bool("codec.lm.has_adaptor", True)
+    w.add_string("codec.lm.kind", "residual_depth_ar")
+    w.add_string("codec.lm.host_arch", "llama")
+    w.add_uint32("codec.lm.hidden_dim", H)
+    w.add_uint32("codec.lm.audio_embed_dim", DH)   # per-pos rows live in DH
+    w.add_uint32("codec.lm.n_codebook", n_cb)
+    w.add_array("codec.lm.codebook_sizes", [av] * n_cb)
+    w.add_array("codec.lm.delay_pattern", [0] * n_cb)
+    w.add_uint32("codec.lm.residual.depth_layers", DLAYERS)
+    w.add_uint32("codec.lm.residual.depth_hidden", DH)
+    w.add_uint32("codec.lm.residual.depth_n_heads", DHEADS)
+    w.add_uint32("codec.lm.residual.depth_n_kv_heads", DKV)
+    w.add_uint32("codec.lm.residual.depth_head_dim", DHD)
+    w.add_float32("codec.lm.residual.depth_rope_theta", 10000.0)
+    w.add_float32("codec.lm.residual.depth_rms_norm_eps", 1e-5)
+    w.add_bool("codec.lm.residual.depth_has_in_proj", True)
+    w.add_bool("codec.lm.residual.depth_in_proj_per_pos", True)
+    w.add_bool("codec.lm.residual.depth_has_output_norm", True)
+    w.add_bool("codec.lm.residual.depth_use_rope", True)
+    w.add_bool("codec.lm.residual.depth_rope_interleaved", True)
+    w.add_string("codec.lm.residual.c0_input_modality", "text")
+    for name, t in tensors.items():
+        w.add_tensor(name, t.numpy())
+    w.write()
+    return path
+
+
+def test_rda_moshi_fused_greedy_matches_host(rda_moshi_gguf):
+    lm = create_lm(GGUFReader(rda_moshi_gguf))
+    assert lm.depth_emits_c0 and lm.in_proj_per_pos and lm.c0_is_text
+    fn = lm.fused_frame()
+    rng = np.random.default_rng(8)
+    for text_tok in (0, 5, 11):
+        h = rng.standard_normal(H).astype(np.float32)
+        want = _host_greedy_frame(lm, h, text_ctx=text_tok)
+        got = np.asarray(fn(jnp.asarray(h), jax.random.PRNGKey(0),
+                            jnp.int32(text_tok)))
+        assert got.tolist() == want
+
+
+# ---------------------------------------------------------------------------
+# run_codebook_ar on-device path end to end
+# ---------------------------------------------------------------------------
+
+def test_run_codebook_ar_on_device_matches_host(rda_gguf):
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+    from test_audio_lm import StubBackbone
+
+    path, _ = rda_gguf
+    alm = AudioLM(GGUFReader(path))
+    prompt = [np.random.default_rng(1).standard_normal(H).astype(np.float32)]
+
+    host = run_codebook_ar(alm, StubBackbone(H, seed=2), prompt,
+                           max_steps=4, decode=False)
+    alm2 = AudioLM(GGUFReader(path))
+    dev = run_codebook_ar(alm2, StubBackbone(H, seed=2), prompt,
+                          max_steps=4, decode=False,
+                          on_device=OnDeviceSampling())   # greedy
+    np.testing.assert_array_equal(host.codes, dev.codes)
+    assert dev.n_steps == host.n_steps
+
+
+def test_push_frame_validates(rda_gguf):
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    st = lm.new_state()
+    with pytest.raises(Exception):
+        st.push_frame([0] * (N_CB - 1))            # wrong length
+    with pytest.raises(Exception):
+        st.push_frame([SIZES[0]] + [0] * (N_CB - 1))   # out of range
+    got = st.push_frame([1] * N_CB)
+    assert got == [1] * N_CB and st.frame_counter == 1
