@@ -408,6 +408,8 @@ def run_codebook_ar(
     n_q: int = 0,
     pi=None,
     on_device: "OnDeviceSampling | None" = None,
+    grammar: str = "",
+    token_pieces: Optional[Sequence[str]] = None,
 ) -> SynthesisResult:
     """Type C/D AR loop (reference: run_codebook_ar, tts_runner.cpp:707).
 
@@ -416,8 +418,15 @@ def run_codebook_ar(
 
     `pi` (PromptInfo): when its cb0 speech range is set (MOSS-TTSD — the
     c0 head is the tied backbone lm_head over the full text vocab), cb0
-    sampling is range-constrained, the analog of the reference's GBNF
-    grammar on the backbone sampler.
+    sampling is range-constrained — the token-id-level equivalent of the
+    reference's auto-grammar (tts_auto_grammar admits exactly the same
+    "<CODE>"/sentinel set; common/audio_lm.cpp:1164).
+
+    `grammar` + `token_pieces`: a user-supplied GBNF constraint on the cb0
+    backbone sampler (reference: tts_runner.h:64-73 — never applied to
+    audio-codebook heads). `token_pieces[i]` is token i's detokenized text;
+    grammar state advances as sampled cb0 tokens are pushed. Takes
+    precedence over the range constraint.
 
     `on_device` (ops.sample.OnDeviceSampling): TPU fast path — the whole
     frame (all codebooks + sampling) runs as one compiled graph via the
@@ -426,7 +435,22 @@ def run_codebook_ar(
     cb0 range constraint is active; `sampler` is unused on this path."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
-    if pi is not None and pi.cb0_speech_range_start >= 0 \
+    if grammar and token_pieces is not None:
+        from .gbnf import GrammarSampler
+
+        base = sampler
+        eog = (pi.eos_code_c0,) if pi is not None and pi.eos_code_c0 >= 0 \
+            else ()
+        gs = GrammarSampler(grammar, token_pieces,
+                            lambda lg, _b=base: _b(0, lg), eog_tokens=eog)
+
+        def sampler(cb, lg, _gs=gs, _b=base):
+            if cb != 0:
+                return _b(cb, lg)
+            tok = _gs(lg)
+            _gs.accept(tok)                  # cb0 picks are always pushed
+            return tok
+    elif pi is not None and pi.cb0_speech_range_start >= 0 \
             and pi.cb0_speech_range_end > pi.cb0_speech_range_start:
         base = sampler
         rc = RangeConstraint(lambda lg: base(0, lg),
@@ -440,7 +464,8 @@ def run_codebook_ar(
 
     fused = None
     fused_key = None
-    constrained = pi is not None and pi.cb0_speech_range_start >= 0
+    constrained = bool(grammar) or (pi is not None
+                                    and pi.cb0_speech_range_start >= 0)
     if on_device is not None and not constrained \
             and hasattr(audio_lm.lm, "fused_frame"):
         import jax

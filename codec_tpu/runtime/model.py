@@ -8,6 +8,7 @@ runtime/bucketing.py) replacing the ggml graph cache + scheduler.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -112,6 +113,7 @@ class CodecModel:
             reader.prefer_16bit = True
         self.metadata: Dict[str, Any] = dict(reader.kv)
         self._jit_cache: Dict[Any, Callable] = {}
+        self._trace_lock = threading.Lock()
         self.mesh = None                    # set via set_mesh() for DP
         self.mesh_axis = "dp"
         self.last_out_sharding = None       # sharding of the last device output
@@ -182,6 +184,7 @@ class CodecModel:
         self.compute_dtype = compute_dtype
         self.metadata = {}
         self._jit_cache = {}
+        self._trace_lock = threading.Lock()
         self.mesh = None
         self.mesh_axis = "dp"
         self.last_out_sharding = None
@@ -242,6 +245,16 @@ class CodecModel:
         return flat, rebuild
 
     def _jitted(self, key: Tuple, make: Callable[[], Callable]) -> Callable:
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        # Tracing swaps tracers into self.params (see wrapped below), so
+        # concurrent cache misses from server threads must serialize here;
+        # compiled fns never read self, so steady-state calls stay lock-free.
+        with self._trace_lock:
+            return self._jitted_locked(key, make)
+
+    def _jitted_locked(self, key: Tuple, make: Callable[[], Callable]) -> Callable:
         fn = self._jit_cache.get(key)
         if fn is None:
             t0 = time.monotonic()

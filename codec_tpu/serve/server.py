@@ -2,8 +2,19 @@
 
 No reference analog (the reference is a library + CLIs); this is the
 production-serving layer the TPU rebuild adds. One process owns the model
-(weights device-resident, compiled functions shared across requests; a lock
-serializes device work per chip), stdlib-only threaded HTTP front end.
+(weights device-resident, compiled functions shared across requests),
+stdlib-only threaded HTTP front end.
+
+Concurrency model (reference analog: multiple codec_lm_state objects over
+one codec_lm, src/lm/lm_internal.h:63-68): every request thread owns its
+generation state — `lm.new_state()` per /synthesize, a fresh streaming-
+decoder session per stream — while compiled functions and device-resident
+weights are shared. JAX dispatch is thread-safe and the device queue
+serializes execution, so concurrent requests overlap host work (sampling,
+tokenize, WAV framing) with device compute instead of queueing behind a
+global lock; only first-compile tracing serializes
+(CodecModel._trace_lock), because tracing temporarily swaps tracers into
+the shared weight attributes.
 
 Endpoints:
   GET  /health                 → model/LM info JSON
@@ -27,7 +38,6 @@ import io
 import json
 import struct
 import sys
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -57,7 +67,6 @@ class CodecHTTPServer:
         self.model = codec_tpu.load_model(model_path)
         self.reader = GGUFReader(model_path)
         self.lm = create_lm(self.reader)
-        self.lock = threading.Lock()        # serialize device work per chip
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -126,8 +135,7 @@ class CodecHTTPServer:
                 codes = np.asarray(req["codes"], np.int32)
                 if codes.ndim != 2:
                     raise ValueError("codes must be [T, n_q]")
-                with outer.lock:
-                    pcm = outer.model.decode(codes, n_q=int(req.get("n_q", 0)))
+                pcm = outer.model.decode(codes, n_q=int(req.get("n_q", 0)))
                 body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -143,8 +151,7 @@ class CodecHTTPServer:
                     outer.model.sample_rate
                 if sr != want_sr:
                     raise ValueError(f"sample rate {sr} != expected {want_sr}")
-                with outer.lock:
-                    codes = outer.model.encode(to_mono(x))
+                codes = outer.model.encode(to_mono(x))
                 self._json(200, {"codes": codes.tolist()})
 
             def _synthesize(self):
@@ -160,11 +167,10 @@ class CodecHTTPServer:
                 text = req["text"]
                 if req.get("stream"):
                     return self._synthesize_stream(req, text)
-                with outer.lock:
-                    pcm, n_frames, stop = run_flow_synthesize(
-                        outer.model, outer.lm, text,
-                        seed=int(req.get("seed", 0)),
-                        max_frames=int(req.get("max_frames", 0)))
+                pcm, n_frames, stop = run_flow_synthesize(
+                    outer.model, outer.lm, text,
+                    seed=int(req.get("seed", 0)),
+                    max_frames=int(req.get("max_frames", 0)))
                 body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -193,31 +199,32 @@ class CodecHTTPServer:
                     self.wfile.flush()
 
                 chunk(_wav_header(-1, model.sample_rate))
-                with outer.lock:
-                    text2, fae_guess = flow_prepare_text(text)
-                    ids = lm.tokenize(text2)
-                    st = lm.new_state()
-                    lm.flow_prefill(st, ids)
-                    fae = lm.frames_after_eos if lm.frames_after_eos >= 0 \
-                        else fae_guess + 2
-                    max_gen = int(req.get("max_frames", 0)) or \
-                        max(8, int(math.ceil((len(ids) / 3.0 + 2.0) * 12.5)))
-                    rng = np.random.default_rng(int(req.get("seed", 0)))
-                    noise_std = math.sqrt(lm.temperature)
-                    dec = model.streaming_decoder()
-                    prev = None
-                    eos_step = -1
-                    for step in range(max_gen):
-                        noise = (rng.standard_normal(lm.ldim)
-                                 * noise_std).astype(np.float32)
-                        lat, _, is_eos = lm.flow_step(st, prev_latent=prev,
-                                                      noise=noise)
-                        if is_eos and eos_step < 0:
-                            eos_step = step
-                        if eos_step >= 0 and step >= eos_step + fae:
-                            break
-                        chunk(_pcm16(dec.push(lm.denorm_latent(lat)[None])))
-                        prev = lat
+                # per-request state (st, dec): concurrent streams interleave
+                # frame-by-frame on the shared compiled step functions
+                text2, fae_guess = flow_prepare_text(text)
+                ids = lm.tokenize(text2)
+                st = lm.new_state()
+                lm.flow_prefill(st, ids)
+                fae = lm.frames_after_eos if lm.frames_after_eos >= 0 \
+                    else fae_guess + 2
+                max_gen = int(req.get("max_frames", 0)) or \
+                    max(8, int(math.ceil((len(ids) / 3.0 + 2.0) * 12.5)))
+                rng = np.random.default_rng(int(req.get("seed", 0)))
+                noise_std = math.sqrt(lm.temperature)
+                dec = model.streaming_decoder()
+                prev = None
+                eos_step = -1
+                for step in range(max_gen):
+                    noise = (rng.standard_normal(lm.ldim)
+                             * noise_std).astype(np.float32)
+                    lat, _, is_eos = lm.flow_step(st, prev_latent=prev,
+                                                  noise=noise)
+                    if is_eos and eos_step < 0:
+                        eos_step = step
+                    if eos_step >= 0 and step >= eos_step + fae:
+                        break
+                    chunk(_pcm16(dec.push(lm.denorm_latent(lat)[None])))
+                    prev = lat
                 chunk(b"")                   # terminating chunk
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
