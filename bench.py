@@ -96,6 +96,173 @@ def _bench_generic(decode_fn, params, codes0, out_samples: int,
     return (out_samples / sample_rate) / wall, wall
 
 
+_FIXTURE_DIR = __import__("pathlib").Path(__file__).parent / ".bench_fixtures"
+
+
+def _mimi_product_ggufs():
+    """Full-size (kyutai/mimi-shaped, random-init) GGUFs through the real
+    converter, cached on disk: the product path under test is
+    GGUF -> load_model -> CodecModel (VERDICT: bench the product surface,
+    BASELINE.json configs 1/4/5)."""
+    _FIXTURE_DIR.mkdir(exist_ok=True)
+    paths = {q: _FIXTURE_DIR / f"mimi_full_{q}.gguf"
+             for q in ("F32", "Q8_0", "Q4_K_M")}
+    if all(p.exists() for p in paths.values()):
+        return paths
+    import torch
+    from transformers import MimiConfig as HFMimiConfig, MimiModel
+
+    torch.manual_seed(0)
+    hf = MimiModel(HFMimiConfig()).eval()          # default cfg = kyutai size
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = hf.config.to_dict()
+    from codec_tpu.convert import get_converter
+
+    for q, p in paths.items():
+        if not p.exists():
+            conv = get_converter("mimi")(quantization=q)
+            conv.load_from_state_dict(sd, cfg)
+            conv.convert_and_save(p)
+    return paths
+
+
+def _time_calls(fn, n: int = 10, warm: int = 2) -> float:
+    """Mean wall seconds per call of a host-level fn that forces its own
+    readback (CodecModel.decode/encode, LM steps), RTT-corrected."""
+    for _ in range(warm):                          # compile + cache warm
+        fn()
+    rtt = _readback_rtt()
+    t0 = time.monotonic()
+    for _ in range(n):
+        fn()
+    return max(1e-9, (time.monotonic() - t0) / n - rtt)
+
+
+def _bench_product_surface(t_frames: int = 250, n: int = 10):
+    """BASELINE.json configs via the public surface: load_model + decode/
+    encode (F32, Q8_0, Q4_K_M, batched bf16 multi-stream)."""
+    import codec_tpu
+
+    paths = _mimi_product_ggufs()
+    rng = np.random.default_rng(0)
+    out = {}
+
+    m = codec_tpu.load_model(paths["F32"])
+    audio_s = t_frames * m.hop_size / m.sample_rate  # 250 -> 20 s @ 24 kHz
+    codes = rng.integers(0, m.codebook_size,
+                         (1, t_frames, m.n_q)).astype(np.int32)
+    wall = _time_calls(lambda: m.decode(codes), n)
+    out["gguf_decode_f32_b1"] = {"xrt": round(audio_s / wall, 1),
+                                 "wall_ms": round(wall * 1e3, 2)}
+    if m.has_encoder:                               # config 4: encode path
+        pcm = (rng.standard_normal(int(m.sample_rate * audio_s)) * 0.1
+               ).astype(np.float32)
+        wall = _time_calls(lambda: m.encode(pcm), n)
+        out["gguf_encode_f32"] = {"xrt": round(audio_s / wall, 1),
+                                  "wall_ms": round(wall * 1e3, 2)}
+
+    for q, key in (("Q8_0", "gguf_decode_q8_0_b1"),
+                   ("Q4_K_M", "gguf_decode_q4_k_m_b1")):  # config 5a
+        mq = codec_tpu.load_model(paths[q])
+        wall = _time_calls(lambda: mq.decode(codes), n)
+        out[key] = {"xrt": round(audio_s / wall, 1),
+                    "wall_ms": round(wall * 1e3, 2)}
+
+    mb = codec_tpu.load_model(paths["F32"], compute_dtype="bfloat16")
+    codes8 = rng.integers(0, mb.codebook_size,
+                          (8, t_frames, mb.n_q)).astype(np.int32)
+    wall = _time_calls(lambda: mb.decode(codes8), n)
+    out["gguf_decode_bf16_b8"] = {"xrt": round(8 * audio_s / wall, 1),
+                                  "wall_ms": round(wall * 1e3, 2)}
+    return out
+
+
+def _bench_tts_ar(fast: bool = False):
+    """TTS/AR per-step latencies on reference-shaped random fixtures
+    (BASELINE.md: BlueMagpie full step 625.4 ms, RTF 3.9 on the reference;
+    frame budgets: RDA/flow 80 ms @ 12.5 Hz, CFM 160 ms/patch).
+
+    fast=True shrinks fixture dims + iteration counts so the section can be
+    smoke-tested on CPU; real runs use the reference-shaped defaults."""
+    import jax.random as jr
+
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.models.bench_lm_init import (write_cfm_gguf,
+                                                write_flow_lm_gguf,
+                                                write_rda_gguf)
+
+    _FIXTURE_DIR.mkdir(exist_ok=True)
+    out = {}
+    rng = np.random.default_rng(0)
+    n_rda, n_cfm, n_flow = (4, 2, 4) if fast else (20, 10, 20)
+
+    # residual_depth_ar (CSM-1B shape), fused on-device frame
+    p = _FIXTURE_DIR / ("rda_smoke.gguf" if fast else "rda_csm1b.gguf")
+    if not p.exists():
+        if fast:
+            write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2,
+                           heads=2, kv=1, hdim=16, inter=64)
+        else:
+            write_rda_gguf(p)
+    lm = create_lm(GGUFReader(p))
+    fn = lm.fused_frame()                           # greedy
+    h = jnp.asarray(rng.standard_normal(lm.info.hidden_dim), jnp.float32)
+    key = jr.PRNGKey(0)
+    state = {"k": key}
+
+    def rda_step():
+        state["k"], sub = jr.split(state["k"])
+        np.asarray(fn(h, sub, jnp.int32(0)))
+    wall = _time_calls(rda_step, n=n_rda)
+    out["rda_frame_ms"] = round(wall * 1e3, 2)
+    out["rda_rtf"] = round(wall / 0.080, 4)         # 12.5 Hz frames
+    del lm, fn
+
+    # continuous_latent_cfm (BlueMagpie shape), whole step in-graph
+    p = _FIXTURE_DIR / ("cfm_smoke.gguf" if fast else "cfm_bluemagpie.gguf")
+    if not p.exists():
+        if fast:
+            write_cfm_gguf(p, hb=16, hv=24, he=16, hd=16, d=4, p=2, nh=2,
+                           nkv=1, hdim=8, nl_enc=1, nl_dit=1, nl_ralm=1,
+                           ffn_mult=2)
+        else:
+            write_cfm_gguf(p)
+    lm = create_lm(GGUFReader(p))
+    st = lm.new_state()
+    h_in = rng.standard_normal(lm.info.hidden_dim).astype(np.float32)
+    noise = rng.standard_normal(
+        (lm.patch_size, lm.latent_dim)).astype(np.float32)
+
+    def cfm_step():
+        lm.step_generate(st, h_in, cfg_value=2.0, n_timesteps=10, noise=noise)
+    wall = _time_calls(cfm_step, n=n_cfm)
+    out["cfm_step_ms"] = round(wall * 1e3, 2)
+    out["cfm_rtf"] = round(wall / 0.160, 4)         # 160 ms audio per step
+    out["cfm_vs_ref_625ms"] = round(625.4 / (wall * 1e3), 1)
+    del lm, st
+
+    # flow_lm (Pocket-TTS shape), per-frame AR step
+    p = _FIXTURE_DIR / ("flow_smoke.gguf" if fast else "flow_pocket.gguf")
+    if not p.exists():
+        if fast:
+            write_flow_lm_gguf(p, dm=32, layers=2, heads=2, hdim=16, ffn=64,
+                               ldim=8, fdim=24, fdepth=2, nbins=50)
+        else:
+            write_flow_lm_gguf(p)
+    lm = create_lm(GGUFReader(p))
+    st = lm.new_state()
+    lm.flow_prefill(st, list(range(1, 24)))
+    fnoise = rng.standard_normal(lm.ldim).astype(np.float32)
+
+    def flow_step():
+        lm.flow_step(st, noise=fnoise)
+    wall = _time_calls(flow_step, n=n_flow)
+    out["flow_frame_ms"] = round(wall * 1e3, 2)
+    out["flow_rtf"] = round(wall / 0.080, 4)        # 12.5 Hz frames
+    return out
+
+
 def main():
     from codec_tpu.models.mimi import MimiConfig
     from codec_tpu.models.mimi_init import random_mimi_params
@@ -152,6 +319,9 @@ def main():
         lambda p, c: wt_decode_fn(p, c, wcfg), wparams, wt_codes,
         t_wt * wcfg.hop_size, wcfg.sample_rate, wcfg.codebook_size)
 
+    product = _bench_product_surface()
+    tts = _bench_tts_ar()
+
     headline = xrt_f32
     print(json.dumps({
         "metric": "mimi_decode_xrt_per_chip",
@@ -167,6 +337,8 @@ def main():
             "wavtokenizer_f32_b1": {"xrt": round(xrt_wt, 1), "wall_ms": round(wall_wt * 1e3, 2)},
             "streaming_frame_latency_ms": round(stream_ms, 2),
             "first_compile_s": round(compile_s, 1),
+            "product_surface": product,
+            "tts_ar": tts,
         },
     }))
 

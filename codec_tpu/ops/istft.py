@@ -58,17 +58,37 @@ def istft_from_head(head: jax.Array, hop: int, pad: int | None = None,
         win = jnp.asarray(window, head.dtype)
     frames = frames * win
 
-    # identity-kernel transposed conv scatters frame i at t*hop + i; kernel
-    # orientation: correlation with flipped identity == identity scatter
-    eye = jnp.flip(jnp.eye(n_fft, dtype=head.dtype), 0)[:, :, None]
-    y = lax.conv_general_dilated(
-        frames, eye, window_strides=(1,), padding=[(n_fft - 1, n_fft - 1)],
-        lhs_dilation=(hop,), dimension_numbers=("NWC", "WIO", "NWC"))[..., 0]
-
-    env_frames = jnp.broadcast_to(win * win, (1, t, n_fft))
-    env = lax.conv_general_dilated(
-        env_frames, eye, window_strides=(1,), padding=[(n_fft - 1, n_fft - 1)],
-        lhs_dilation=(hop,), dimension_numbers=("NWC", "WIO", "NWC"))[..., 0]
+    y = _overlap_add(frames, hop)
+    env = _overlap_add(jnp.broadcast_to(win * win, (1, t, n_fft)), hop)
     y = y / jnp.where(env > 1e-11, env, 1.0)
     total = (t - 1) * hop + n_fft
     return y[:, pad: total - pad]
+
+
+def _overlap_add(frames: jax.Array, hop: int) -> jax.Array:
+    """Sum frame t into output positions [t*hop, t*hop + n_fft)
+    → [B, (T-1)*hop + n_fft].
+
+    Fast path (n_fft % hop == 0, every shipped iSTFT head): split each
+    frame into r = n_fft//hop hop-sized slabs; slab i of frame t lands
+    exactly on output hop-block t+i, so the whole OLA is r shifted adds of
+    a [B, T, hop] tensor — O(T·n_fft) moved bytes. The previous
+    identity-kernel ConvTranspose formulation was O(T·n_fft²) MACs and
+    measured 68.7 ms of WavTokenizer's 69.7 ms 20-s decode on v5e (the
+    entire gap to Mimi); the fold is pure data movement.
+    """
+    b, t, n_fft = frames.shape
+    if n_fft % hop:
+        # rare shapes: identity-kernel transposed conv scatter (correlation
+        # with flipped identity == identity scatter)
+        eye = jnp.flip(jnp.eye(n_fft, dtype=frames.dtype), 0)[:, :, None]
+        return lax.conv_general_dilated(
+            frames, eye, window_strides=(1,),
+            padding=[(n_fft - 1, n_fft - 1)], lhs_dilation=(hop,),
+            dimension_numbers=("NWC", "WIO", "NWC"))[..., 0]
+    r = n_fft // hop
+    slabs = frames.reshape(b, t, r, hop)
+    acc = jnp.zeros((b, t + r - 1, hop), frames.dtype)
+    for i in range(r):
+        acc = acc + jnp.pad(slabs[:, :, i, :], ((0, 0), (i, r - 1 - i), (0, 0)))
+    return acc.reshape(b, (t + r - 1) * hop)
