@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.gguf import GGUFReader
-from ..ops import act, conv, norms
+from ..ops import act, conv, norms, seanet_pallas
 from ..runtime.model import CodecModel
 
 RES_DILATIONS = (1, 3, 9)
@@ -158,6 +158,16 @@ def _sym_conv(x, layer, stride=1, dilation=1):
 
 
 def _res_unit(x, u, dilation):
+    k = u["c1"]["k"]
+    if (u["c2"]["k"] == 1 and u["c1"]["b"] is not None
+            and u["c2"]["b"] is not None
+            and seanet_pallas.use_fused_unit(x.shape[1], x.shape[-1], k)):
+        # fused Pallas unit: one HBM read + write for the whole
+        # snake→conv_k7→snake→conv_k1→+x chain (numbers: seanet_pallas.py)
+        return seanet_pallas.seanet_res_unit(
+            x, u["s1"], u["c1"]["w"], u["c1"]["b"], u["s2"],
+            u["c2"]["w"][0], u["c2"]["b"], dilation=dilation,
+            t_blk=seanet_pallas.pick_t_blk(x.shape[-1]))
     h = act.snake(x, u["s1"])
     h = _sym_conv(h, u["c1"], dilation=dilation)
     h = act.snake(h, u["s2"])
@@ -183,8 +193,10 @@ def dac_decode_from_latent(params: Dict[str, Any], latent: jax.Array,
         x = act.snake(x, blk["snake"])
         k = blk["tr"]["k"]
         s = k // 2
-        x = conv.convtr1d(x, blk["tr"]["w"], blk["tr"]["b"], stride=s,
-                          padding=(s + 1) // 2)
+        # sub-pixel (phase-matmul) transposed conv: 1.0-2.5x over XLA's
+        # lhs_dilation conv at these shapes on v5e (tools/convtr_micro.py)
+        x = conv.convtr1d_subpixel(x, blk["tr"]["w"], blk["tr"]["b"],
+                                   stride=s, padding=(s + 1) // 2)
         for u, d in zip(blk["units"], RES_DILATIONS):
             x = _res_unit(x, u, d)
     x = act.snake(x, params["dec_snake"])

@@ -55,6 +55,38 @@ def conv1d(
     return y
 
 
+def conv1d_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    dilation: int = 1,
+    padding: int | tuple[int, int] = 0,
+    pad_mode: str = "zeros",
+) -> jax.Array:
+    """Stride-1 conv1d as K shifted matmuls: y[t] = Σ_j x_pad[t + j·d] @ w[j].
+
+    Numerically identical to conv1d(stride=1) with the same padding. On
+    TPU, XLA's convolution at small channel counts and long T leaves most
+    of the MXU idle; K [T, C_in] @ [C_in, C_out] matmuls with fused adds
+    run much closer to the roofline (measured on DAC's SEANet decoder —
+    see models/dac.py docstring for numbers).
+    x: [B, T, C_in], w: [K, C_in, C_out]; padding: int (symmetric) or
+    (left, right).
+    """
+    k = w.shape[0]
+    k_eff = (k - 1) * dilation + 1
+    pad_l, pad_r = (padding, padding) if isinstance(padding, int) else padding
+    t_out = x.shape[1] + pad_l + pad_r - k_eff + 1
+    mode = "edge" if pad_mode == "replicate" else "constant"
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)), mode=mode)
+    y = xp[:, :t_out] @ w[0]
+    for j in range(1, k):
+        y = y + xp[:, j * dilation: j * dilation + t_out] @ w[j]
+    if b is not None:
+        y = y + b
+    return y
+
+
 def _causal_pads(t: int, k: int, stride: int, dilation: int) -> tuple[int, int]:
     k_eff = (k - 1) * dilation + 1
     pad_left = k_eff - stride
@@ -125,6 +157,51 @@ def convtr1d(
         y = y + b
     if padding > 0:
         y = y[:, padding:-padding, :]
+    return y
+
+
+def convtr1d_subpixel(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """convtr1d reformulated as one MXU matmul (sub-pixel / phase
+    decomposition) — numerically identical outputs.
+
+    y[t·s + q] = Σ_m x[t−m] · w_tap[q + m·s]  (q ∈ [0,s), m < ceil(k/s)),
+    so stacking M = ceil(k/s) shifted copies of x gives
+    [B, T', M·C_in] @ [M·C_in, s·C_out] → reshape → [B, T'·s, C_out].
+
+    On TPU this avoids `lhs_dilation` (input-dilated conv), which XLA
+    handles poorly for large stride: the matmul form keeps the MXU busy on
+    a dense [M·C_in, s·C_out] contraction. Same `w` layout as convtr1d
+    (pre-flipped WIO from prepare_convtr_weight).
+    """
+    k, cin, cout = w.shape
+    s = stride
+    m_taps = -(-k // s)
+    w_taps = w[::-1]                                   # original tap order
+    if m_taps * s != k:
+        w_taps = jnp.concatenate(
+            [w_taps, jnp.zeros((m_taps * s - k, cin, cout), w.dtype)])
+    # W'_m[ci, q·C_out + co] = w_tap[m·s + q, ci, co]
+    wp = w_taps.reshape(m_taps, s, cin, cout).transpose(0, 2, 1, 3)
+    wp = wp.reshape(m_taps, cin, s * cout)
+
+    bsz, t, _ = x.shape
+    t_ext = t + m_taps - 1                             # tail frames (x[T..]=0)
+    # Σ_m x[t−m] @ W'_m as separate matmuls (no [B,T,M·C] concat
+    # materialization — XLA fuses the adds into the matmul epilogues)
+    y = jnp.pad(x, ((0, 0), (0, m_taps - 1), (0, 0))) @ wp[0]
+    for m in range(1, m_taps):
+        y = y + jnp.pad(x, ((0, 0), (m, m_taps - 1 - m), (0, 0))) @ wp[m]
+    y = y.reshape(bsz, t_ext * s, cout)
+    full = (t - 1) * s + k
+    y = y[:, padding: full - padding]
+    if b is not None:
+        y = y + b
     return y
 
 

@@ -1,0 +1,143 @@
+"""Fused SEANet residual-unit Pallas TPU kernel.
+
+One res-unit (reference: dac.cpp res_unit — snake → dilated conv k7 →
+snake → conv k1 → +x) is four HBM round-trips as separate XLA ops, and
+XLA's TPU convolution at small channel counts (96-384) and long T runs
+~10x off the roofline (measured: DAC block3 res-units ~25 ms of a 98 ms
+decode for ~3 ms of speed-of-light).
+
+This kernel computes the whole unit in VMEM per T-tile:
+  win  = [left-halo | x-tile | right-halo]            (halo = (k-1)/2·d)
+  h    = snake(win, alpha1)                            (VPU sin)
+  acc  = Σ_j h[j·d : j·d+T_blk] @ w1[j] + b1           (K MXU matmuls)
+  y    = snake(acc, alpha2) @ w2 + b2                  (1x1 conv)
+  out  = x-tile + y
+→ reads x (+halo fraction) once and writes out once: ~8 HBM passes per
+unit become 2. Halo rows ride a tiny precomputed [B, n_tiles, 2·halo, C]
+side input so every operand uses plain aligned BlockSpecs and Mosaic's
+automatic pipeline double-buffers the DMA. Matmul inputs are cast to
+bf16 with f32 accumulation — the same MXU precision XLA gives f32
+convolutions on TPU by default, at native MXU speed.
+
+Weights stay whole in VMEM → dispatch only when K·C·C fits (C ≤ 512).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _unit_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, a2_ref, w2_ref,
+                 b2_ref, out_ref, win_ref, *, k: int, dilation: int,
+                 t_blk: int, halo: int, eps: float):
+    # assemble the conv window in VMEM: [halo_l | tile | halo_r], snaked
+    a1 = a1_ref[:]
+    snake1 = lambda v: (v + jnp.sin(a1 * v) ** 2 / (a1 + eps)
+                        ).astype(jnp.bfloat16)
+    x = x_ref[0]
+    if halo:
+        win_ref[:halo] = snake1(halo_ref[0, 0, :halo])
+        win_ref[halo + t_blk:] = snake1(halo_ref[0, 0, halo:])
+    win_ref[halo:halo + t_blk] = snake1(x)
+
+    h = win_ref[:]
+    acc = jnp.dot(h[0:t_blk], w1_ref[0],
+                  preferred_element_type=jnp.float32)
+    for j in range(1, k):
+        acc = acc + jnp.dot(h[j * dilation: j * dilation + t_blk], w1_ref[j],
+                            preferred_element_type=jnp.float32)
+    acc = acc + b1_ref[:]
+    a2 = a2_ref[:]
+    h2 = (acc + jnp.sin(a2 * acc) ** 2 / (a2 + eps)).astype(jnp.bfloat16)
+    y = jnp.dot(h2, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    out_ref[0] = x + y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "t_blk", "eps", "interpret"))
+def seanet_res_unit(x: jax.Array, alpha1: jax.Array, w1: jax.Array,
+                    b1: jax.Array, alpha2: jax.Array, w2: jax.Array,
+                    b2: jax.Array, dilation: int = 1, t_blk: int = 2048,
+                    eps: float = 1e-9, interpret: bool = False) -> jax.Array:
+    """x: [B, T, C]; w1: [K, C, C] (WIO); w2: [C, C] (in, out); alphas/biases
+    [C]. Symmetric zero pad (K odd) — output [B, T, C], numerically the DAC
+    res-unit x + conv_k1(snake(conv_kKdD(snake(x)))) at TPU-default (bf16
+    MXU, f32 accum) matmul precision."""
+    b, t, c = x.shape
+    k = w1.shape[0]
+    halo = ((k - 1) * dilation) // 2
+    n_tiles = -(-t // t_blk)
+    t_pad = n_tiles * t_blk
+
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    if halo:
+        # left halo of tile i = xp rows [i·T_blk − halo, i·T_blk): slice of
+        # a shifted reshape — strided copies, no gather
+        xl = jnp.pad(xp, ((0, 0), (halo, 0), (0, 0)))[:, :t_pad]
+        left = xl.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+        # right halo of tile i = xp rows [(i+1)·T_blk, +halo)
+        xr = jnp.pad(xp, ((0, 0), (0, t_blk), (0, 0)))[:, t_blk: t_blk + t_pad]
+        right = xr.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+        halos = jnp.concatenate([left, right], axis=2)
+    else:
+        halos = jnp.zeros((b, n_tiles, 0, c), x.dtype)
+
+    two_d = lambda v: v.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _unit_kernel, k=k, dilation=dilation, t_blk=t_blk, halo=halo,
+        eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max(2 * halo, 1), c),
+                         lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, c), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t_blk + 2 * halo, c), jnp.bfloat16)],
+        interpret=interpret,
+    )(xp, halos, w1.astype(jnp.bfloat16), two_d(b1), two_d(alpha1),
+      two_d(alpha2), w2.astype(jnp.bfloat16), two_d(b2))
+    return out[:, :t]
+
+
+def pick_t_blk(c: int) -> int:
+    """Tile length by channel width (keep tiles ~1-2 MB in VMEM)."""
+    if c <= 128:
+        return 4096
+    if c <= 256:
+        return 2048
+    return 1024
+
+
+def use_fused_unit(t: int, c: int, k: int) -> bool:
+    """Dispatch gate: TPU backend, weights fit VMEM (C ≤ 512), T long
+    enough to amortize the grid. CODEC_NO_FUSED_RESUNIT=1 disables."""
+    import os
+
+    return (c <= 512 and k * c * c * 4 <= 8 << 20 and t >= 4096
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))

@@ -1,0 +1,44 @@
+"""Fused SEANet res-unit kernel vs the XLA-ops chain (interpret mode on
+CPU; compiled-mode v5e numbers live in ops/seanet_pallas.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from codec_tpu.ops import act, conv
+from codec_tpu.ops.seanet_pallas import seanet_res_unit
+
+
+def _xla_unit(x, a1, w1, b1, a2, w2, b2, d):
+    h = act.snake(x, a1)
+    h = conv.conv1d(h, w1, b1, dilation=d, padding=((w1.shape[0] - 1) * d) // 2)
+    h = act.snake(h, a2)
+    return x + (h @ w2 + b2)
+
+
+@pytest.mark.parametrize("b,t,c,d,tb", [
+    (2, 200, 8, 1, 64),       # multi-batch, partial last tile
+    (1, 200, 8, 3, 64),       # dilated
+    (1, 130, 16, 9, 32),      # large dilation (halo 27 < t_blk 32)
+    (1, 64, 8, 1, 64),        # single tile, exact fit
+])
+def test_res_unit_matches_xla_chain(b, t, c, d, tb):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((7, c, c)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    a1 = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32)
+    a2 = jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32)
+
+    want = np.asarray(_xla_unit(x, a1, w1, b1, a2, w2, b2, d))
+    got = np.asarray(seanet_res_unit(x, a1, w1, b1, a2, w2, b2, dilation=d,
+                                     t_blk=tb, interpret=True))
+    assert got.shape == want.shape
+    # kernel runs bf16-MXU/f32-accum matmuls (the TPU default for f32
+    # convs) — bf16 rounding of the snaked window bounds the agreement
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-2)
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.9999
