@@ -20,6 +20,8 @@ All VQ layers share shapes → stacked codebooks/projections + lax.scan.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
@@ -153,25 +155,37 @@ def _sym_conv(x, layer, stride=1, dilation=1):
     # (stride+1)//2 for strided downsample convs.
     if pad is None:
         pad = (stride + 1) // 2 if stride > 1 else k // 2
+    if stride == 1 and jax.default_backend() == "tpu":
+        # K shifted MXU matmuls instead of XLA's convolution (which runs
+        # ~20x off-roofline at DAC's C/T shapes, tools/conv_micro.py)
+        return conv.conv1d_matmul(x, layer["w"], layer["b"],
+                                  dilation=dilation, padding=pad)
     return conv.conv1d(x, layer["w"], layer["b"], stride=stride, dilation=dilation,
                        padding=pad)
 
 
-def _res_unit(x, u, dilation):
+def _res_unit(x, u, dilation, lane_pad: int = 1):
     k = u["c1"]["k"]
-    if (u["c2"]["k"] == 1 and u["c1"]["b"] is not None
-            and u["c2"]["b"] is not None
-            and seanet_pallas.use_fused_unit(x.shape[1], x.shape[-1], k)):
+    c = x.shape[-1]                                   # already lane-padded
+    w1 = _pad_ch(_pad_ch(u["c1"]["w"], 1, lane_pad), 2, lane_pad)
+    w2 = _pad_ch(_pad_ch(u["c2"]["w"], 1, lane_pad), 2, lane_pad)
+    s1 = _pad_ch(u["s1"], 0, lane_pad, 1.0)
+    s2 = _pad_ch(u["s2"], 0, lane_pad, 1.0)
+    b1 = _pad_ch(u["c1"]["b"], 0, lane_pad)
+    b2 = _pad_ch(u["c2"]["b"], 0, lane_pad)
+    if (u["c2"]["k"] == 1 and b1 is not None and b2 is not None
+            and seanet_pallas.use_fused_unit(x.shape[1], c, k)):
         # fused Pallas unit: one HBM read + write for the whole
         # snake→conv_k7→snake→conv_k1→+x chain (numbers: seanet_pallas.py)
         return seanet_pallas.seanet_res_unit(
-            x, u["s1"], u["c1"]["w"], u["c1"]["b"], u["s2"],
-            u["c2"]["w"][0], u["c2"]["b"], dilation=dilation,
-            t_blk=seanet_pallas.pick_t_blk(x.shape[-1]))
-    h = act.snake(x, u["s1"])
-    h = _sym_conv(h, u["c1"], dilation=dilation)
-    h = act.snake(h, u["s2"])
-    h = conv.conv1d(h, u["c2"]["w"], u["c2"]["b"])
+            x, s1, w1, b1, s2, w2[0], b2, dilation=dilation,
+            t_blk=seanet_pallas.pick_t_blk(c))
+    cv = (conv.conv1d_matmul if jax.default_backend() == "tpu"
+          else functools.partial(conv.conv1d, stride=1))
+    h = act.snake(x, s1)
+    h = cv(h, w1, b1, dilation=dilation, padding=((k - 1) * dilation) // 2)
+    h = act.snake(h, s2)
+    h = cv(h, w2, b2)
     return x + h
 
 
@@ -185,22 +199,51 @@ def dac_latent_from_codes(vq: Dict[str, jax.Array], codes: jax.Array,
     return lat + jnp.sum(vq["out_b"][:n_q], axis=0)
 
 
+def _pad_ch(a: Optional[jax.Array], axis: int, to: int,
+            value: float = 0.0) -> Optional[jax.Array]:
+    """Zero/const-pad one axis of a weight tensor up to a multiple of `to`."""
+    if a is None:
+        return None
+    p = (-a.shape[axis]) % to
+    if p == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, p)
+    return jnp.pad(a, widths, constant_values=value)
+
+
+def _lane_pad() -> int:
+    """Channel padding multiple for the decode stack.
+
+    TPU DMA and vector registers tile the trailing (lane) dim by 128; a
+    pure Pallas copy at C=96 lanes measured 15% of HBM peak vs aligned
+    lanes (tools/resunit_dissect.py). Padding WEIGHTS to 128-multiples at
+    trace time makes every activation born aligned — zero-lane channels
+    carry exact zeros through snake (alpha pad 1.0), convs (zero rows/
+    cols), and residuals, so outputs are bit-identical."""
+    return 128 if jax.default_backend() == "tpu" else 1
+
+
 def dac_decode_from_latent(params: Dict[str, Any], latent: jax.Array,
                            cfg: DacConfig) -> jax.Array:
     """latent [B, T, hidden] → pcm [B, T*hop] (reference: codec_dac_build_decode)."""
-    x = _sym_conv(latent, params["dec_c1"])
+    to = _lane_pad()
+    x = _sym_conv(latent, params["dec_c1"])          # C 1536 (aligned)
     for blk in params["dec_blocks"]:
-        x = act.snake(x, blk["snake"])
+        x = act.snake(x, _pad_ch(blk["snake"], 0, to, 1.0))
         k = blk["tr"]["k"]
         s = k // 2
         # sub-pixel (phase-matmul) transposed conv: 1.0-2.5x over XLA's
-        # lhs_dilation conv at these shapes on v5e (tools/convtr_micro.py)
-        x = conv.convtr1d_subpixel(x, blk["tr"]["w"], blk["tr"]["b"],
+        # lhs_dilation conv at these shapes on v5e (tools/convtr_micro.py);
+        # cin rows match x's padded lanes, cout cols pad the next stage
+        w_tr = _pad_ch(_pad_ch(blk["tr"]["w"], 1, to), 2, to)
+        x = conv.convtr1d_subpixel(x, w_tr, _pad_ch(blk["tr"]["b"], 0, to),
                                    stride=s, padding=(s + 1) // 2)
         for u, d in zip(blk["units"], RES_DILATIONS):
-            x = _res_unit(x, u, d)
-    x = act.snake(x, params["dec_snake"])
-    x = _sym_conv(x, params["dec_c2"])
+            x = _res_unit(x, u, d, to)
+    x = act.snake(x, _pad_ch(params["dec_snake"], 0, to, 1.0))
+    c2 = dict(params["dec_c2"], w=_pad_ch(params["dec_c2"]["w"], 1, to))
+    x = _sym_conv(x, c2)
     return jnp.tanh(x[..., 0])
 
 

@@ -33,13 +33,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _unit_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, a2_ref, w2_ref,
-                 b2_ref, out_ref, win_ref, *, k: int, dilation: int,
-                 t_blk: int, halo: int, eps: float):
+_PI = 3.14159265358979323846
+
+
+def _sin2(y):
+    """sin²(y) via period-π range reduction + odd Taylor on [-π/2, π/2].
+
+    max abs error ~4e-6 — far below the bf16 cast that follows; ~9 VPU ops
+    vs the ~40 of a full-precision sin (the VPU-sin cost dominates snake-
+    heavy decoders, see tools/resunit_dissect2.py numbers)."""
+    r = y - _PI * jnp.round(y * (1.0 / _PI))
+    r2 = r * r
+    s = r * (1.0 + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (
+        -1.0 / 5040.0 + r2 * (1.0 / 362880.0)))))
+    return s * s
+
+
+def _unit_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, ia1_ref, a2_ref,
+                 ia2_ref, w2_ref, b2_ref, out_ref, win_ref, *, k: int,
+                 dilation: int, t_blk: int, halo: int, eps: float,
+                 do_snake: bool = True):
     # assemble the conv window in VMEM: [halo_l | tile | halo_r], snaked
     a1 = a1_ref[:]
-    snake1 = lambda v: (v + jnp.sin(a1 * v) ** 2 / (a1 + eps)
-                        ).astype(jnp.bfloat16)
+    ia1 = ia1_ref[:]
+    if do_snake:
+        # multiply by the precomputed 1/(alpha+eps) — a per-element VPU
+        # divide here measurably dominates the kernel (dissect2/3 logs)
+        snake1 = lambda v: (v + _sin2(a1 * v) * ia1).astype(jnp.bfloat16)
+    else:
+        snake1 = lambda v: v.astype(jnp.bfloat16)
     x = x_ref[0]
     if halo:
         win_ref[:halo] = snake1(halo_ref[0, 0, :halo])
@@ -54,7 +76,10 @@ def _unit_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, a2_ref, w2_ref,
                             preferred_element_type=jnp.float32)
     acc = acc + b1_ref[:]
     a2 = a2_ref[:]
-    h2 = (acc + jnp.sin(a2 * acc) ** 2 / (a2 + eps)).astype(jnp.bfloat16)
+    if do_snake:
+        h2 = (acc + _sin2(a2 * acc) * ia2_ref[:]).astype(jnp.bfloat16)
+    else:
+        h2 = acc.astype(jnp.bfloat16)
     y = jnp.dot(h2, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     out_ref[0] = x + y.astype(out_ref.dtype)
 
@@ -109,6 +134,10 @@ def seanet_res_unit(x: jax.Array, alpha1: jax.Array, w1: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, i: (0, 0),
@@ -118,9 +147,14 @@ def seanet_res_unit(x: jax.Array, alpha1: jax.Array, w1: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((t_blk + 2 * halo, c), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem limit is 16 MB; double-buffered tiles +
+            # whole weights need more at C=384
+            vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(xp, halos, w1.astype(jnp.bfloat16), two_d(b1), two_d(alpha1),
-      two_d(alpha2), w2.astype(jnp.bfloat16), two_d(b2))
+      1.0 / (two_d(alpha1) + eps), two_d(alpha2),
+      1.0 / (two_d(alpha2) + eps), w2.astype(jnp.bfloat16), two_d(b2))
     return out[:, :t]
 
 
@@ -138,6 +172,6 @@ def use_fused_unit(t: int, c: int, k: int) -> bool:
     enough to amortize the grid. CODEC_NO_FUSED_RESUNIT=1 disables."""
     import os
 
-    return (c <= 512 and k * c * c * 4 <= 8 << 20 and t >= 4096
-            and jax.default_backend() == "tpu"
+    return (c % 128 == 0 and c <= 512 and k * c * c * 4 <= 8 << 20
+            and t >= 4096 and jax.default_backend() == "tpu"
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))

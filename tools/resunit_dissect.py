@@ -138,12 +138,6 @@ def main():
     print(json.dumps(out))
 
 
-if __name__ == "__main__":
-    import sys as _s
-    if "--aligned" in _s.argv:
-        aligned_cases()
-    else:
-        main()
 
 
 def aligned_cases():
@@ -192,3 +186,11 @@ def aligned_cases():
     out["xla_c384_ms"] = round(_wall(xla_unit, x) * 1e3, 3)
     print("xla_c384", out["xla_c384_ms"], flush=True)
     print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    import sys as _s
+    if "--aligned" in _s.argv:
+        aligned_cases()
+    else:
+        main()
