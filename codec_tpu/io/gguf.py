@@ -491,6 +491,14 @@ class GGUFReader:
             return None
         return self.get(name, dtype)
 
+    def get_raw_quant(self, name: str):
+        """(type_name, raw uint8 block bytes, numpy shape) for a quantized
+        tensor, without dequantizing — feeds the fused dequant-matmul path
+        (ops/qmat_pallas.py), which keeps weights HBM-resident in quantized
+        form (reference analog: ggml mul_mat on quantized tensors)."""
+        info = self.tensors[name]
+        return info.type_name, self._raw(info), info.shape
+
 
 # ---------------------------------------------------------------------------
 # Writer (GGUF v3; matches reference scripts/utils/gguf_writer.py layout)

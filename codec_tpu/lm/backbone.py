@@ -70,13 +70,30 @@ class BackboneConfig:
 
 
 def load_backbone_params(r: GGUFReader, cfg: BackboneConfig,
-                         dtype=jnp.float32) -> Dict[str, Any]:
+                         dtype=jnp.float32,
+                         quantized: bool = False) -> Dict[str, Any]:
+    """quantized=True keeps Q8_0/Q4_K layer matmul weights HBM-resident in
+    packed quantized form, executed by the fused dequant-matmul Pallas
+    kernels (ops/qmat_pallas.py) — the reference runs quantized weights
+    natively in ggml mul_mat; round 1 dequantized everything on load
+    (4-8x the checkpoint's HBM). Norms/embeddings stay dense."""
+    from ..ops import qmat_pallas
+
     def get(name, required=True):
         if not r.has_tensor(name):
             if required:
                 raise KeyError(f"backbone tensor missing: {name}")
             return None
         return jnp.asarray(r.get(name), dtype)
+
+    def get_mat(name):
+        if quantized and r.has_tensor(name):
+            try:
+                qt = qmat_pallas.pack_tensor(r, name)
+                return {k: jnp.asarray(v) for k, v in qt.items()}
+            except ValueError:
+                pass                                  # F16/F32 tensor
+        return get(name)
 
     p: Dict[str, Any] = {"tok_embd": get("backbone.tok_embd"),
                          "out_norm": get("backbone.out_norm.w")}
@@ -87,10 +104,11 @@ def load_backbone_params(r: GGUFReader, cfg: BackboneConfig,
     layers = []
     for i in range(cfg.n_layers):
         pre = f"backbone.l{i}."
-        lw = {k: get(pre + n) for k, n in
-              (("attn_norm", "attn_norm.w"), ("q", "q.w"), ("k", "k.w"),
-               ("v", "v.w"), ("o", "o.w"), ("ffn_norm", "ffn_norm.w"),
+        lw = {k: get_mat(pre + n) for k, n in
+              (("q", "q.w"), ("k", "k.w"), ("v", "v.w"), ("o", "o.w"),
                ("gate", "gate.w"), ("up", "up.w"), ("down", "down.w"))}
+        lw["attn_norm"] = get(pre + "attn_norm.w")
+        lw["ffn_norm"] = get(pre + "ffn_norm.w")
         if cfg.has_attn_bias:
             for k, n in (("q_b", "q.b"), ("k_b", "k.b"), ("v_b", "v.b")):
                 lw[k] = get(pre + n)
@@ -101,6 +119,15 @@ def load_backbone_params(r: GGUFReader, cfg: BackboneConfig,
     # stack homogeneous layers for lax.scan
     p["layers"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
     return p
+
+
+def _mm(h: jax.Array, w) -> jax.Array:
+    """h @ w.T for dense [out, in] weights or packed quant dicts."""
+    if isinstance(w, dict):
+        from ..ops.qmat_pallas import qmatmul
+
+        return qmatmul(h, w).astype(h.dtype)
+    return h @ w.T
 
 
 def _rope(x, positions, cfg: BackboneConfig, freq_factors):
@@ -132,9 +159,9 @@ def backbone_forward(params: Dict[str, Any], kv: jax.Array, pos0: jax.Array,
     def body(xb_kv, lw_i):
         xb, kv_all, li = xb_kv
         h = norms.rms_norm(xb, lw_i["attn_norm"], cfg.rms_eps)
-        q = h @ lw_i["q"].T
-        k = h @ lw_i["k"].T
-        v = h @ lw_i["v"].T
+        q = _mm(h, lw_i["q"])
+        k = _mm(h, lw_i["k"])
+        v = _mm(h, lw_i["v"])
         if cfg.has_attn_bias:
             q, k, v = q + lw_i["q_b"], k + lw_i["k_b"], v + lw_i["v_b"]
         q = q.reshape(t, cfg.n_heads, cfg.head_dim).transpose(1, 0, 2)
@@ -160,11 +187,11 @@ def backbone_forward(params: Dict[str, Any], kv: jax.Array, pos0: jax.Array,
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vv.dtype)
         ctx = jnp.einsum("htk,hkd->htd", w, vv)
         ctx = ctx.transpose(1, 0, 2).reshape(t, cfg.n_heads * cfg.head_dim)
-        xb = xb + ctx @ lw_i["o"].T
+        xb = xb + _mm(ctx, lw_i["o"])
 
         h = norms.rms_norm(xb, lw_i["ffn_norm"], cfg.rms_eps)
-        g = jax.nn.silu(h @ lw_i["gate"].T) * (h @ lw_i["up"].T)
-        xb = xb + g @ lw_i["down"].T
+        g = jax.nn.silu(_mm(h, lw_i["gate"])) * _mm(h, lw_i["up"])
+        xb = xb + _mm(g, lw_i["down"])
         return (xb, kv_all, li + 1), None
 
     (xb, kv, _), _ = jax.lax.scan(body, (x, kv, 0), params["layers"])
@@ -175,7 +202,8 @@ class LlamaBackbone:
     """Loads a backbone GGUF and exposes the tts_runner Backbone protocol
     plus embed_tokens / text_logits / prefill."""
 
-    def __init__(self, path_or_reader, dtype=jnp.float32, max_ctx: int = 0):
+    def __init__(self, path_or_reader, dtype=jnp.float32, max_ctx: int = 0,
+                 quantized: bool | None = None):
         r = path_or_reader if isinstance(path_or_reader, GGUFReader) \
             else GGUFReader(path_or_reader)
         if r.architecture != "llama_backbone":
@@ -183,7 +211,12 @@ class LlamaBackbone:
         self.cfg = BackboneConfig.from_gguf(r)
         if max_ctx:
             self.cfg.max_ctx = max_ctx
-        self.params = load_backbone_params(r, self.cfg, dtype)
+        if quantized is None:
+            import os
+
+            quantized = bool(os.environ.get("CODEC_QUANT_EXEC"))
+        self.params = load_backbone_params(r, self.cfg, dtype,
+                                           quantized=quantized)
         self.dtype = dtype
         self._fns: Dict[int, Any] = {}
         self.reset()
@@ -231,5 +264,7 @@ class LlamaBackbone:
         return np.asarray(h @ w.T, np.float32)
 
 
-def create_backbone(path, dtype=jnp.float32, max_ctx: int = 0) -> LlamaBackbone:
-    return LlamaBackbone(path, dtype=dtype, max_ctx=max_ctx)
+def create_backbone(path, dtype=jnp.float32, max_ctx: int = 0,
+                    quantized: bool | None = None) -> LlamaBackbone:
+    return LlamaBackbone(path, dtype=dtype, max_ctx=max_ctx,
+                         quantized=quantized)
