@@ -20,6 +20,18 @@ from typing import Union
 import jax
 import jax.numpy as jnp
 
+# Honor JAX_PLATFORMS=cpu even under the axon sitecustomize, which calls
+# axon.register() at interpreter startup and force-sets
+# jax_platforms="axon,cpu" regardless of the env var. Without this, every
+# "run on CPU" subprocess (tests/e2e runner legs, tools) silently lands
+# on the remote TPU. Safe here: no backend has initialized yet at import.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        if jax.config.jax_platforms != "cpu":
+            jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover
+        pass
+
 # Persistent XLA compile cache: with weights passed as jit arguments
 # (runtime/model.py), compiled graphs are weight-independent, so every
 # process loading any checkpoint of a known arch reuses prior compiles.

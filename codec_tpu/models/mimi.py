@@ -174,13 +174,22 @@ def load_mimi_params(r: GGUFReader, cfg: MimiConfig, dtype=jnp.float32) -> Dict[
 # Forward blocks
 # ---------------------------------------------------------------------------
 
+def _ccv1(x: jax.Array, w: jax.Array, b) -> jax.Array:
+    """Stride-1 causal conv; K shifted MXU matmuls on TPU (XLA's
+    convolution runs far off-roofline at SEANet's C/T shapes — see
+    models/dac.py numbers)."""
+    if jax.default_backend() == "tpu":
+        return conv.conv1d_matmul(x, w, b, padding=(w.shape[0] - 1, 0))
+    return conv.conv1d_causal(x, w, b)
+
+
 def _resblock(x: jax.Array, r1: Dict, r2: Dict) -> jax.Array:
     """SEANet residual block: x + conv1(elu(x)) → elu → conv2
     (reference: codec_mimi_resblock_ggml, mimi.cpp:191-214)."""
     h = act.elu(x)
-    h = conv.conv1d_causal(h, r1["w"], r1["b"])
+    h = _ccv1(h, r1["w"], r1["b"])
     h = act.elu(h)
-    h = conv.conv1d_causal(h, r2["w"], r2["b"])
+    h = _ccv1(h, r2["w"], r2["b"])
     return x + h
 
 
@@ -216,16 +225,27 @@ def mimi_decode_fn(params: Dict[str, Any], codes: jax.Array, cfg: MimiConfig,
         a = rvq.rvq_decode_sum(codes[..., n_sem:n_q], params["cb_acu"], n_q=n_q - n_sem)
         x = x + a @ params["acu_op"].T
 
-    x = conv.convtr1d_causal(x, params["up"]["w"], None, stride=2)
+    x = conv.convtr1d_causal_subpixel(x, params["up"]["w"], None, stride=2)
     x = _transformer(x, params["dtr"], cfg)
 
-    x = conv.conv1d_causal(x, params["dec_l0"]["w"], params["dec_l0"]["b"])
+    # lane-pad stage channels to 128-multiples via trace-time WEIGHT
+    # padding (bit-identical; zero lanes stay zero — see ops/conv.py
+    # lane_pad) and run convs in their MXU-matmul formulations
+    to = conv.lane_pad()
+    P = lambda a, ax: conv.pad_channels(a, ax, to)
+    x = _ccv1(x, P(params["dec_l0"]["w"], 2), P(params["dec_l0"]["b"], 0))
     for stage, stride in zip(params["dec_stages"], DEC_UP_STRIDES):
         x = act.elu(x)
-        x = conv.convtr1d_causal(x, stage["tr"]["w"], stage["tr"]["b"], stride=stride)
-        x = _resblock(x, stage["r1"], stage["r2"])
+        x = conv.convtr1d_causal_subpixel(
+            x, P(P(stage["tr"]["w"], 1), 2), P(stage["tr"]["b"], 0),
+            stride=stride)
+        h = act.elu(x)
+        h = _ccv1(h, P(P(stage["r1"]["w"], 1), 2), P(stage["r1"]["b"], 0))
+        h = act.elu(h)
+        h = _ccv1(h, P(P(stage["r2"]["w"], 1), 2), P(stage["r2"]["b"], 0))
+        x = x + h
     x = act.elu(x)
-    x = conv.conv1d_causal(x, params["dec_l14"]["w"], params["dec_l14"]["b"])
+    x = _ccv1(x, P(params["dec_l14"]["w"], 1), params["dec_l14"]["b"])
     return x[..., 0]                                      # [B, T*hop]
 
 

@@ -87,6 +87,33 @@ def conv1d_matmul(
     return y
 
 
+def lane_pad() -> int:
+    """Channel padding multiple for decode stacks on TPU.
+
+    TPU DMA and vector registers tile the trailing (lane) dim by 128;
+    misaligned channel counts measurably throttle streaming (a pure
+    Pallas copy at C=96 lanes ran at a fraction of aligned-lane rate —
+    tools/resunit_dissect.py). Padding WEIGHTS to 128-multiples at trace
+    time makes activations born aligned; zero-lane channels carry exact
+    zeros through convs (zero rows/cols), ELU/snake (f(0)=0), and
+    residual adds, so outputs are mathematically identical (only dot
+    reduction-order float noise, ~1e-8, can differ)."""
+    return 128 if jax.default_backend() == "tpu" else 1
+
+
+def pad_channels(a: Optional[jax.Array], axis: int, to: int,
+                 value: float = 0.0) -> Optional[jax.Array]:
+    """Const-pad one axis of a weight tensor up to a multiple of `to`."""
+    if a is None or to <= 1:
+        return a
+    p = (-a.shape[axis]) % to
+    if p == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, p)
+    return jnp.pad(a, widths, constant_values=value)
+
+
 def _causal_pads(t: int, k: int, stride: int, dilation: int) -> tuple[int, int]:
     k_eff = (k - 1) * dilation + 1
     pad_left = k_eff - stride
@@ -219,6 +246,18 @@ def convtr1d_causal(
     if crop_right > 0:
         y = y[:, :-crop_right, :]
     return y
+
+
+def convtr1d_causal_subpixel(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+) -> jax.Array:
+    """convtr1d_causal via the sub-pixel phase-matmul formulation
+    (numerically identical; see convtr1d_subpixel)."""
+    y = convtr1d_subpixel(x, w, b, stride=stride, padding=0)
+    return y[:, : x.shape[1] * stride]
 
 
 def pool1d_avg(x: jax.Array, k: int, stride: int) -> jax.Array:
