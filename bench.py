@@ -23,11 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# persistent compile cache: the remote-compile path is slow (~minutes for the
-# full decode graph); cache hits make repeat bench runs fast.
-jax.config.update("jax_compilation_cache_dir",
-                  str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persistent compile cache: the remote-compile path is slow (~minutes for
+# the full decode graph); use the SHARED cache (~/.cache/codec_tpu/jax,
+# same one codec_tpu.__init__ configures) so driver bench runs reuse
+# compiles from dev/profiling sessions instead of a cold repo-local dir.
+import codec_tpu  # noqa: F401  (configures the persistent cache)
 
 
 def _readback_rtt() -> float:
