@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--quant-exec", action="store_true",
+                   help="execute Q8_0/Q4_K backbone weights HBM-resident "
+                        "via the fused dequant-matmul kernels (sets "
+                        "CODEC_QUANT_EXEC=1)")
     p.add_argument("--stream", action="store_true",
                    help="vocode each AR frame through the streaming decoder "
                         "as it is generated (reports time-to-first-audio)")
@@ -292,6 +296,11 @@ def _run(args) -> int:
     if args.cmd == "synthesize":
         from ..lm import create_lm
         from ..lm.flow_lm import FlowLM
+
+        if getattr(args, "quant_exec", False):
+            import os
+
+            os.environ["CODEC_QUANT_EXEC"] = "1"
 
         reader = GGUFReader(args.model)
         lm = create_lm(reader)

@@ -12,6 +12,7 @@ Fixtures:
 """
 
 import base64
+import os
 
 import numpy as np
 import pytest
@@ -257,6 +258,48 @@ def test_tts_cli_synthesize_backbone(mimi_rda_and_backbone, tmp_path, capsys):
     assert main(["synthesize", "--model", str(model_path),
                  "--backbone", str(bb_path), "--text", "hello there",
                  "--out", str(out), "--max-frames", "3"]) == 0
+    pcm, sr = read_wav(out)
+    assert sr == 24000 and pcm.shape[0] > 0
+    assert "backbone AR done" in capsys.readouterr().out
+
+
+def test_tts_cli_synthesize_backbone_quant_exec(mimi_rda_and_backbone,
+                                                 tmp_path, capsys,
+                                                 monkeypatch):
+    """--quant-exec over a Q8_0 backbone: packed quantized weights through
+    the tts-cli surface (CPU fallback = dequant+dot; kernels are
+    interpret-tested in test_qmat_pallas.py)."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.cli.tts_cli import main
+    from codec_tpu.convert import get_converter
+
+    model_path, _ = mimi_rda_and_backbone
+    torch.manual_seed(1)
+    bb_cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=300, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128)
+    hf_bb = LlamaModel(bb_cfg).eval()
+    cfg_dict = bb_cfg.to_dict()
+    cfg_dict["tokenizer_spm_b64"] = _spm_b64()
+    bconv = get_converter("llama_backbone")(quantization="Q8_0")
+    bconv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf_bb.state_dict().items()}, cfg_dict)
+    bb_q8 = tmp_path / "bb_q8.gguf"
+    bconv.convert_and_save(bb_q8)
+
+    monkeypatch.delenv("CODEC_QUANT_EXEC", raising=False)
+    out = tmp_path / "bbq.wav"
+    try:
+        assert main(["synthesize", "--model", str(model_path),
+                     "--backbone", str(bb_q8), "--text", "hello there",
+                     "--out", str(out), "--max-frames", "3",
+                     "--quant-exec"]) == 0
+    finally:
+        os.environ.pop("CODEC_QUANT_EXEC", None)   # main() sets it
     pcm, sr = read_wav(out)
     assert sr == 24000 and pcm.shape[0] > 0
     assert "backbone AR done" in capsys.readouterr().out
