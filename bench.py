@@ -178,49 +178,17 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
     return out
 
 
-def _bench_tts_ar(fast: bool = False):
-    """TTS/AR per-step latencies on reference-shaped random fixtures
-    (BASELINE.md: BlueMagpie full step 625.4 ms, RTF 3.9 on the reference;
-    frame budgets: RDA/flow 80 ms @ 12.5 Hz, CFM 160 ms/patch).
-
-    fast=True shrinks fixture dims + iteration counts so the section can be
-    smoke-tested on CPU; real runs use the reference-shaped defaults."""
-    import jax.random as jr
-
+def _bench_tts_cfm(fast: bool = False):
+    """continuous_latent_cfm (BlueMagpie shape), whole step in-graph
+    (BASELINE.md reference: full step 625.4 ms, RTF 3.9)."""
     from codec_tpu.io.gguf import GGUFReader
     from codec_tpu.lm import create_lm
-    from codec_tpu.models.bench_lm_init import (write_cfm_gguf,
-                                                write_flow_lm_gguf,
-                                                write_rda_gguf)
+    from codec_tpu.models.bench_lm_init import write_cfm_gguf
 
     _FIXTURE_DIR.mkdir(exist_ok=True)
-    out = {}
     rng = np.random.default_rng(0)
-    n_rda, n_cfm, n_flow = (4, 2, 4) if fast else (20, 10, 20)
-
-    # residual_depth_ar (CSM-1B shape), fused on-device frame
-    p = _FIXTURE_DIR / ("rda_smoke.gguf" if fast else "rda_csm1b.gguf")
-    if not p.exists():
-        if fast:
-            write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2,
-                           heads=2, kv=1, hdim=16, inter=64)
-        else:
-            write_rda_gguf(p)
-    lm = create_lm(GGUFReader(p))
-    fn = lm.fused_frame()                           # greedy
-    h = jnp.asarray(rng.standard_normal(lm.info.hidden_dim), jnp.float32)
-    key = jr.PRNGKey(0)
-    state = {"k": key}
-
-    def rda_step():
-        state["k"], sub = jr.split(state["k"])
-        np.asarray(fn(h, sub, jnp.int32(0)))
-    wall = _time_calls(rda_step, n=n_rda)
-    out["rda_frame_ms"] = round(wall * 1e3, 2)
-    out["rda_rtf"] = round(wall / 0.080, 4)         # 12.5 Hz frames
-    del lm, fn
-
-    # continuous_latent_cfm (BlueMagpie shape), whole step in-graph
+    out = {}
+    n_cfm = 2 if fast else 10
     p = _FIXTURE_DIR / ("cfm_smoke.gguf" if fast else "cfm_bluemagpie.gguf")
     if not p.exists():
         if fast:
@@ -241,9 +209,19 @@ def _bench_tts_ar(fast: bool = False):
     out["cfm_step_ms"] = round(wall * 1e3, 2)
     out["cfm_rtf"] = round(wall / 0.160, 4)         # 160 ms audio per step
     out["cfm_vs_ref_625ms"] = round(625.4 / (wall * 1e3), 1)
-    del lm, st
+    return out
 
-    # flow_lm (Pocket-TTS shape), per-frame AR step
+
+def _bench_tts_flow(fast: bool = False):
+    """flow_lm (Pocket-TTS shape), per-frame AR step."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.models.bench_lm_init import write_flow_lm_gguf
+
+    _FIXTURE_DIR.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    out = {}
+    n_flow = 4 if fast else 20
     p = _FIXTURE_DIR / ("flow_smoke.gguf" if fast else "flow_pocket.gguf")
     if not p.exists():
         if fast:
@@ -261,6 +239,51 @@ def _bench_tts_ar(fast: bool = False):
     wall = _time_calls(flow_step, n=n_flow)
     out["flow_frame_ms"] = round(wall * 1e3, 2)
     out["flow_rtf"] = round(wall / 0.080, 4)        # 12.5 Hz frames
+    return out
+
+
+def _bench_tts_rda(fast: bool = False):
+    """residual_depth_ar (CSM-1B shape), fused on-device frame. Runs LAST:
+    this is the biggest LM compile and the remote-compile relay has been
+    seen dropping its connection mid-way — isolate the blast radius."""
+    import jax.random as jr
+
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+
+    _FIXTURE_DIR.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    out = {}
+    n_rda = 4 if fast else 20
+    p = _FIXTURE_DIR / ("rda_smoke.gguf" if fast else "rda_csm1b.gguf")
+    if not p.exists():
+        if fast:
+            write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2,
+                           heads=2, kv=1, hdim=16, inter=64)
+        else:
+            write_rda_gguf(p)
+    lm = create_lm(GGUFReader(p))
+    fn = lm.fused_frame()                           # greedy
+    h = jnp.asarray(rng.standard_normal(lm.info.hidden_dim), jnp.float32)
+    key = jr.PRNGKey(0)
+    state = {"k": key}
+
+    def rda_step():
+        state["k"], sub = jr.split(state["k"])
+        np.asarray(fn(h, sub, jnp.int32(0)))
+    wall = _time_calls(rda_step, n=n_rda)
+    out["rda_frame_ms"] = round(wall * 1e3, 2)
+    out["rda_rtf"] = round(wall / 0.080, 4)         # 12.5 Hz frames
+    return out
+
+
+def _bench_tts_ar(fast: bool = False):
+    """All three TTS/AR sections (kept for CPU smoke compatibility)."""
+    out = {}
+    out.update(_bench_tts_cfm(fast))
+    out.update(_bench_tts_flow(fast))
+    out.update(_bench_tts_rda(fast))
     return out
 
 
@@ -353,7 +376,15 @@ def main():
     _section(extra, "wavtokenizer_f32_b1", wt_f32)
 
     _section(extra, "product_surface", _bench_product_surface)
-    _section(extra, "tts_ar", _bench_tts_ar)
+    tts = {}
+    _section(tts, "cfm", _bench_tts_cfm)
+    _section(tts, "flow", _bench_tts_flow)
+    _section(tts, "rda", _bench_tts_rda)
+    extra["tts_ar"] = {k: v for d in tts.values()
+                       for k, v in (d.items() if isinstance(d, dict) else [])}
+    for name, d in tts.items():
+        if isinstance(d, dict) and "error" in d:
+            extra["tts_ar"][f"{name}_error"] = d["error"]
 
     headline = xrt_f32
     print(json.dumps({

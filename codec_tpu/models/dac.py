@@ -155,7 +155,7 @@ def _sym_conv(x, layer, stride=1, dilation=1):
     # (stride+1)//2 for strided downsample convs.
     if pad is None:
         pad = (stride + 1) // 2 if stride > 1 else k // 2
-    if stride == 1 and jax.default_backend() == "tpu":
+    if stride == 1 and conv.use_conv_matmul():
         # K shifted MXU matmuls instead of XLA's convolution (which runs
         # ~20x off-roofline at DAC's C/T shapes, tools/conv_micro.py)
         return conv.conv1d_matmul(x, layer["w"], layer["b"],
@@ -180,7 +180,7 @@ def _res_unit(x, u, dilation, lane_pad: int = 1):
         return seanet_pallas.seanet_res_unit(
             x, s1, w1, b1, s2, w2[0], b2, dilation=dilation,
             t_blk=seanet_pallas.pick_t_blk(c))
-    cv = (conv.conv1d_matmul if jax.default_backend() == "tpu"
+    cv = (conv.conv1d_matmul if conv.use_conv_matmul()
           else functools.partial(conv.conv1d, stride=1))
     h = act.snake(x, s1)
     h = cv(h, w1, b1, dilation=dilation, padding=((k - 1) * dilation) // 2)
@@ -192,11 +192,15 @@ def _res_unit(x, u, dilation, lane_pad: int = 1):
 def dac_latent_from_codes(vq: Dict[str, jax.Array], codes: jax.Array,
                           n_q: int) -> jax.Array:
     """codes [B, T, Q] → latent [B, T, hidden]: Σ_q out_proj_q(cb_q[idx]) + b."""
-    v = vq["cb"].shape[1]
-    oh = jax.nn.one_hot(codes[..., :n_q], v, dtype=vq["cb"].dtype)   # [B,T,q,V]
-    emb = jnp.einsum("btqv,qvd->btqd", oh, vq["cb"][:n_q])
-    lat = jnp.einsum("btqd,qhd->bth", emb, vq["out_w"][:n_q])
-    return lat + jnp.sum(vq["out_b"][:n_q], axis=0)
+    # gather rows per level then one [B,T,q·d] @ [q·d, hidden] matmul
+    # (a one-hot einsum materialized [B,T,q,V] and ran ~10x slower on TPU)
+    emb = jax.vmap(lambda cb, idx: jnp.take(cb, idx, axis=0),
+                   in_axes=(0, 2))(vq["cb"][:n_q], codes[..., :n_q])
+    b, t = codes.shape[:2]
+    d = vq["cb"].shape[-1]
+    emb = jnp.moveaxis(emb, 0, -2).reshape(b, t, n_q * d)          # [B,T,q·d]
+    w = jnp.swapaxes(vq["out_w"][:n_q], 1, 2).reshape(n_q * d, -1)  # [q·d, h]
+    return emb @ w + jnp.sum(vq["out_b"][:n_q], axis=0)
 
 
 def _pad_ch(a: Optional[jax.Array], axis: int, to: int,

@@ -178,7 +178,7 @@ def _ccv1(x: jax.Array, w: jax.Array, b) -> jax.Array:
     """Stride-1 causal conv; K shifted MXU matmuls on TPU (XLA's
     convolution runs far off-roofline at SEANet's C/T shapes — see
     models/dac.py numbers)."""
-    if jax.default_backend() == "tpu":
+    if conv.use_conv_matmul():
         return conv.conv1d_matmul(x, w, b, padding=(w.shape[0] - 1, 0))
     return conv.conv1d_causal(x, w, b)
 

@@ -97,8 +97,22 @@ def lane_pad() -> int:
     time makes activations born aligned; zero-lane channels carry exact
     zeros through convs (zero rows/cols), ELU/snake (f(0)=0), and
     residual adds, so outputs are mathematically identical (only dot
-    reduction-order float noise, ~1e-8, can differ)."""
+    reduction-order float noise, ~1e-8, can differ).
+    CODEC_NO_CONV_OPT=1 disables (A/B escape hatch)."""
+    import os
+
+    if os.environ.get("CODEC_NO_CONV_OPT"):
+        return 1
     return 128 if jax.default_backend() == "tpu" else 1
+
+
+def use_conv_matmul() -> bool:
+    """Gate for the stride-1 matmul conv formulation on TPU
+    (CODEC_NO_CONV_OPT=1 disables)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and not os.environ.get("CODEC_NO_CONV_OPT"))
 
 
 def pad_channels(a: Optional[jax.Array], axis: int, to: int,

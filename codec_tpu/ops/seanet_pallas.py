@@ -168,10 +168,12 @@ def pick_t_blk(c: int) -> int:
 
 
 def use_fused_unit(t: int, c: int, k: int) -> bool:
-    """Dispatch gate: TPU backend, weights fit VMEM (C ≤ 512), T long
-    enough to amortize the grid. CODEC_NO_FUSED_RESUNIT=1 disables."""
+    """Dispatch gate: TPU backend, weights fit VMEM (bf16 storage, so
+    C ≤ 768 clears the 64 MB scoped limit with double-buffered tiles),
+    T long enough to amortize the grid. CODEC_NO_FUSED_RESUNIT=1
+    disables."""
     import os
 
-    return (c % 128 == 0 and c <= 512 and k * c * c * 4 <= 8 << 20
+    return (c % 128 == 0 and c <= 768 and k * c * c * 2 <= 9 << 20
             and t >= 4096 and jax.default_backend() == "tpu"
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))

@@ -170,7 +170,9 @@ class CodecModel:
             buf = np.concatenate(
                 [buf, np.zeros((bb - b,) + buf.shape[1:], buf.dtype)])
         fn = self._jitted(key + buf.shape, make)
-        out = self._readback(jax.block_until_ready(fn(self._place(buf))))
+        # no block_until_ready: np.asarray in _readback synchronizes, and
+        # on the axon relay every extra device round-trip costs ~30 ms
+        out = self._readback(fn(self._place(buf)))
         return out[:b]
 
     @classmethod
@@ -318,7 +320,7 @@ class CodecModel:
             fn = self._jitted(("dec", bb, tb, use_nq),
                               lambda: lambda c: self._decode_impl(c, use_nq))
             with perf_scope("graph_compute", "decode"):
-                pcm = self._readback(jax.block_until_ready(fn(self._place(buf))))
+                pcm = self._readback(fn(self._place(buf)))
         pcm = pcm[:b, : t * self.hop_size] if self.causal_time else pcm[:b]
         return pcm[0] if squeeze else pcm
 
@@ -347,7 +349,7 @@ class CodecModel:
                               lambda: lambda x: self._encode_impl(x, use_nq))
             with perf_scope("graph_compute", "encode"):
                 codes = self._readback(
-                    jax.block_until_ready(fn(self._place(buf))))
+                    fn(self._place(buf)))
         codes = codes[:b, :t_frames] if self.causal_time else codes[:b]
         return codes[0] if squeeze else codes
 
