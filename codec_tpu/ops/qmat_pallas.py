@@ -21,8 +21,15 @@ term is folded into a third small dot against the per-group sums of x:
 Dequantized values are exact in f32 (f16 d × 6-bit subscale), cast to
 bf16 for the MXU — the same precision XLA gives f32 matmuls on TPU.
 
-Measured numbers (v5e) live in tools/qmat_micro.py's log; dispatch is
-opt-in via load_backbone_params(quantized=...) / CODEC_QUANT_EXEC.
+Measured (v5e, tools/qmat_micro.py, vs dense bf16 matmul):
+  AR-step GEMV (m=1): q8_0 1.27-6.4x faster, q4_k 1.11-7.3x faster
+    (2048/8192-dim llama shapes; the 6-7x cases are in=8192 reductions
+    where XLA's dense GEMV is pathological), at 1.8x / 2.7x less HBM.
+  batched m=8: q8_0 0.84x, q4_k 0.71x — the VPU unpack stops hiding
+    behind the DMA, so qmatmul() uses the fused kernels only for small m
+    (AR decode) and dequantizes-then-dots for prefill-sized batches.
+Dispatch is opt-in via load_backbone_params(quantized=...) /
+CODEC_QUANT_EXEC / tts-cli --quant-exec.
 """
 
 from __future__ import annotations
@@ -94,7 +101,8 @@ def pack_q4_k(raw: np.ndarray, shape) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _q8_kernel(x_ref, qs_ref, s_ref, o_ref):
-    w = qs_ref[:].astype(jnp.bfloat16)
+    # Mosaic lacks direct (u)int8 -> bf16 casts: go via int32 -> f32
+    w = qs_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
     # tile-semantics repeat + group-minor packing: col j' gets s[j' % nb]
     s = pltpu.repeat(s_ref[:], QGROUP, axis=1).astype(jnp.bfloat16)
     o_ref[:] = jax.lax.dot_general(
@@ -103,10 +111,10 @@ def _q8_kernel(x_ref, qs_ref, s_ref, o_ref):
 
 
 def _q4k_kernel(xlo_ref, xhi_ref, xg_ref, qs_ref, s_ref, m_ref, o_ref):
-    qs = qs_ref[:]
+    q32 = qs_ref[:].astype(jnp.int32)       # u8 bit-ops/casts unsupported
     s = pltpu.repeat(s_ref[:], 16, axis=1).astype(jnp.bfloat16)
-    lo = (qs & 0x0F).astype(jnp.bfloat16) * s
-    hi = (qs >> 4).astype(jnp.bfloat16) * s
+    lo = (q32 & 0x0F).astype(jnp.float32).astype(jnp.bfloat16) * s
+    hi = (q32 >> 4).astype(jnp.float32).astype(jnp.bfloat16) * s
     acc = jax.lax.dot_general(
         xlo_ref[:], lo, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -215,11 +223,16 @@ def dequant_ref(qt: Dict) -> jnp.ndarray:
     return jnp.concatenate([wlo, whi], axis=2).reshape(out_d, half * 2)
 
 
+_FUSED_MAX_M = 32
+
+
 def qmatmul(x: jax.Array, qt: Dict, interpret: bool = False) -> jax.Array:
-    """Dispatch: fused kernel on TPU, dequant+dot elsewhere. x: [..., in]."""
+    """Dispatch: fused kernel on TPU for AR-sized m, dequant+dot
+    elsewhere (prefill batches, CPU). x: [..., in]."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if jax.default_backend() == "tpu" or interpret:
+    if (jax.default_backend() == "tpu" and x2.shape[0] <= _FUSED_MAX_M) \
+            or interpret:
         if "minv" not in qt:
             y = q8_0_matmul(x2, qt["qs"], qt["scale"], interpret=interpret)
         else:
