@@ -373,7 +373,8 @@ class ContinuousLatentCfmLM(CodecLM):
                     vcs, jnp.stack(nv))
                 res = norms.rms_norm(x, self.w["ralm_norm"], self.eps)
                 return kcs, vcs, lm_h[-1], res[-1]
-            fn = jax.jit(prefill, donate_argnums=(0, 1))
+            from ..runtime.jit_weights import jit_weighted
+            fn = jit_weighted(self, prefill, ("w",), donate_argnums=(0, 1))
             self._prefill_cache[t] = fn
         ks = st.kind_state
         ks["k"], ks["v"], lm_last, res_last = fn(ks["k"], ks["v"], jnp.asarray(hiddens))
@@ -403,7 +404,9 @@ class ContinuousLatentCfmLM(CodecLM):
         key = (n_real, bool(primed))
         fn = self._step_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._step_fn, static_argnums=(12,), donate_argnums=(0, 1))
+            from ..runtime.jit_weights import jit_weighted
+            fn = jit_weighted(self, self._step_fn, ("w",),
+                              static_argnums=(12,), donate_argnums=(0, 1))
             self._step_cache[key] = fn
         le_override = teacher if teacher is not None else np.zeros_like(noise)
         k, v, patch, stop_logits, fb_tslm, fb_lm = fn(

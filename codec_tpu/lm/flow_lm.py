@@ -105,7 +105,9 @@ class FlowLM(CodecLM):
         b64 = r.get_str("codec.lm.tokenizer.spm_b64", "")
         self.spm: Optional[SpmUnigram] = SpmUnigram.from_b64(b64) if b64 else None
 
-        self._step_jit = jax.jit(self._step_fn, donate_argnums=(0, 1))
+        from ..runtime.jit_weights import jit_weighted
+        self._step_jit = jit_weighted(self, self._step_fn, ("w",),
+                                      donate_argnums=(0, 1))
         self._prefill_cache: Dict[Tuple[int, int], Any] = {}
 
         return LmInfo(kind="flow_lm", hidden_dim=self.d_model,
@@ -276,7 +278,9 @@ class FlowLM(CodecLM):
         key = t
         fn = self._prefill_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._prefill_fn, donate_argnums=(0, 1))
+            from ..runtime.jit_weights import jit_weighted
+            fn = jit_weighted(self, self._prefill_fn, ("w",),
+                              donate_argnums=(0, 1))
             self._prefill_cache[key] = fn
         st.kind_state["k"], st.kind_state["v"] = fn(
             st.kind_state["k"], st.kind_state["v"], jnp.asarray(seq))

@@ -132,7 +132,9 @@ class ResidualDepthArLM(CodecLM):
             "codec.lm.compose.codebook_stride",
             r.get_i32("codec.lm.residual.compose_codebook_stride", 0))
 
-        self._c0_fn = (jax.jit(lambda h: self.c0_head @ h)
+        from ..runtime.jit_weights import jit_weighted
+        self._c0_fn = (jit_weighted(self, lambda h: self.c0_head @ h,
+                                    ("c0_head",))
                        if self.c0_head is not None else None)
         self._depth_cache: Dict[Tuple[int, int], Any] = {}
         self._fused_cache: Dict[Tuple, Any] = {}
@@ -229,7 +231,10 @@ class ResidualDepthArLM(CodecLM):
         key = (t, head_idx)
         fn = self._depth_cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda p, h: self._depth_forward(p, h, head_idx))
+            from ..runtime.jit_weights import array_attrs, jit_weighted
+            fn = jit_weighted(self,
+                              lambda p, h: self._depth_forward(p, h, head_idx),
+                              array_attrs(self))
             self._depth_cache[key] = fn
         return fn
 
@@ -303,6 +308,11 @@ class ResidualDepthArLM(CodecLM):
                                  top_p=chain[2], min_p=chain[3])
 
         def frame(h, key, text_ctx):
+            # re-read the stacked tables from the attribute so jit_weighted
+            # can swap traced leaves in (weights ride as jit ARGUMENTS — a
+            # CSM-1B frame otherwise bakes GBs of constants into the MLIR)
+            _, _, _, heads, sizes, pre_w, pre_m, tabs_s = \
+                self._fused_consts_cache
             keys = jax.random.split(key, n)
             buf = jnp.zeros((n, row_dim), jnp.float32)
             codes = jnp.zeros((n,), jnp.int32)
@@ -339,7 +349,8 @@ class ResidualDepthArLM(CodecLM):
             _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
             return codes.at[off:].set(depth_codes) if off else depth_codes
 
-        fn = jax.jit(frame)
+        from ..runtime.jit_weights import array_attrs, jit_weighted
+        fn = jit_weighted(self, frame, array_attrs(self))
         self._fused_cache[chain] = fn
         return fn
 

@@ -1,0 +1,96 @@
+"""jit with owner-attribute weight trees passed as ARGUMENTS.
+
+The codec models route every jit through CodecModel._split_params so
+compiled graphs are weight-independent; the LM layer's methods instead
+read weights off `self` inside the traced function, which bakes them in
+as constants. On the remote-compile relay that ships the whole MLIR to
+the compiler — 3.9 GB of captured constants for the BlueMagpie CFM step,
+enough to break the connection (bench tts_ar broken-pipe failures) — and
+it also keys the compile cache on the checkpoint's bytes.
+
+`jit_weighted(owner, fn, attrs)` wraps fn so the arrays under the given
+owner attributes are flattened into one jit argument; at trace/call time
+the attribute trees are temporarily rebuilt from the traced leaves, so
+the method body is unchanged. Non-array leaves (ints used for static
+shape math, None, configs) stay closure constants.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+
+def _is_array(leaf) -> bool:
+    return isinstance(leaf, (jax.Array, np.ndarray)) and not np.isscalar(leaf)
+
+
+def array_attrs(owner, exclude: Iterable[str] = ()) -> list[str]:
+    """Names of owner attributes whose pytrees contain array leaves."""
+    from jax import tree_util as jtu
+
+    out = []
+    skip = set(exclude)
+    for name, val in vars(owner).items():
+        if name in skip or val is None:
+            continue
+        try:
+            leaves = jtu.tree_leaves(val)
+        except Exception:      # pragma: no cover - exotic attr
+            continue
+        if any(_is_array(l) for l in leaves):
+            out.append(name)
+    return out
+
+
+def jit_weighted(owner, fn: Callable, attrs: Sequence[str],
+                 donate_argnums: Sequence[int] = (),
+                 static_argnums: Sequence[int] = (),
+                 ) -> Callable:
+    """jax.jit(fn) with the arrays under `owner.<attrs>` as jit arguments.
+
+    donate/static argnums refer to fn's ORIGINAL positions (the weight
+    argument is prepended internally). The returned callable has fn's
+    signature.
+    """
+    from jax import tree_util as jtu
+
+    specs = []
+    flat = []
+    for a in attrs:
+        tree = getattr(owner, a, None)
+        if tree is None:
+            continue
+        leaves, td = jtu.tree_flatten(tree)
+        idx = [i for i, l in enumerate(leaves) if _is_array(l)]
+        specs.append((a, td, leaves, idx, len(flat)))
+        flat.extend(leaves[i] for i in idx)
+
+    def wrapped(dyn, *args):
+        saved = {}
+        try:
+            for a, td, leaves, idx, start in specs:
+                merged = list(leaves)
+                for j, i in enumerate(idx):
+                    merged[i] = dyn[start + j]
+                saved[a] = getattr(owner, a)
+                setattr(owner, a, jtu.tree_unflatten(td, merged))
+            return fn(*args)
+        finally:
+            for a, v in saved.items():
+                setattr(owner, a, v)
+
+    jkw = {}
+    if donate_argnums:
+        jkw["donate_argnums"] = tuple(d + 1 for d in donate_argnums)
+    if static_argnums:
+        jkw["static_argnums"] = tuple(s + 1 for s in static_argnums)
+    jfn = jax.jit(wrapped, **jkw)
+
+    def call(*args, _jfn=jfn, _flat=flat):
+        return _jfn(_flat, *args)
+
+    return call

@@ -11,6 +11,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache in tests: this VM migrates hosts, and CPU
+# executables cached on another host load with different codegen (FMA
+# availability differs -> 1-ulp drift), breaking the byte-exact parity
+# tests. In-process compiles are fast on CPU and deterministic.
+os.environ["CODEC_JAX_CACHE"] = "0"
 
 import jax  # noqa: E402
 
