@@ -42,8 +42,10 @@ class ParallelHeadsDelayLM(CodecLM):
         if not info.codebook_sizes:
             info.codebook_sizes = tuple(int(h.shape[0]) for h in self.heads)
 
-        self._logits_fn = jax.jit(self._all_logits)
-        self._compose_fn = jax.jit(self._compose)
+        from ..runtime.jit_weights import jit_weighted
+        _attrs = ("heads", "audio_embds")
+        self._logits_fn = jit_weighted(self, self._all_logits, _attrs)
+        self._compose_fn = jit_weighted(self, self._compose, _attrs)
         self._fused_cache: Dict = {}
         return info
 
@@ -85,7 +87,8 @@ class ParallelHeadsDelayLM(CodecLM):
                     for i, head in enumerate(self.heads)]
             return jnp.stack(outs)
 
-        fn = jax.jit(frame)
+        from ..runtime.jit_weights import jit_weighted
+        fn = jit_weighted(self, frame, ("heads", "audio_embds"))
         self._fused_cache[chain] = fn
         return fn
 

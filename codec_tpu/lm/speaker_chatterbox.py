@@ -210,8 +210,10 @@ class ChatterboxSpeakerEncoder:
         partials = ve_mel_partials(pcm, self.mel_basis, self.window, self.cfg)
         key = partials.shape[0]
         if key not in self._jit_embed:
-            self._jit_embed[key] = jax.jit(
-                lambda x: ve_embed_fn(self.ve_params, x, self.cfg))
+            from ..runtime.jit_weights import jit_weighted
+            self._jit_embed[key] = jit_weighted(
+                self, lambda x: ve_embed_fn(self.ve_params, x, self.cfg),
+                ("ve_params",))
         return np.asarray(jax.block_until_ready(
             self._jit_embed[key](jnp.asarray(partials))))
 
@@ -221,8 +223,10 @@ class ChatterboxSpeakerEncoder:
         ref_tokens = np.asarray(ref_tokens, np.int32).reshape(-1)
         key = len(ref_tokens)
         if key not in self._jit_cond:
-            self._jit_cond[key] = jax.jit(
-                lambda s, t, e: cond_enc_fn(self.cond_params, s, t, e))
+            from ..runtime.jit_weights import jit_weighted
+            self._jit_cond[key] = jit_weighted(
+                self, lambda s, t, e: cond_enc_fn(self.cond_params, s, t, e),
+                ("cond_params",))
         return np.asarray(jax.block_until_ready(self._jit_cond[key](
             jnp.asarray(spk_emb, jnp.float32), jnp.asarray(ref_tokens),
             jnp.float32(emotion))))

@@ -196,7 +196,9 @@ class Qwen3TTSSpeakerEncoder:
             raise ValueError("qwen3_tts speaker: too few mel frames")
         key = mel.shape[0]
         if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda m: ecapa_embed_fn(self.params, m, self.cfg))
+            from ..runtime.jit_weights import jit_weighted
+            self._jit[key] = jit_weighted(
+                self, lambda m: ecapa_embed_fn(self.params, m, self.cfg),
+                ("params",))
         emb = np.asarray(jax.block_until_ready(self._jit[key](jnp.asarray(mel))))
         return emb[None, :self.cfg.hidden_dim]
