@@ -255,14 +255,25 @@ def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
     (reference: codec_mimi_build_encode, mimi.cpp:358-613)."""
     if n_q is None:
         n_q = cfg.n_q
+    # same lane-pad + matmul-form treatment as decode (the C=64/32 early
+    # stages at full audio rate are the bandwidth-heavy part); strided
+    # downsample convs stay on XLA's convolution, with their cin rows
+    # padded to consume the padded activations
+    to = conv.lane_pad()
+    P = lambda a, ax: conv.pad_channels(a, ax, to)
     x = pcm[..., None]                                     # [B, n, 1]
-    x = conv.conv1d_causal(x, params["enc_l0"]["w"], params["enc_l0"]["b"])
+    x = _ccv1(x, P(params["enc_l0"]["w"], 2), P(params["enc_l0"]["b"], 0))
     for stage, stride in zip(params["enc_stages"], (4, 5, 6, 8)):
-        x = _resblock(x, stage["r1"], stage["r2"])
+        h = act.elu(x)
+        h = _ccv1(h, P(P(stage["r1"]["w"], 1), 2), P(stage["r1"]["b"], 0))
+        h = act.elu(h)
+        h = _ccv1(h, P(P(stage["r2"]["w"], 1), 2), P(stage["r2"]["b"], 0))
+        x = x + h
         x = act.elu(x)
-        x = conv.conv1d_causal(x, stage["dn"]["w"], stage["dn"]["b"], stride=stride)
+        x = conv.conv1d_causal(x, P(P(stage["dn"]["w"], 1), 2),
+                               P(stage["dn"]["b"], 0), stride=stride)
     x = act.elu(x)
-    x = conv.conv1d_causal(x, params["enc_l14"]["w"], params["enc_l14"]["b"])
+    x = _ccv1(x, P(params["enc_l14"]["w"], 1), params["enc_l14"]["b"])
 
     x = _transformer(x, params["etr"], cfg)
     x = conv.conv1d_causal(x, params["dn"]["w"], None, stride=2, pad_mode="replicate")
