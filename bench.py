@@ -345,6 +345,21 @@ def main():
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
     _section(extra, "dac_f32_b1", dac_f32)
 
+    def dac_bf16():
+        dcfg, dparams = random_dac_decode_params()
+        p16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            dparams)
+        t_dac = 24000 * 20 // dcfg.hop_size
+        codes = jnp.asarray(rng.integers(0, dcfg.codebook_size,
+                                         (1, t_dac, dcfg.n_q)), jnp.int32)
+        xrt, wall = _bench_generic(
+            lambda p, c: dac_decode_fn(p, c, dcfg), p16, codes,
+            t_dac * dcfg.hop_size, dcfg.sample_rate, dcfg.codebook_size)
+        return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
+    _section(extra, "dac_bf16_b1", dac_bf16)
+
     def streaming():
         from codec_tpu.models.mimi import (mimi_decode_stream_init,
                                            mimi_decode_stream_step)
