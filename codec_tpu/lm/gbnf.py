@@ -307,8 +307,10 @@ class GrammarSampler:
     `accept(token)` after each committed token to advance grammar state.
 
     `pieces[i]` must be the exact text token i contributes to the stream
-    (detokenized piece); tokens with empty pieces are never constrained.
-    `eog_tokens` are always admissible once the grammar can stop.
+    (detokenized piece); non-EOG tokens with empty pieces are always
+    REJECTED, matching llama.cpp's grammar apply (an empty piece is masked
+    to -inf — it cannot advance the grammar). `eog_tokens` are admissible
+    once the grammar can stop.
     """
 
     def __init__(self, grammar_text: str, pieces: Sequence[str],
@@ -361,9 +363,14 @@ class GrammarSampler:
 
 def gbnf_uint_range_rule(max_inclusive: int) -> str:
     """GBNF alternates matching the decimal strings "0".."max_inclusive"
-    with no leading zeros (reference: gbnf_uint_range_rule)."""
+    with no leading zeros (reference: gbnf_uint_range_rule). Beyond 9999
+    the reference falls back to unconstrained digits
+    (/root/reference/common/audio_lm.cpp:1116) — mirrored here; the 4-digit
+    construction below would emit malformed char classes past that."""
     if max_inclusive < 0:
         raise GbnfError("max_inclusive must be >= 0")
+    if max_inclusive > 9999:
+        return "[0-9]+"
     alts = []
     alts.append("[0-9]" if max_inclusive >= 9 else f"[0-{max_inclusive}]")
     if max_inclusive >= 10:

@@ -435,6 +435,11 @@ def run_codebook_ar(
     cb0 range constraint is active; `sampler` is unused on this path."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
+    if grammar and token_pieces is None:
+        raise ValueError(
+            "grammar requires token_pieces (the per-token detokenized "
+            "strings); without them the constraint would be silently "
+            "dropped")
     if grammar and token_pieces is not None:
         from .gbnf import GrammarSampler
 

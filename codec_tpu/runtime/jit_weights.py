@@ -17,11 +17,33 @@ shape math, None, configs) stay closure constants.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Iterable, Optional, Sequence
 
 import numpy as np
 
 import jax
+
+_LOCK_REGISTRY_GUARD = threading.Lock()
+
+
+def _owner_trace_lock(owner) -> threading.RLock:
+    """Per-owner re-entrant lock serializing the swap-trace-restore window.
+
+    Tracing temporarily setattr-swaps tracers into shared owner attributes;
+    two threads tracing jit_weighted functions on one owner would otherwise
+    observe each other's tracers (UnexpectedTracerError) or leave tracer
+    objects in the weight attrs. RLock so a traced fn may call another
+    jit_weighted fn of the same owner. Compiled-cache-hit calls never enter
+    `wrapped`, so steady-state concurrency is unaffected."""
+    lock = getattr(owner, "_jit_weighted_trace_lock", None)
+    if lock is None:
+        with _LOCK_REGISTRY_GUARD:
+            lock = getattr(owner, "_jit_weighted_trace_lock", None)
+            if lock is None:
+                lock = threading.RLock()
+                owner._jit_weighted_trace_lock = lock
+    return lock
 
 
 def _is_array(leaf) -> bool:
@@ -69,19 +91,22 @@ def jit_weighted(owner, fn: Callable, attrs: Sequence[str],
         specs.append((a, td, leaves, idx, len(flat)))
         flat.extend(leaves[i] for i in idx)
 
+    trace_lock = _owner_trace_lock(owner)
+
     def wrapped(dyn, *args):
         saved = {}
-        try:
-            for a, td, leaves, idx, start in specs:
-                merged = list(leaves)
-                for j, i in enumerate(idx):
-                    merged[i] = dyn[start + j]
-                saved[a] = getattr(owner, a)
-                setattr(owner, a, jtu.tree_unflatten(td, merged))
-            return fn(*args)
-        finally:
-            for a, v in saved.items():
-                setattr(owner, a, v)
+        with trace_lock:
+            try:
+                for a, td, leaves, idx, start in specs:
+                    merged = list(leaves)
+                    for j, i in enumerate(idx):
+                        merged[i] = dyn[start + j]
+                    saved[a] = getattr(owner, a)
+                    setattr(owner, a, jtu.tree_unflatten(td, merged))
+                return fn(*args)
+            finally:
+                for a, v in saved.items():
+                    setattr(owner, a, v)
 
     jkw = {}
     if donate_argnums:

@@ -81,6 +81,21 @@ def test_uint_range_rule_exact_bounds():
             assert not _matches(g, "01")       # no leading zeros
 
 
+def test_uint_range_rule_large_fallback():
+    """Past 9999 the reference falls back to unconstrained digits
+    (audio_lm.cpp:1116); the 4-digit construction would otherwise emit
+    malformed classes like [1-14]."""
+    for mx in (10000, 14999, 152696):
+        rule = gbnf_uint_range_rule(mx)
+        assert rule == "[0-9]+"
+        g = parse_gbnf(f"root ::= {rule}\n")
+        for v in ("0", "9999", str(mx), str(mx + 1)):
+            assert _matches(g, v)
+    # 9999 itself still gets the exact construction
+    g = parse_gbnf(f"root ::= {gbnf_uint_range_rule(9999)}\n")
+    assert _matches(g, "9999") and not _matches(g, "10000")
+
+
 def test_auto_grammar_moss_shape():
     class PI:
         cb0_from_backbone = True
@@ -189,6 +204,24 @@ def test_run_codebook_ar_with_grammar(tmp_path):
     assert res.codes.shape[0] >= 1
     assert (res.codes[:, 0] <= 9).all()      # cb0 constrained by grammar
     assert (res.codes[:, 1:] >= 0).all()     # other cbs unconstrained
+
+
+def test_run_codebook_ar_grammar_without_pieces_raises(tmp_path):
+    """grammar without token_pieces must fail loudly, not silently drop the
+    constraint (the GrammarSampler branch needs both)."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    import test_lm_adaptors as tla
+    from test_audio_lm import StubBackbone
+
+    path = tla.phd_gguf.__wrapped__(_TmpFactory(tmp_path))
+    alm = AudioLM(GGUFReader(path[0]))
+    with pytest.raises(ValueError, match="token_pieces"):
+        run_codebook_ar(alm, StubBackbone(tla.H, seed=5),
+                        [np.zeros(tla.H, np.float32)], max_steps=2,
+                        decode=False, grammar='root ::= [0-9]*\n')
 
 
 class _TmpFactory:
