@@ -255,7 +255,15 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         def sampler(cb_idx, logits):
             return chain(logits) if cb_idx == 0 else int(logits.argmax())
 
-        res = run_codebook_ar(audio_lm, bb, list(bb.embed_tokens(ids)),
+        if audio_lm.prompt_needs_composed:
+            # Merged-cb0 (MOSS-TTSD): each prompt row is the sum over the
+            # per-codebook embedding tables — cb0 = the raw text token,
+            # cb1..N-1 = speech_pad (reference: tts_runner.cpp:767-793,
+            # audio_lm_compose_prompt_embd).
+            prompt_embeds = [audio_lm.compose_prompt_embd(t) for t in ids]
+        else:
+            prompt_embeds = list(bb.embed_tokens(ids))
+        res = run_codebook_ar(audio_lm, bb, prompt_embeds,
                               max_steps=max_steps, sampler=sampler, pi=pi)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")

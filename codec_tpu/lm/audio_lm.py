@@ -19,7 +19,9 @@ from typing import Any, List, Optional, Sequence
 import numpy as np
 
 from ..io.gguf import GGUFReader
-from .base import CodecLM, create_lm
+from .base import CodecLM, LmError, create_lm
+from .decode_transform import (DecodeTransform, build_decode_transform,
+                               transform_lm_codes)
 
 MODALITY_TEXT_IN = 1
 MODALITY_AUDIO_OUT = 2
@@ -62,6 +64,10 @@ class AudioLM:
         )
         self.uses_embed_override = False
         self._embed_step_start = 0
+        # codes→PCM decode transform (reference: init_decode_transform,
+        # common/audio_lm.cpp:218-263) — see lm/decode_transform.py.
+        self.decode_transform: DecodeTransform = build_decode_transform(
+            reader, self.lm.info if self.lm is not None else None)
         self.reset()
 
     # -- lifecycle ---------------------------------------------------------
@@ -155,18 +161,68 @@ class AudioLM:
         self.next_embed = feedback
         return ObserveAction.STOP if stop else ObserveAction.CONSUMED_EMBED
 
+    # -- composed prompt rows (merged-cb0 models) ---------------------------
+    @property
+    def prompt_needs_composed(self) -> bool:
+        """MOSS-TTSD-style merged-cb0 models: the host must feed composed
+        prompt embeddings (reference: audio_lm_prompt_needs_composed_embd)."""
+        return self.decode_transform.prompt_needs_composed
+
+    def compose_prompt_embd(self, text_token: int) -> np.ndarray:
+        """One composed prompt row: cb0 = raw merged-vocab text token,
+        cb1..N-1 = speech_pad — the HF processor's prompt grid before the
+        delay shift, summed over the per-codebook embedding tables
+        (reference: audio_lm_compose_prompt_embd, audio_lm.cpp:1274-1305)."""
+        if self.lm is None:
+            raise LmError("compose_prompt_embd: no codec_lm adaptor")
+        if self.n_codebook <= 0:
+            raise LmError("compose_prompt_embd: n_codebook unknown")
+        codes = [self.decode_transform.speech_pad_code] * self.n_codebook
+        codes[0] = int(text_token)
+        return self.lm.compose_audio_embd(codes)
+
     # -- end of sequence ---------------------------------------------------
     def codes_matrix(self) -> np.ndarray:
         if not self.frames:
             return np.zeros((0, self.n_codebook), np.int32)
         return np.asarray(self.frames, np.int32)
 
-    def decode_audio(self, n_q: int = 0) -> np.ndarray:
+    def push_codes(self, codes: np.ndarray) -> None:
+        """Append externally produced [T, n_cb] frames to the accumulator
+        (reference: audio_lm_push_codes — offline / debug path)."""
+        codes = np.asarray(codes, np.int32)
+        if codes.ndim == 1:
+            codes = codes[:, None]
+        if self.frames and len(self.frames[0]) != codes.shape[1]:
+            raise LmError(f"push_codes: width {codes.shape[1]} mismatches "
+                          f"accumulated n_cb {len(self.frames[0])}")
+        self.frames.extend(codes.tolist())
+
+    def decode_audio(self, n_q: int = 0,
+                     n_speech_frames: Optional[int] = None) -> np.ndarray:
         """Decode accumulated codes (or latents) through the codec
-        (reference: audio_lm_decode_audio → codec_decode)."""
+        (reference: audio_lm_decode_audio, common/audio_lm.cpp:1455-1600).
+
+        Codebook kinds first apply the LM-codes→codec-codes transform
+        (delay-pattern unshift, text/control-cb0 drop, merged-cb0 speech
+        remap, sentinel clamp — lm/decode_transform.py) and decode with
+        n_q = n_cb - audio_cb_offset. `n_speech_frames` is the explicit
+        output length for hosts that flushed the delay tail after cb0 EOS;
+        None uses the reference formula T - max(delay). `n_q` overrides the
+        decode depth (0 = the transform's width)."""
         if self.codec is None:
             raise ValueError("no codec attached for decode_audio")
         if self.is_continuous:
             latent = np.concatenate(self.latents, axis=0)
             return self.codec.decode_latent(latent)
-        return self.codec.decode(self.codes_matrix(), n_q=n_q)
+        codes = self.codes_matrix()
+        if not len(codes):
+            raise LmError("decode_audio: no codes accumulated")
+        codes = transform_lm_codes(
+            codes, self.decode_transform,
+            codebook_size=getattr(self.codec, "codebook_size", 0),
+            n_frames_out=n_speech_frames)
+        if not len(codes):
+            raise LmError("decode_audio: no frames left after the decode "
+                          "transform")
+        return self.codec.decode(codes, n_q=n_q)

@@ -25,6 +25,21 @@ import numpy as np
 
 from ..ops.sample import OnDeviceSampling
 from .audio_lm import AudioLM, ObserveAction
+from .decode_transform import transform_lm_codes
+
+
+def _decode_transformed(audio_lm: AudioLM, codes: np.ndarray, n_q: int = 0,
+                        n_speech_frames=None) -> Optional[np.ndarray]:
+    """codes [T, n_cb] → PCM via the LM-codes→codec-codes transform
+    (reference: audio_lm_decode_audio, common/audio_lm.cpp:1513-1580).
+    Identity for models with no control cb0 / delay / merged vocab."""
+    out = transform_lm_codes(
+        codes, audio_lm.decode_transform,
+        codebook_size=getattr(audio_lm.codec, "codebook_size", 0),
+        n_frames_out=n_speech_frames)
+    if not len(out):
+        return None
+    return audio_lm.codec.decode(out, n_q=n_q)
 
 
 class Backbone(Protocol):
@@ -228,7 +243,7 @@ def run_realtime_streaming(
         codes = codes[:-1]
     pcm = None
     if decode and audio_lm.codec is not None and len(codes):
-        pcm = audio_lm.codec.decode(codes)
+        pcm = _decode_transformed(audio_lm, codes)
     return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps,
                            stopped_by_eos=stopped)
 
@@ -294,7 +309,7 @@ def run_lfm2_sequential(
         codes = codes[:-1]
     pcm = None
     if decode and audio_lm.codec is not None and len(codes):
-        pcm = audio_lm.codec.decode(codes)
+        pcm = _decode_transformed(audio_lm, codes)
     return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps,
                            stopped_by_eos=stopped)
 
@@ -372,7 +387,7 @@ def run_chatterbox(
     codes_arr = np.asarray(codes, np.int32).reshape(-1, 1)
     pcm = None
     if decode and audio_lm.codec is not None and len(codes_arr):
-        pcm = audio_lm.codec.decode(codes_arr)
+        pcm = _decode_transformed(audio_lm, codes_arr)
     return SynthesisResult(codes=codes_arr, pcm=pcm, n_steps=steps,
                            stopped_by_eos=stopped)
 
@@ -508,10 +523,39 @@ def run_codebook_ar(
             break
         h = backbone.step(audio_lm.next_embed)
 
+    # Delay-tail flush (contract: include/codec_lm.h:387-401): on a
+    # delay-pattern model the cb0 EOS leaves up to max(delay) in-flight
+    # frames in the later codebooks. Step that many more frames with cb0
+    # forced to the EOS sentinel (the auto-grammar's trailing `end+`
+    # window, common/audio_lm.cpp:1180-1184) so the trailing audio codes
+    # land; decode_audio's unshift then reads them and the EOS rows never
+    # reach the output (HF shifting_outputs semantics).
+    tr = audio_lm.decode_transform
+    max_delay = tr.max_delay(audio_lm.n_codebook)
+    n_speech = None
+    eos_c0 = audio_lm.lm.info.eos_code_c0
+    if stopped and max_delay > 0 and eos_c0 >= 0:
+        n_speech = len(audio_lm.frames) - 1     # rows before the EOS frame
+        last_codes = list(audio_lm.frames[-1])
+        for _ in range(max_delay):
+            emb = audio_lm.lm.compose_next_embd(last_codes,
+                                                audio_lm._embed_step)
+            audio_lm._embed_step += 1
+            h = backbone.step(emb)
+            st.step_begin(np.asarray(h, np.float32))
+            for _k in range(audio_lm.n_codebook):
+                logits, cb_idx = st.step_logits()
+                code = eos_c0 if cb_idx == 0 else sampler(cb_idx, logits)
+                st.step_push_code(code)
+            last_codes = list(st.step_finish())
+            audio_lm.frames.append(last_codes)
+            steps += 1
+
     codes = audio_lm.codes_matrix()
-    if stopped and audio_lm.lm.info.eos_code_c0 >= 0:
+    if stopped and eos_c0 >= 0 and max_delay == 0:
         codes = codes[:-1]                      # drop the EOS frame
     pcm = None
     if decode and audio_lm.codec is not None and len(codes):
-        pcm = audio_lm.codec.decode(codes, n_q=n_q)
+        pcm = _decode_transformed(audio_lm, codes, n_q=n_q,
+                                  n_speech_frames=n_speech)
     return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps, stopped_by_eos=stopped)

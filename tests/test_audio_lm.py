@@ -86,8 +86,13 @@ def test_run_codebook_ar_eos_stop(phd_gguf):
     prompt = [np.zeros(H, np.float32)]
     res = run_codebook_ar(alm, backbone, prompt, max_steps=10, sampler=sampler)
     assert res.stopped_by_eos
-    assert res.n_steps == 3
-    assert res.codes.shape == (2, N_CB)        # EOS frame trimmed
+    # phd fixture has delay_pattern [0,1,2,3]: after the cb0 EOS the host
+    # flushes max(delay)=3 more frames so the delayed codebooks' in-flight
+    # codes land (codec_lm.h:387-401); cb0 is forced to the sentinel there.
+    assert res.n_steps == 2 + 1 + 3
+    assert res.codes.shape == (6, N_CB)
+    assert (res.codes[2:, 0] == 7).all()       # EOS + flush rows
+    assert (res.codes[:2, 0] == 1).all()       # speech rows intact
 
 
 def test_run_continuous_flow():

@@ -358,3 +358,99 @@ def test_codec_lm_cli_all_subcommands(mimi_rda_and_backbone, tmp_path, capsys):
     fused = np.asarray(lm.fused_frame()(jnp.asarray(h), jax.random.PRNGKey(0),
                                         jnp.int32(0)))
     np.testing.assert_array_equal(codes, fused)
+
+
+# ---------------------------------------------------------------------------
+# mimi codec + MOSS-TTSD-style parallel_heads_delay adaptor (merged cb0,
+# delay pattern) + llama backbone — exercises the composed prompt rows,
+# the cb0 range constraint, the post-EOS delay flush, and the
+# codes→decode transform end-to-end through the CLI surface
+# (reference: audio_lm.cpp:218-263 init + :1513-1580 decode transform,
+# tts_runner.cpp:767-793 composed prefill).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mimi_ttsd_and_backbone(tmp_path_factory, mimi_rda_and_backbone):
+    from codec_tpu.convert import get_converter
+
+    # reuse the rda fixture's codec tensors + backbone; only the adaptor
+    # section differs
+    rda_path, bb_path = mimi_rda_and_backbone
+    tmp = tmp_path_factory.mktemp("ttsdtts")
+    hidden, n_cb, cb_vocab, text_vocab = 64, 4, 64, 300
+    g = torch.Generator().manual_seed(11)
+    W = lambda *s: torch.randn(*s, generator=g) * 0.3
+
+    r = GGUFReader(rda_path)
+    codec_only = tmp / "codec_only.gguf"
+    w = GGUFWriter(codec_only, r.architecture)
+    for k, v in r.kv.items():
+        if k.startswith("codec.lm.") or k in ("general.architecture",
+                                              "general.alignment"):
+            continue
+        if isinstance(v, bool):
+            w.add_bool(k, v)
+        elif isinstance(v, int):
+            (w.add_int32 if v < 0 else w.add_uint32)(k, v)
+        elif isinstance(v, float):
+            w.add_float32(k, v)
+        elif isinstance(v, str):
+            w.add_string(k, v)
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            w.add_array(k, list(v))
+    for name in r.tensor_names():
+        if not name.startswith("lm."):
+            w.add_tensor(name, r.get(name))
+    w.write()
+
+    def add_phd(w):
+        w.add_bool("codec.lm.has_adaptor", True)
+        w.add_string("codec.lm.kind", "parallel_heads_delay")
+        w.add_string("codec.lm.host_arch", "qwen3")
+        w.add_uint32("codec.lm.hidden_dim", hidden)
+        w.add_uint32("codec.lm.audio_embed_dim", hidden)
+        w.add_uint32("codec.lm.n_codebook", n_cb)
+        w.add_array("codec.lm.codebook_sizes",
+                    [text_vocab] + [cb_vocab] * (n_cb - 1))
+        w.add_array("codec.lm.delay_pattern", [0, 1, 2, 3])
+        w.add_int32("codec.lm.eos_code_c0", 5)
+        w.add_int32("codec.lm.eos_min_step", 1)
+        # merged cb0: text ids [100, 164) are the speech range
+        w.add_int32("codec.lm.cb0_speech_offset", 100)
+        w.add_int32("codec.lm.cb0_speech_range_end", 164)
+        w.add_int32("codec.lm.speech_pad_token", 99)
+        sizes = [text_vocab] + [cb_vocab] * (n_cb - 1)
+        for i, v in enumerate(sizes):
+            w.add_tensor(f"lm.heads_{i}.weight", W(v, hidden).numpy())
+            w.add_tensor(f"lm.audio_embd_{i}.weight", W(v, hidden).numpy())
+
+    model_path = _merge_gguf(codec_only, tmp / "mimi_ttsd.gguf", add_phd)
+    return model_path, bb_path
+
+
+def test_tts_cli_synthesize_delay_transform(mimi_ttsd_and_backbone,
+                                            tmp_path, capsys):
+    """CLI synthesize on a delay-pattern merged-cb0 model: the composed
+    prompt rows, range-constrained cb0 sampling, post-EOS flush, and the
+    decode transform all run; the WAV length matches the transform's
+    output frame count (n_rows - max_delay - one EOS row when stopped)."""
+    import re
+
+    from codec_tpu.cli.tts_cli import main
+
+    model_path, bb_path = mimi_ttsd_and_backbone
+    out = tmp_path / "ttsd.wav"
+    assert main(["synthesize", "--model", str(model_path),
+                 "--backbone", str(bb_path), "--text", "hello there",
+                 "--out", str(out), "--max-frames", "6"]) == 0
+    txt = capsys.readouterr().out
+    m = re.search(r"eos=(True|False), codes \((\d+), (\d+)\)", txt)
+    assert m, txt
+    eos, n_rows = m.group(1) == "True", int(m.group(2))
+    max_delay = 3
+    t_out = (n_rows - 1 - max_delay) if eos else (n_rows - max_delay)
+    pcm, sr = read_wav(out)
+    assert sr == 24000
+    assert pcm.shape[0] == t_out * 1920     # mimi hop 1920
+    if eos:                                  # flush appended max_delay rows
+        assert n_rows >= 1 + max_delay
