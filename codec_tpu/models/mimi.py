@@ -63,10 +63,22 @@ class MimiConfig:
     @classmethod
     def from_gguf(cls, r: GGUFReader) -> "MimiConfig":
         scaling = r.get_f32("codec.rope_scaling_factor", 1.0)
+        # The reference converter hardcodes codec.n_q=32 regardless of the
+        # checkpoint's quantizer count; the reference runtime copes by
+        # inferring the effective depth from the tensors present
+        # (codec_internal.h:143-152, mimi.cpp:338 clamp). Mirror that:
+        # clamp n_q to the codebook layers actually in the file.
+        n_q = r.get_i32("codec.n_q", 32)
+        layers = {name.rsplit(".", 2)[0]
+                  for name in r.tensors
+                  if (name.startswith(("q.s.layers.", "q.a.layers."))
+                      and name.endswith((".codebook.embed", ".cb.embed")))}
+        if 0 < len(layers) < n_q:
+            n_q = len(layers)
         return cls(
             sample_rate=r.get_i32("codec.sample_rate", 24000),
             hop_size=r.get_i32("codec.hop_size", 1920),
-            n_q=r.get_i32("codec.n_q", 32),
+            n_q=n_q,
             n_sem=r.get_i32("codec.num_semantic_quantizers", 1),
             codebook_size=r.get_i32("codec.codebook_size", 2048),
             codebook_dim=r.get_i32("codec.codebook_dim", 256),

@@ -149,11 +149,21 @@ def load_wt_params(r: GGUFReader, dtype=jnp.float32):
                 "dn": _cw(r, f"enc.model.{mi + 2}.conv.conv", dtype),
             })
         enc["stages"] = stages
+
+        def _lstm_w(name):
+            # torch layout is [4h, in]; the reference converter stores the
+            # transpose [in, 4h] (scripts/converters/wavtokenizer.py
+            # maybe_transpose_lstm_weight) — accept both.
+            w = np.asarray(r.get(name))
+            if w.shape[0] * 4 == w.shape[1]:
+                w = w.T
+            return jnp.asarray(w).astype(dtype)
+
         lstm = []
         for li in range(2):
             lstm.append({
-                "w_ih": jnp.asarray(r.get(f"enc.model.13.lstm.weight_ih_l{li}")).astype(dtype),
-                "w_hh": jnp.asarray(r.get(f"enc.model.13.lstm.weight_hh_l{li}")).astype(dtype),
+                "w_ih": _lstm_w(f"enc.model.13.lstm.weight_ih_l{li}"),
+                "w_hh": _lstm_w(f"enc.model.13.lstm.weight_hh_l{li}"),
                 "b_ih": jnp.asarray(r.get(f"enc.model.13.lstm.bias_ih_l{li}")).astype(dtype),
                 "b_hh": jnp.asarray(r.get(f"enc.model.13.lstm.bias_hh_l{li}")).astype(dtype),
             })
