@@ -40,7 +40,11 @@ def _readback_rtt() -> float:
     return min(ts)
 
 
-def _bench_decode(cfg, params, batch: int, t_frames: int, n_iters: int = 10):
+def _bench_decode(cfg, params, batch: int, t_frames: int, n_iters: int = 50):
+    # n_iters=50: the relay carries a ~30 ms constant per-call overhead
+    # (measured: a trivial fori_loop body costs 31 ms wall regardless of
+    # n); 50 chained iterations amortize it to <0.7 ms/iter so the number
+    # reflects device throughput, not transport.
     from codec_tpu.models.mimi import mimi_decode_fn
 
     rng = np.random.default_rng(0)
@@ -71,7 +75,7 @@ def _bench_decode(cfg, params, batch: int, t_frames: int, n_iters: int = 10):
 
 
 def _bench_generic(decode_fn, params, codes0, out_samples: int,
-                   sample_rate: int, vocab: int, n_iters: int = 10):
+                   sample_rate: int, vocab: int, n_iters: int = 50):
     """Chained-iteration timing for an arbitrary decode fn (same
     methodology as _bench_decode)."""
     # params closed over (not a jit argument): these trees carry Python-int

@@ -186,13 +186,34 @@ def load_mimi_params(r: GGUFReader, cfg: MimiConfig, dtype=jnp.float32) -> Dict[
 # Forward blocks
 # ---------------------------------------------------------------------------
 
-def _ccv1(x: jax.Array, w: jax.Array, b) -> jax.Array:
+def _ccv1(x: jax.Array, w: jax.Array, b, matmul: Optional[bool] = None
+          ) -> jax.Array:
     """Stride-1 causal conv; K shifted MXU matmuls on TPU (XLA's
     convolution runs far off-roofline at SEANet's C/T shapes — see
     models/dac.py numbers)."""
-    if conv.use_conv_matmul():
+    use_matmul = conv.use_conv_matmul() if matmul is None else matmul
+    if use_matmul:
         return conv.conv1d_matmul(x, w, b, padding=(w.shape[0] - 1, 0))
     return conv.conv1d_causal(x, w, b)
+
+
+def _dec_plan(batch: int) -> Dict[str, bool]:
+    """Conv formulation per batch size, measured on v5e (bf16/f32 decode
+    stack, T=500 latent frames, round 3):
+
+      b=1  f32 : matmul+subpix, no lane pad   8.05 ms   (lane pad 10.81)
+      b=8 bf16 : plain XLA convs everywhere  16.37 ms   (matmul forms 39.0)
+
+    The matmul/sub-pixel forms win when the chip is latency-bound (b=1
+    leaves the MXU mostly idle; K dense matmuls beat XLA's conv
+    schedule). At b>1 the machine is throughput-bound and the shifted
+    activation copies + phase reshapes turn into pure extra HBM traffic —
+    XLA's native convolution wins. Trace-time static, keyed on batch."""
+    if not conv.use_conv_matmul():          # CPU / CODEC_NO_CONV_OPT=1
+        return {"matmul": False, "subpix": False}
+    if batch == 1:
+        return {"matmul": True, "subpix": True}
+    return {"matmul": False, "subpix": False}
 
 
 def _resblock(x: jax.Array, r1: Dict, r2: Dict) -> jax.Array:
@@ -237,27 +258,27 @@ def mimi_decode_fn(params: Dict[str, Any], codes: jax.Array, cfg: MimiConfig,
         a = rvq.rvq_decode_sum(codes[..., n_sem:n_q], params["cb_acu"], n_q=n_q - n_sem)
         x = x + a @ params["acu_op"].T
 
-    x = conv.convtr1d_causal_subpixel(x, params["up"]["w"], None, stride=2)
+    plan = _dec_plan(codes.shape[0])
+    if plan["subpix"]:
+        x = conv.convtr1d_causal_subpixel(x, params["up"]["w"], None, stride=2)
+    else:
+        x = conv.convtr1d_causal(x, params["up"]["w"], None, stride=2)
     x = _transformer(x, params["dtr"], cfg)
 
-    # lane-pad stage channels to 128-multiples via trace-time WEIGHT
-    # padding (bit-identical; zero lanes stay zero — see ops/conv.py
-    # lane_pad) and run convs in their MXU-matmul formulations
-    to = conv.lane_pad()
-    P = lambda a, ax: conv.pad_channels(a, ax, to)
-    x = _ccv1(x, P(params["dec_l0"]["w"], 2), P(params["dec_l0"]["b"], 0))
+    cv = partial(_ccv1, matmul=plan["matmul"])
+    tr = (conv.convtr1d_causal_subpixel if plan["subpix"]
+          else conv.convtr1d_causal)
+    x = cv(x, params["dec_l0"]["w"], params["dec_l0"]["b"])
     for stage, stride in zip(params["dec_stages"], DEC_UP_STRIDES):
         x = act.elu(x)
-        x = conv.convtr1d_causal_subpixel(
-            x, P(P(stage["tr"]["w"], 1), 2), P(stage["tr"]["b"], 0),
-            stride=stride)
+        x = tr(x, stage["tr"]["w"], stage["tr"]["b"], stride=stride)
         h = act.elu(x)
-        h = _ccv1(h, P(P(stage["r1"]["w"], 1), 2), P(stage["r1"]["b"], 0))
+        h = cv(h, stage["r1"]["w"], stage["r1"]["b"])
         h = act.elu(h)
-        h = _ccv1(h, P(P(stage["r2"]["w"], 1), 2), P(stage["r2"]["b"], 0))
+        h = cv(h, stage["r2"]["w"], stage["r2"]["b"])
         x = x + h
     x = act.elu(x)
-    x = _ccv1(x, P(params["dec_l14"]["w"], 1), params["dec_l14"]["b"])
+    x = cv(x, params["dec_l14"]["w"], params["dec_l14"]["b"])
     return x[..., 0]                                      # [B, T*hop]
 
 

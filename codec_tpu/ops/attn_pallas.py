@@ -112,7 +112,7 @@ def flash_sdpa_window(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, _BQ, d), lambda bh, i: (bh, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, d), v.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * t * min(window or t, t) * d,
             bytes_accessed=4 * b * h * t * d * 4,

@@ -42,12 +42,15 @@ def apply_rope(x: jax.Array, positions: Optional[jax.Array] = None,
     else:                                                 # [B, T, D/2]
         cos = cos[:, None]
         sin = sin[:, None]
+    # angles/rotation in f32; result back in x.dtype (a bf16 x otherwise
+    # silently upcasts q/k and everything downstream of attention to f32)
     if neox:
         x1 = x[..., : d // 2]
         x2 = x[..., d // 2:]
-        return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+        y = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+        return y.astype(x.dtype)
     xe = x[..., 0::2]
     xo = x[..., 1::2]
     ye = xe * cos - xo * sin
     yo = xe * sin + xo * cos
-    return jnp.stack([ye, yo], axis=-1).reshape(b, h, t, d)
+    return jnp.stack([ye, yo], axis=-1).reshape(b, h, t, d).astype(x.dtype)
