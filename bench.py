@@ -182,6 +182,35 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
     return out
 
 
+def _bench_cold_start(t_frames: int = 250):
+    """Fresh-process time-to-first-audio on the product surface: a
+    subprocess runs `codec_cli decode` on the full-size Mimi GGUF with the
+    persistent compile cache DISABLED — an honest cold start (imports +
+    load + compile + decode + WAV write). The CLI compiles the fast-plan
+    tier (runtime/model.py tiered jit), which is what makes this ~40 s
+    instead of ~5 min on the relay."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    paths = _mimi_product_ggufs()
+    with tempfile.TemporaryDirectory() as td:
+        codes = np.random.default_rng(0).integers(
+            0, 2048, (t_frames, 32)).astype(np.int32)
+        cpath = os.path.join(td, "c.npy")
+        np.save(cpath, codes)
+        env = dict(os.environ, CODEC_JAX_CACHE="0")
+        t0 = time.monotonic()
+        subprocess.run(
+            [sys.executable, "-m", "codec_tpu.cli.codec_cli", "decode",
+             "--model", str(paths["F32"]), "--codes", cpath,
+             "--out", os.path.join(td, "o.wav")],
+            check=True, env=env, cwd=str(_FIXTURE_DIR.parent),
+            timeout=900)
+        return {"cold_start_to_first_audio_s": round(time.monotonic() - t0, 1)}
+
+
 def _bench_tts_cfm(fast: bool = False):
     """continuous_latent_cfm (BlueMagpie shape), whole step in-graph
     (BASELINE.md reference: full step 625.4 ms, RTF 3.9)."""
@@ -395,6 +424,7 @@ def main():
     _section(extra, "wavtokenizer_f32_b1", wt_f32)
 
     _section(extra, "product_surface", _bench_product_surface)
+    _section(extra, "cold_start", _bench_cold_start)
     tts = {}
     _section(tts, "cfm", _bench_tts_cfm)
     _section(tts, "flow", _bench_tts_flow)

@@ -103,6 +103,12 @@ def _run(args) -> int:
                 print(f"  {k} = {r.kv[k]}")
         return 0
 
+    # One-shot process: compile the fast-plan tier only — a background
+    # best-plan upgrade could never be used before exit (runtime/model.py
+    # tiered jit). Explicit CODEC_TIERED_JIT settings win.
+    import os
+
+    os.environ.setdefault("CODEC_TIERED_JIT", "fast")
     model = _load(args)
     from ..io.wav import write_wav
 

@@ -208,10 +208,17 @@ def _dec_plan(batch: int) -> Dict[str, bool]:
     leaves the MXU mostly idle; K dense matmuls beat XLA's conv
     schedule). At b>1 the machine is throughput-bound and the shifted
     activation copies + phase reshapes turn into pure extra HBM traffic —
-    XLA's native convolution wins. Trace-time static, keyed on batch."""
+    XLA's native convolution wins. Trace-time static, keyed on batch.
+
+    Under the "fast" compile plan (tiered jit first tier) the b=1 graph
+    uses subpix only: combining matmul+subpix in one graph compiles ~276 s
+    on the relay vs ~33 s for either alone (see ops/conv.py compile_plan);
+    subpix-only runs 11.6 ms vs the combined plan's 5.7."""
     if not conv.use_conv_matmul():          # CPU / CODEC_NO_CONV_OPT=1
         return {"matmul": False, "subpix": False}
     if batch == 1:
+        if conv.plan_mode() == "fast":
+            return {"matmul": False, "subpix": True}
         return {"matmul": True, "subpix": True}
     return {"matmul": False, "subpix": False}
 

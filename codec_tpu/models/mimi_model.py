@@ -14,6 +14,10 @@ from .mimi import MimiConfig, load_mimi_params, mimi_decode_fn, mimi_encode_fn
 
 class MimiCodec(CodecModel):
     arch = "mimi"
+    # b=1 decode compiles ~276 s with the best conv plan on the relay but
+    # ~33 s with the fast plan (models/mimi.py _dec_plan): serve the first
+    # call fast, upgrade in the background (runtime/model.py tiered jit).
+    tiered_plans = True
 
     def _load(self, reader: GGUFReader) -> None:
         self.cfg = MimiConfig.from_gguf(reader)

@@ -21,6 +21,8 @@ Causal padding semantics replicate the reference exactly
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 from typing import Optional
 
@@ -29,6 +31,34 @@ import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NWC", "WIO", "NWC")
+
+# -- compile plan ("fast" | "best") -----------------------------------------
+# Combining the matmul-form stride-1 convs AND the sub-pixel transposed
+# convs in one graph makes XLA's TPU pipeline pathological: the Mimi b=1
+# decode compiles in ~33 s with either form alone but ~276 s with both
+# (measured v5e, round 3). The runtime gap is real (5.7 vs 11.6 ms), so
+# instead of giving one up, CodecModel compiles a "fast"-plan graph first
+# (subpix only — best single-form runtime) and upgrades to the "best"
+# plan in a background thread (runtime/model.py tiered jit). Model code
+# consults plan_mode() at trace time.
+
+_PLAN_MODE: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "codec_conv_plan_mode", default="best")
+
+
+def plan_mode() -> str:
+    """Current compile plan: "best" (default) or "fast" (quick-compiling
+    forms, used for the first tier of CodecModel's tiered jit)."""
+    return _PLAN_MODE.get()
+
+
+@contextlib.contextmanager
+def compile_plan(mode: str):
+    tok = _PLAN_MODE.set(mode)
+    try:
+        yield
+    finally:
+        _PLAN_MODE.reset(tok)
 
 
 def conv1d(

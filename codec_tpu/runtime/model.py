@@ -8,6 +8,7 @@ runtime/bucketing.py) replacing the ggml graph cache + scheduler.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -92,6 +93,14 @@ class CodecModel:
     # Fully-causal stacks admit exact right-pad+crop shape bucketing; models
     # with symmetric padding (e.g. DAC) compile per exact length instead.
     causal_time: bool = True
+    # Models whose graphs differ between the "fast" and "best" compile
+    # plans (ops/conv.py compile_plan) opt into tiered jit: the first call
+    # compiles the fast plan (~33 s for Mimi b=1 decode on the relay vs
+    # ~276 s for the best plan), a daemon thread then compiles the best
+    # plan and swaps it in. Where the plans coincide (e.g. b>1) the two
+    # traces produce identical HLO and the background compile is a
+    # persistent-cache hit. CODEC_TIERED_JIT=0 disables.
+    tiered_plans: bool = False
 
     # Subclasses set these after load:
     sample_rate: int = 0
@@ -113,7 +122,7 @@ class CodecModel:
             reader.prefer_16bit = True
         self.metadata: Dict[str, Any] = dict(reader.kv)
         self._jit_cache: Dict[Any, Callable] = {}
-        self._trace_lock = threading.Lock()
+        self._trace_lock = threading.RLock()
         self.mesh = None                    # set via set_mesh() for DP
         self.mesh_axis = "dp"
         self.last_out_sharding = None       # sharding of the last device output
@@ -186,7 +195,7 @@ class CodecModel:
         self.compute_dtype = compute_dtype
         self.metadata = {}
         self._jit_cache = {}
-        self._trace_lock = threading.Lock()
+        self._trace_lock = threading.RLock()
         self.mesh = None
         self.mesh_axis = "dp"
         self.last_out_sharding = None
@@ -263,32 +272,85 @@ class CodecModel:
             inner = make()
             flat, rebuild = self._split_params()
 
-            def wrapped(dyn, *args):
-                trees = rebuild(dyn)
-                saved = {a: getattr(self, a, None) for a in trees}
-                try:
-                    for a, v in trees.items():
-                        setattr(self, a, v)
-                    out = inner(*args)
-                finally:
-                    for a, v in saved.items():
-                        setattr(self, a, v)
-                if self.mesh is not None:
-                    # Pin outputs batch-sharded so DP results stay resident
-                    # per-chip (no implicit gather at the jit boundary).
-                    from jax.sharding import NamedSharding, PartitionSpec
+            def make_wrapped(plan: str):
+                def wrapped(dyn, *args):
+                    from ..ops import conv as _conv
 
-                    ns = NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
-                    out = jax.tree_util.tree_map(
-                        lambda o: jax.lax.with_sharding_constraint(o, ns), out)
-                return out
+                    # serialize the swap-trace-restore window: tracing
+                    # temporarily setattr-swaps tracers into shared attrs
+                    # (same discipline as runtime/jit_weights.py); RLock so
+                    # the background best-plan trace and foreground misses
+                    # can't interleave. Compiled calls never re-enter here.
+                    with self._trace_lock:
+                        trees = rebuild(dyn)
+                        saved = {a: getattr(self, a, None) for a in trees}
+                        try:
+                            for a, v in trees.items():
+                                setattr(self, a, v)
+                            with _conv.compile_plan(plan):
+                                out = inner(*args)
+                        finally:
+                            for a, v in saved.items():
+                                setattr(self, a, v)
+                    if self.mesh is not None:
+                        # Pin outputs batch-sharded so DP results stay
+                        # resident per-chip (no implicit gather at the jit
+                        # boundary).
+                        from jax.sharding import NamedSharding, PartitionSpec
 
-            jfn = jax.jit(wrapped)
-            if op_profile.enabled():
-                jfn = _ProfiledFn(key, jfn)
+                        ns = NamedSharding(self.mesh,
+                                           PartitionSpec(self.mesh_axis))
+                        out = jax.tree_util.tree_map(
+                            lambda o: jax.lax.with_sharding_constraint(o, ns),
+                            out)
+                    return out
+                return wrapped
 
-            def fn(*args, _jfn=jfn, _flat=flat):
-                return _jfn(_flat, *args)
+            # CODEC_TIERED_JIT: "1" (default) fast tier + background
+            # upgrade; "fast" fast tier only (one-shot CLI processes —
+            # nothing would ever use the upgraded graph); "0" best only.
+            tier_env = os.environ.get("CODEC_TIERED_JIT", "1")
+            tiered = (self.tiered_plans
+                      and jax.default_backend() == "tpu"
+                      and not op_profile.enabled()
+                      and tier_env != "0")
+            if not tiered:
+                jfn = jax.jit(make_wrapped("best"))
+                if op_profile.enabled():
+                    jfn = _ProfiledFn(key, jfn)
+
+                def fn(*args, _jfn=jfn, _flat=flat):
+                    return _jfn(_flat, *args)
+            else:
+                jfn_fast = jax.jit(make_wrapped("fast"))
+                holder = {"call": lambda *a: jfn_fast(flat, *a),
+                          "started": False}
+                start_lock = threading.Lock()
+
+                def _upgrade(args):
+                    tu = time.monotonic()
+                    try:
+                        lowered = jax.jit(make_wrapped("best")).lower(
+                            flat, *args)
+                        compiled = lowered.compile()
+                        holder["call"] = lambda *a: compiled(flat, *a)
+                        perf_event("graph_upgrade",
+                                   (time.monotonic() - tu) * 1e6, str(key))
+                    except Exception as e:       # keep serving the fast tier
+                        perf_event("graph_upgrade_failed", 0.0,
+                                   f"{key}: {type(e).__name__}")
+
+                def fn(*args, _upgrade_on=(tier_env != "fast")):
+                    out = holder["call"](*args)
+                    if _upgrade_on and not holder["started"]:
+                        with start_lock:
+                            if not holder["started"]:
+                                holder["started"] = True
+                                threading.Thread(
+                                    target=_upgrade, args=(args,),
+                                    daemon=True,
+                                    name=f"codec-tier-upgrade-{key}").start()
+                    return out
 
             self._jit_cache[key] = fn
             perf_event("graph_build", (time.monotonic() - t0) * 1e6, str(key))
