@@ -270,7 +270,22 @@ def _bench_tts_flow(fast: bool = False):
     def flow_step():
         lm.flow_step(st, noise=fnoise)
     wall = _time_calls(flow_step, n=n_flow)
-    out["flow_frame_ms"] = round(wall * 1e3, 2)
+    out["flow_step_ms"] = round(wall * 1e3, 2)      # single-frame call
+
+    # product path (tts_cli flow loop): 16-frame chunks via flow_run —
+    # one dispatch + one readback per chunk
+    chunk = 16
+    st2 = lm.new_state()
+    lm.flow_prefill(st2, list(range(1, 24)))
+    cnoise = rng.standard_normal((chunk, lm.ldim)).astype(np.float32)
+
+    def flow_chunk():
+        if st2.kind_state["kv_pos"] + chunk > lm.max_T:
+            lm.flow_reset(st2)
+            lm.flow_prefill(st2, list(range(1, 24)))
+        lm.flow_run(st2, cnoise)
+    wall = _time_calls(flow_chunk, n=n_flow) / chunk
+    out["flow_frame_ms"] = round(wall * 1e3, 2)     # per frame, chunked
     out["flow_rtf"] = round(wall / 0.080, 4)        # 12.5 Hz frames
     return out
 
@@ -422,6 +437,21 @@ def main():
             t_wt * wcfg.hop_size, wcfg.sample_rate, wcfg.codebook_size)
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
     _section(extra, "wavtokenizer_f32_b1", wt_f32)
+
+    def wt_bf16():
+        wcfg, wparams = random_wt_decode_params()
+        p16 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+            wparams)
+        t_wt = 24000 * 20 // wcfg.hop_size
+        codes = jnp.asarray(rng.integers(0, wcfg.codebook_size,
+                                         (1, t_wt, 1)), jnp.int32)
+        xrt, wall = _bench_generic(
+            lambda p, c: wt_decode_fn(p, c, wcfg), p16, codes,
+            t_wt * wcfg.hop_size, wcfg.sample_rate, wcfg.codebook_size)
+        return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
+    _section(extra, "wavtokenizer_bf16_b1", wt_bf16)
 
     _section(extra, "product_surface", _bench_product_surface)
     _section(extra, "cold_start", _bench_cold_start)

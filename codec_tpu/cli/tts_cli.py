@@ -115,21 +115,39 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
     prev = None
     eos_step = -1
     stop = "max_frames"
-    for step in range(max_gen):
-        noise = (rng.standard_normal(lm.ldim) * noise_std).astype(np.float32)
-        lat, eos_logit, is_eos = lm.flow_step(st, prev_latent=prev, noise=noise)
-        if is_eos and eos_step < 0 and step >= min_len:
-            eos_step = step
-        if eos_step >= 0 and step >= eos_step + fae:
-            stop = "eos_head"
-            break
-        frame = lm.denorm_latent(lat)
-        latents.append(frame)
-        if dec is not None:
-            chunks.append(dec.push(frame[None]))
-            if ttfa is None:
-                ttfa = time.monotonic() - t_start
-        prev = lat
+    # AR in fixed-size device chunks (flow_lm.flow_run): one dispatch +
+    # one readback per CHUNK frames instead of per frame. Frames past the
+    # stop point are computed-then-discarded — causal AR makes the kept
+    # prefix bit-identical to single-stepping. Smaller chunk when
+    # streaming so time-to-first-audio stays ~chunk-sized.
+    ar_chunk = 4 if stream else 16
+    max_gen = min(max_gen, lm.max_T - st.kind_state["kv_pos"])
+    step = 0
+    done = False
+    while step < max_gen and not done:
+        # shrink the final chunk to the remaining KV capacity
+        cur_chunk = min(ar_chunk, lm.max_T - st.kind_state["kv_pos"])
+        noises = (rng.standard_normal((cur_chunk, lm.ldim)) *
+                  noise_std).astype(np.float32)
+        lats, eos_logits = lm.flow_run(st, noises, prev_latent=prev)
+        for i in range(cur_chunk):
+            if step >= max_gen:
+                break
+            if eos_logits[i] > lm.eos_threshold and eos_step < 0 \
+                    and step >= min_len:
+                eos_step = step
+            if eos_step >= 0 and step >= eos_step + fae:
+                stop = "eos_head"
+                done = True
+                break
+            frame = lm.denorm_latent(lats[i])
+            latents.append(frame)
+            if dec is not None:
+                chunks.append(dec.push(frame[None]))
+                if ttfa is None:
+                    ttfa = time.monotonic() - t_start
+            step += 1
+        prev = lats[-1]
     print(f"flow_lm: AR done: {len(latents)} frames, eos_step={eos_step}, "
           f"stop={stop}")
     if not latents:

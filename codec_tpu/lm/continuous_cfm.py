@@ -139,6 +139,7 @@ class ContinuousLatentCfmLM(CodecLM):
 
         self._step_cache: Dict[Tuple, Any] = {}
         self._prefill_cache: Dict[int, Any] = {}
+        self._sched_cache: Dict[int, Tuple] = {}   # device tsin/dtsin/dts
 
         return LmInfo(kind="continuous_latent_cfm", hidden_dim=self.h_barbet,
                       is_continuous=True, patch_size=self.patch_size,
@@ -310,7 +311,12 @@ class ContinuousLatentCfmLM(CodecLM):
 
         le_src = jnp.where(use_override, le_src_override, x)
         fb_tslm, fb_lm = self._locenc_feedback(le_src)
-        return new_kcs, new_vcs, x, stop_logits, fb_tslm, fb_lm
+        # host-visible outputs in ONE array (each readback is a relay RTT):
+        # [patch.ravel() ; stop_logits ; fb_tslm]. x and fb_lm are also
+        # returned as device arrays — they feed the NEXT step without ever
+        # leaving the device.
+        packed = jnp.concatenate([x.ravel(), stop_logits, fb_tslm])
+        return new_kcs, new_vcs, x, fb_lm, packed
 
     # -- state / public API ------------------------------------------------
     def new_state(self) -> LmState:
@@ -319,15 +325,18 @@ class ContinuousLatentCfmLM(CodecLM):
         return st
 
     def _init_state(self, st: LmState) -> None:
+        # prev_patch / prev_fb_lm / prefill_* are DEVICE arrays: they are
+        # produced by one jitted step and consumed by the next, so they
+        # never round-trip through the host (VERDICT #5: fewer RTTs/frame).
         shape = (self.n_ralm, self.max_T, self.n_kv, self.head_dim)
         st.kind_state.update(
             k=jnp.zeros(shape, jnp.float32), v=jnp.zeros(shape, jnp.float32),
             kv_pos=0, patch_index=0, primed=False,
-            prev_patch=np.zeros((self.patch_size, self.latent_dim), np.float32),
-            prev_fb_lm=np.zeros(self.h_vox, np.float32),
+            prev_patch=jnp.zeros((self.patch_size, self.latent_dim), jnp.float32),
+            prev_fb_lm=jnp.zeros(self.h_vox, jnp.float32),
             fb_tslm=np.zeros(self.h_barbet, np.float32),
-            prefill_lm=np.zeros(self.h_vox, np.float32),
-            prefill_res=np.zeros(self.h_vox, np.float32),
+            prefill_lm=jnp.zeros(self.h_vox, jnp.float32),
+            prefill_res=jnp.zeros(self.h_vox, jnp.float32),
             teacher=None, min_len=-1,
             rng=np.random.default_rng(0))
 
@@ -377,9 +386,8 @@ class ContinuousLatentCfmLM(CodecLM):
             fn = jit_weighted(self, prefill, ("w",), donate_argnums=(0, 1))
             self._prefill_cache[t] = fn
         ks = st.kind_state
-        ks["k"], ks["v"], lm_last, res_last = fn(ks["k"], ks["v"], jnp.asarray(hiddens))
-        ks["prefill_lm"] = np.asarray(lm_last)
-        ks["prefill_res"] = np.asarray(res_last)
+        ks["k"], ks["v"], ks["prefill_lm"], ks["prefill_res"] = fn(
+            ks["k"], ks["v"], jnp.asarray(hiddens))   # stay on device
         ks["kv_pos"] = t
         ks["primed"] = True
 
@@ -390,10 +398,16 @@ class ContinuousLatentCfmLM(CodecLM):
         ks = st.kind_state
         if ks["kv_pos"] >= self.max_T:
             raise LmError("RALM KV cache full")
-        t_real, dts = sway_schedule(n_timesteps)
-        n_real = len(t_real)
-        tsin = np.stack([sinusoidal(t, self.h_dit) for t in t_real])
-        dtsin = sinusoidal(0.0, self.h_dit)
+        sched = self._sched_cache.get(n_timesteps)
+        if sched is None:
+            t_real, dts = sway_schedule(n_timesteps)
+            sched = (jnp.asarray(np.stack([sinusoidal(t, self.h_dit)
+                                           for t in t_real])),
+                     jnp.asarray(sinusoidal(0.0, self.h_dit)),
+                     jnp.asarray(dts.astype(np.float32)))
+            self._sched_cache[n_timesteps] = sched
+        tsin, dtsin, dts = sched
+        n_real = tsin.shape[0]
         if noise is None:
             noise = ks["rng"].standard_normal(
                 (self.patch_size, self.latent_dim)).astype(np.float32)
@@ -409,30 +423,31 @@ class ContinuousLatentCfmLM(CodecLM):
                               static_argnums=(12,), donate_argnums=(0, 1))
             self._step_cache[key] = fn
         le_override = teacher if teacher is not None else np.zeros_like(noise)
-        k, v, patch, stop_logits, fb_tslm, fb_lm = fn(
+        k, v, patch_dev, fb_lm, packed = fn(
             ks["k"], ks["v"], jnp.asarray(np.asarray(h_in, np.float32)),
-            jnp.asarray(ks["prev_fb_lm"]), jnp.asarray(ks["prefill_lm"]),
-            jnp.asarray(ks["prefill_res"]), jnp.asarray(ks["prev_patch"]),
-            jnp.asarray(noise), jnp.asarray(tsin), jnp.asarray(dtsin),
-            jnp.asarray(dts.astype(np.float32)),
+            ks["prev_fb_lm"], ks["prefill_lm"],
+            ks["prefill_res"], jnp.asarray(ks["prev_patch"]),
+            jnp.asarray(noise), tsin, dtsin, dts,
             jnp.asarray(ks["kv_pos"], jnp.int32), bool(primed),
             jnp.asarray(cfg_value, jnp.float32),
             jnp.asarray(le_override), jnp.asarray(teacher is not None))
         ks["k"], ks["v"] = k, v
-        patch = np.asarray(patch)
-        stop_logits = np.asarray(stop_logits)
+        ks["prev_fb_lm"] = fb_lm                          # device-resident
+        packed = np.asarray(packed)                       # one readback
+        pd = self.patch_size * self.latent_dim
+        patch = packed[:pd].reshape(self.patch_size, self.latent_dim)
+        stop_logits = packed[pd:pd + 2]
+        ks["fb_tslm"] = packed[pd + 2:]
         stop = bool(stop_logits[1] > stop_logits[0])
         min_len = ks["min_len"] if ks["min_len"] >= 0 else self.min_len
         if ks["patch_index"] <= min_len:
             stop = False
-        ks["fb_tslm"] = np.asarray(fb_tslm)
-        ks["prev_fb_lm"] = np.asarray(fb_lm)
         if not primed:
             ks["kv_pos"] += 1
         ks["primed"] = False
         ks["patch_index"] += 1
         ks["prev_patch"] = (np.asarray(teacher, np.float32) if teacher is not None
-                            else patch)
+                            else patch_dev)
         ks["teacher"] = None
         return patch, stop, ks["fb_tslm"]
 

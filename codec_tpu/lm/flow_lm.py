@@ -108,6 +108,7 @@ class FlowLM(CodecLM):
         from ..runtime.jit_weights import jit_weighted
         self._step_jit = jit_weighted(self, self._step_fn, ("w",),
                                       donate_argnums=(0, 1))
+        self._run_cache: Dict[int, Any] = {}
         self._prefill_cache: Dict[Tuple[int, int], Any] = {}
 
         return LmInfo(kind="flow_lm", hidden_dim=self.d_model,
@@ -181,7 +182,9 @@ class FlowLM(CodecLM):
         return fw["final_w"] @ xf + fw["final_b"]
 
     def _step_fn(self, kcs, vcs, prev_latent, is_bos, kv_pos, noise):
-        """One AR frame (reference: build_step). kcs/vcs: [L, max_T, H, D]."""
+        """One AR frame (reference: build_step). kcs/vcs: [L, max_T, H, D].
+        → (kcs, vcs, packed [ldim+1]) with packed = [latent ; eos_logit] so
+        the host reads ONE array per step (each readback is a relay RTT)."""
         seq = jnp.where(is_bos, self.w["bos_emb"], prev_latent)
         x = self.w["input_linear"] @ seq
         pos = kv_pos[None]
@@ -197,7 +200,23 @@ class FlowLM(CodecLM):
         for i in range(n):
             d = self._flow_net(c, i / n, (i + 1) / n, cur)
             cur = cur + d / n
-        return jnp.stack(new_k), jnp.stack(new_v), cur, eos
+        packed = jnp.concatenate([cur, eos[None]])
+        return jnp.stack(new_k), jnp.stack(new_v), packed
+
+    def _run_fn(self, kcs, vcs, prev_latent, frame0, kv_pos0, noises):
+        """K AR frames in ONE compiled graph (lax.scan over _step_fn),
+        feeding each frame's latent back on-device. noises [K, ldim].
+        → (kcs, vcs, packed [K, ldim+1]). One dispatch + one readback per
+        K frames amortizes the relay's per-call cost (tts_ar VERDICT #5)."""
+        def body(carry, noise):
+            kcs, vcs, prev, frame, kv_pos = carry
+            kcs, vcs, packed = self._step_fn(
+                kcs, vcs, prev, frame == 0, kv_pos, noise)
+            return ((kcs, vcs, packed[: self.ldim], frame + 1, kv_pos + 1),
+                    packed)
+        (kcs, vcs, _, _, _), packed = jax.lax.scan(
+            body, (kcs, vcs, prev_latent, frame0, kv_pos0), noises)
+        return kcs, vcs, packed
 
     def _prefill_fn(self, kcs, vcs, seq):
         """Fill the KV cache with the prefix (reference: build_prefill).
@@ -298,11 +317,43 @@ class FlowLM(CodecLM):
                                      self.ldim).astype(np.float32)
         prev = (np.zeros(self.ldim, np.float32) if prev_latent is None
                 else np.asarray(prev_latent, np.float32))
-        k, v, latent, eos = self._step_jit(
+        k, v, packed = self._step_jit(
             ks["k"], ks["v"], jnp.asarray(prev), jnp.asarray(is_bos),
             jnp.asarray(ks["kv_pos"], jnp.int32), jnp.asarray(noise))
         ks["k"], ks["v"] = k, v
         ks["kv_pos"] += 1
         ks["frame"] += 1
-        eos_logit = float(eos)
-        return np.asarray(latent), eos_logit, eos_logit > self.eos_threshold
+        packed = np.asarray(packed)                  # one readback
+        eos_logit = float(packed[self.ldim])
+        return packed[: self.ldim], eos_logit, eos_logit > self.eos_threshold
+
+    def flow_run(self, st: LmState, noises, prev_latent=None):
+        """Run `len(noises)` AR frames in ONE device call (lax.scan with
+        on-device latent feedback) — bit-identical frame semantics to
+        repeated flow_step, but a single dispatch + single readback.
+        noises [K, ldim] → (latents [K, ldim], eos_logits [K]) np arrays.
+        The state advances K frames; callers that stop at EOS mid-chunk
+        simply discard the tail (causal AR: later frames never affect
+        earlier ones)."""
+        ks = st.kind_state
+        noises = np.asarray(noises, np.float32).reshape(-1, self.ldim)
+        k_frames = noises.shape[0]
+        if ks["kv_pos"] + k_frames > self.max_T:
+            raise LmError("KV cache full")
+        prev = (np.zeros(self.ldim, np.float32) if prev_latent is None
+                else np.asarray(prev_latent, np.float32))
+        fn = self._run_cache.get(k_frames)
+        if fn is None:
+            from ..runtime.jit_weights import jit_weighted
+            fn = jit_weighted(self, self._run_fn, ("w",),
+                              donate_argnums=(0, 1))
+            self._run_cache[k_frames] = fn
+        k, v, packed = fn(
+            ks["k"], ks["v"], jnp.asarray(prev),
+            jnp.asarray(ks["frame"], jnp.int32),
+            jnp.asarray(ks["kv_pos"], jnp.int32), jnp.asarray(noises))
+        ks["k"], ks["v"] = k, v
+        ks["kv_pos"] += k_frames
+        ks["frame"] += k_frames
+        packed = np.asarray(packed)                  # one readback
+        return packed[:, : self.ldim], packed[:, self.ldim]

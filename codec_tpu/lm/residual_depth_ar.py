@@ -299,6 +299,37 @@ class ResidualDepthArLM(CodecLM):
         fn = self._fused_cache.get(chain)
         if fn is not None:
             return fn
+        from ..runtime.jit_weights import array_attrs, jit_weighted
+        fn = jit_weighted(self, self._build_frame(chain), array_attrs(self))
+        self._fused_cache[chain] = fn
+        return fn
+
+    def fused_frame_batched(self, *, temperature: float = 0.0, top_k: int = 0,
+                            top_p: float = 1.0, min_p: float = 0.0):
+        """Multi-stream variant of fused_frame: vmap over B independent
+        streams in ONE graph — fn(h [B, hidden], keys [B] PRNG keys,
+        text_ctx [B] int32) → codes [B, n_codebook] int32.
+
+        With the batch arrays device_put against a `dp` mesh sharding, the
+        jit follows the input sharding and the whole frame runs data-
+        parallel over ICI with zero collectives (each stream is
+        independent) — the multi-chip serving shape for AR codec LMs
+        (reference contrast: src/lm/residual_depth_ar.cpp is strictly
+        single-stream per context)."""
+        chain = (float(temperature), int(top_k), float(top_p), float(min_p))
+        key = ("batched",) + chain
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        frame = self._build_frame(chain)
+        from ..runtime.jit_weights import array_attrs, jit_weighted
+        fn = jit_weighted(self, jax.vmap(frame), array_attrs(self))
+        self._fused_cache[key] = fn
+        return fn
+
+    def _build_frame(self, chain):
+        """The un-jitted single-stream frame fn for the given sampler chain
+        (shared by fused_frame and fused_frame_batched)."""
         n, off, n_dh, heads, sizes, pre_w, pre_m, tabs_s = self._fused_consts()
         info = self.info
         row_dim = info.audio_embed_dim
@@ -349,10 +380,7 @@ class ResidualDepthArLM(CodecLM):
             _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
             return codes.at[off:].set(depth_codes) if off else depth_codes
 
-        from ..runtime.jit_weights import array_attrs, jit_weighted
-        fn = jit_weighted(self, frame, array_attrs(self))
-        self._fused_cache[chain] = fn
-        return fn
+        return frame
 
     # -- step machine hooks ------------------------------------------------
     def _begin(self, state: LmState, h: np.ndarray) -> None:

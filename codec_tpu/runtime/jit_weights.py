@@ -118,4 +118,8 @@ def jit_weighted(owner, fn: Callable, attrs: Sequence[str],
     def call(*args, _jfn=jfn, _flat=flat):
         return _jfn(_flat, *args)
 
+    # introspection hooks: the wrapped jax.jit and the flattened weight
+    # argument, for callers that lower/compile explicitly (HLO asserts)
+    call._jit = jfn
+    call._weights = flat
     return call

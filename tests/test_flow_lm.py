@@ -223,6 +223,40 @@ def test_generation_parity(tiny_flow):
         prev = lat
 
 
+def test_flow_run_chunk_matches_single_steps(tiny_flow):
+    """flow_run (K frames in one lax.scan call) must reproduce the
+    repeated-flow_step trajectory: latents, eos logits, and KV state."""
+    ref, lm = tiny_flow
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, NBINS, 4).tolist()
+    noises = (rng.standard_normal((6, LDIM)) * 0.5).astype(np.float32)
+
+    st1 = lm.new_state()
+    lm.flow_prefill(st1, tokens)
+    want_lat, want_eos = [], []
+    prev = None
+    for noise in noises:
+        lat, eos_logit, _ = lm.flow_step(st1, prev_latent=prev, noise=noise)
+        want_lat.append(lat)
+        want_eos.append(eos_logit)
+        prev = lat
+
+    st2 = lm.new_state()
+    lm.flow_prefill(st2, tokens)
+    # split across two chunks to exercise carry-over of prev/frame/kv_pos
+    lat_a, eos_a = lm.flow_run(st2, noises[:4])
+    lat_b, eos_b = lm.flow_run(st2, noises[4:], prev_latent=lat_a[-1])
+    got_lat = np.concatenate([lat_a, lat_b])
+    got_eos = np.concatenate([eos_a, eos_b])
+
+    np.testing.assert_allclose(got_lat, np.stack(want_lat), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_eos, np.asarray(want_eos), rtol=1e-4, atol=1e-5)
+    assert st2.kind_state["kv_pos"] == st1.kind_state["kv_pos"]
+    np.testing.assert_allclose(np.asarray(st2.kind_state["k"]),
+                               np.asarray(st1.kind_state["k"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_denorm_and_tokenize_absent(tiny_flow):
     ref, lm = tiny_flow
     lat = np.ones(LDIM, np.float32)

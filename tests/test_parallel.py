@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from codec_tpu.io.wav import read_wav
 
@@ -147,6 +148,116 @@ def test_dp_latent_decode_sharded(tmp_path_factory):
     assert sh is not None and len(sh.device_set) == N_DEV, sh
     assert not sh.is_fully_replicated, sh
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_dp_dac_decode_sharded_and_matches(tmp_path_factory):
+    """DAC (the second bench arch) through the DP product path."""
+    import torch
+    from transformers import DacConfig, DacModel
+
+    import codec_tpu
+    from codec_tpu.convert import get_converter
+    from codec_tpu.parallel.mesh import make_mesh
+
+    torch.manual_seed(0)
+    cfg = DacConfig(encoder_hidden_size=8, decoder_hidden_size=32,
+                    downsampling_ratios=[2, 4, 5, 8],
+                    upsampling_ratios=[8, 5, 4, 2], n_codebooks=4,
+                    codebook_size=32, codebook_dim=4, hidden_size=64,
+                    sampling_rate=24000)
+    ref_torch = DacModel(cfg).eval()
+    conv = get_converter("dac")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in ref_torch.state_dict().items()},
+        cfg.to_dict())
+    path = tmp_path_factory.mktemp("dac_dp") / "dac.gguf"
+    conv.convert_and_save(path)
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 32, (5, 6, 4)).astype(np.int32)
+
+    ref = codec_tpu.load_model(path).decode(codes)
+    model = codec_tpu.load_model(path, mesh=make_mesh(N_DEV))
+    out = model.decode(codes)
+
+    sh = model.last_out_sharding
+    assert sh is not None and len(sh.device_set) == N_DEV, sh
+    assert not sh.is_fully_replicated, sh
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+                "collective-permute", "reduce-scatter")
+
+
+def test_dp_batched_lm_frame_sharded_no_collectives(tmp_path_factory):
+    """A batched AR-LM frame (residual_depth_ar fused_frame_batched) runs
+    data-parallel over the mesh: per-stream results identical to the
+    single-stream fused frame, outputs device-sharded, and the compiled
+    steady-state HLO contains ZERO collectives (pure DP — each stream is
+    independent, nothing should ride the interconnect)."""
+    import jax.random as jr
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path_factory.mktemp("rda_dp") / "rda.gguf"
+    write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    lm = create_lm(GGUFReader(p))
+    mesh = make_mesh(N_DEV)
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((N_DEV, lm.info.hidden_dim)),
+                    jnp.float32)
+    keys = jr.split(jr.PRNGKey(3), N_DEV)
+    tc = jnp.zeros((N_DEV,), jnp.int32)
+
+    sh = NamedSharding(mesh, P("dp"))
+    h_s = jax.device_put(h, sh)
+    keys_s = jax.device_put(keys, sh)
+    tc_s = jax.device_put(tc, sh)
+
+    batched = lm.fused_frame_batched()
+    out = batched(h_s, keys_s, tc_s)
+    assert len(out.sharding.device_set) == N_DEV, out.sharding
+    assert not out.sharding.is_fully_replicated, out.sharding
+
+    single = lm.fused_frame()
+    want = np.stack([np.asarray(single(h[i], keys[i], tc[i]))
+                     for i in range(N_DEV)])
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+    hlo = batched._jit.lower(batched._weights, h_s, keys_s, tc_s
+                             ).compile().as_text()
+    found = [c for c in _COLLECTIVES if c in hlo]
+    assert not found, f"collectives in pure-DP LM frame HLO: {found}"
+
+
+def test_dp_serve_batch_decode(wt_gguf, codes_batch):
+    """Concurrent serving over a DP mesh: the server-style path (one model,
+    many requests batched) decodes sharded and each request's waveform
+    matches its single-device decode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import codec_tpu
+    from codec_tpu.parallel.mesh import make_mesh
+
+    ref_model = codec_tpu.load_model(wt_gguf)
+    model = codec_tpu.load_model(wt_gguf, mesh=make_mesh(N_DEV))
+    model.decode(codes_batch)                      # warm the batched graph
+
+    def one(i):
+        return model.decode(codes_batch[i: i + 1])[0]
+
+    with ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(one, range(codes_batch.shape[0])))
+    for i, got in enumerate(outs):
+        want = ref_model.decode(codes_batch[i: i + 1])[0]
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 def test_dryrun_multichip_entry():
