@@ -173,12 +173,30 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
         out[key] = {"xrt": round(audio_s / wall, 1),
                     "wall_ms": round(wall * 1e3, 2)}
 
+    # i16 surface: PCM converted to 16-bit in-graph (the CLI's WAV path).
+    # The remote-TPU transport streams device→host at ~40 MB/s with a
+    # ~35 ms per-op floor, so the wire — not the graph — bounds product
+    # xrt: f32 tops out near 420x/stream, i16 near 830x/stream. Batched
+    # calls amortize the floor; i16 halves the stream bytes.
+    wall = _time_calls(lambda: m.decode(codes, pcm_format="i16"), n)
+    out["gguf_decode_i16_b1"] = {"xrt": round(audio_s / wall, 1),
+                                 "wall_ms": round(wall * 1e3, 2)}
+
+    # multi-stream surface (decode_many): same-bucket sequences fuse into
+    # one batched graph + ONE batched fetch
+    seqs = [rng.integers(0, m.codebook_size,
+                         (t_frames, m.n_q)).astype(np.int32) for _ in range(8)]
+    wall = _time_calls(lambda: m.decode_many(seqs, pcm_format="i16"),
+                       n) / len(seqs)
+    out["gguf_decode_i16_many8"] = {"xrt": round(audio_s / wall, 1),
+                                    "wall_ms_per_stream": round(wall * 1e3, 2)}
+
     mb = codec_tpu.load_model(paths["F32"], compute_dtype="bfloat16")
     codes8 = rng.integers(0, mb.codebook_size,
                           (8, t_frames, mb.n_q)).astype(np.int32)
-    wall = _time_calls(lambda: mb.decode(codes8), n)
-    out["gguf_decode_bf16_b8"] = {"xrt": round(8 * audio_s / wall, 1),
-                                  "wall_ms": round(wall * 1e3, 2)}
+    wall = _time_calls(lambda: mb.decode(codes8, pcm_format="i16"), n)
+    out["gguf_decode_bf16_i16_b8"] = {"xrt": round(8 * audio_s / wall, 1),
+                                      "wall_ms": round(wall * 1e3, 2)}
     return out
 
 

@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     ap.add_argument("--nq", type=int, default=0)
     ap.add_argument("--dp", type=int, default=0,
                     help="shard batch over this many devices (0 = single device)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="decode sequences as pipelined per-sequence graphs "
+                         "with one batched readback (decode_many) instead of "
+                         "padding to one batched graph; automatic when "
+                         "sequence lengths fall in different buckets")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16", "float16", "auto"])
     args = ap.parse_args(argv)
@@ -48,21 +53,35 @@ def main(argv=None) -> int:
     t_max = max(lens)
     n_q = args.nq if args.nq > 0 else model.n_q
 
-    if args.latent:
-        batch = np.zeros((len(seqs), t_max, seqs[0].shape[1]), np.float32)
+    # Heterogeneous lengths (different jit buckets) pad-to-max in the
+    # batched graph, wasting compute on the short sequences — and for
+    # NON-causal models changing the output (symmetric/reflect padding
+    # sees the pad frames). The pipelined path decodes each sequence at
+    # its own bucket — matching the reference's serial per-sequence
+    # semantics — dispatches all asynchronously, and fetches every output
+    # in one batched transfer.
+    from ..runtime.bucketing import bucket_length
+    hetero = len({bucket_length(t) if model.causal_time else t
+                  for t in lens}) > 1
+    if (args.pipeline or hetero) and not args.latent and mesh is None:
+        outs = model.decode_many(seqs, n_q=args.nq, pcm_format="i16")
+        pcm = None
     else:
-        batch = np.zeros((len(seqs), t_max, n_q), np.int32)
-    for i, s in enumerate(seqs):
-        batch[i, : s.shape[0]] = s[:, :batch.shape[2]]
-
-    pcm = model.decode_latent(batch) if args.latent else model.decode(batch, n_q=args.nq)
-    if mesh is not None:
-        print(f"dp={args.dp}: device output sharding {model.last_out_sharding}")
+        if args.latent:
+            batch = np.zeros((len(seqs), t_max, seqs[0].shape[1]), np.float32)
+        else:
+            batch = np.zeros((len(seqs), t_max, n_q), np.int32)
+        for i, s in enumerate(seqs):
+            batch[i, : s.shape[0]] = s[:, :batch.shape[2]]
+        pcm = (model.decode_latent(batch) if args.latent
+               else model.decode(batch, n_q=args.nq, pcm_format="i16"))
+        if mesh is not None:
+            print(f"dp={args.dp}: device output sharding {model.last_out_sharding}")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, (path, t) in enumerate(zip(args.codes, lens)):
-        y = pcm[i, : t * model.hop_size]
+        y = outs[i] if pcm is None else pcm[i, : t * model.hop_size]
         out = out_dir / (Path(path).stem + ".wav")
         write_wav(out, y, model.sample_rate)
         print(f"wrote {out}")

@@ -119,13 +119,15 @@ def _run(args) -> int:
         print(f"wrote {args.codes}: {codes.shape} codes")
     elif args.cmd == "decode":
         codes = np.load(args.codes)
-        pcm = model.decode(codes, n_q=args.nq)
+        # i16: PCM is converted to 16-bit in-graph (write_wav-exact), so
+        # the device→host transfer is half the bytes of f32
+        pcm = model.decode(codes, n_q=args.nq, pcm_format="i16")
         write_wav(args.out, pcm, model.sample_rate)
         print(f"wrote {args.out}: {pcm.shape[0]} samples @ {model.sample_rate} Hz")
     elif args.cmd == "e2e":
         pcm = _read_pcm(model, args.infile)
         codes = model.encode(pcm, n_q=args.nq)
-        out = model.decode(codes, n_q=args.nq)
+        out = model.decode(codes, n_q=args.nq, pcm_format="i16")
         write_wav(args.out, out, model.sample_rate)
         print(f"wrote {args.out}: {out.shape[0]} samples ({codes.shape} codes)")
     elif args.cmd == "decode-latent":

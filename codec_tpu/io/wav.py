@@ -55,14 +55,20 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int) -> None:
-    """Write float32 samples (clipped to [-1,1]) as 16-bit PCM WAV.
+    """Write samples as 16-bit PCM WAV: float32 in [-1,1] (converted
+    here), or int16 passed through verbatim (e.g. PCM already converted
+    in-graph by decode(pcm_format="i16")).
 
     `samples` is [n] or [n, channels]."""
-    x = np.asarray(samples, dtype=np.float32)
+    x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
     n_channels = x.shape[1]
-    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2")
+    if x.dtype == np.int16:
+        pcm = x.astype("<i2")
+    else:
+        x = x.astype(np.float32)
+        pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype("<i2")
     data = pcm.tobytes()
     byte_rate = sample_rate * n_channels * 2
     block_align = n_channels * 2

@@ -156,9 +156,14 @@ class CodecModel:
         return bb if bb % n == 0 else -(-b // n) * n
 
     def _place(self, buf: np.ndarray) -> jax.Array:
-        """Host buffer → device. With a mesh: committed batch-sharded."""
+        """Host buffer → device. With a mesh: committed batch-sharded.
+
+        jax.device_put, not jnp.asarray: on the remote-TPU relay the
+        former dispatches asynchronously (~0.1 ms) while the latter takes
+        a ~30 ms blocking round-trip — one of the two RPCs that made the
+        product-surface decode 8x slower than its own graph."""
         if self.mesh is None:
-            return jnp.asarray(buf)
+            return jax.device_put(buf)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = P(self.mesh_axis, *([None] * (buf.ndim - 1)))
@@ -357,10 +362,26 @@ class CodecModel:
         return fn
 
     # -- public API --------------------------------------------------------
-    def decode(self, codes, n_q: int = 0) -> np.ndarray:
-        """codes: [T, Q] or [B, T, Q] int → pcm float32 [T*hop] / [B, T*hop].
+    @staticmethod
+    def _fmt_out(pcm: jax.Array, pcm_format: str) -> jax.Array:
+        """In-graph output formatting. "i16" converts to 16-bit PCM with
+        the exact formula of io/wav.py::write_wav (round-half-even), so a
+        WAV written from device int16 is byte-identical to one written
+        from f32 — at HALF the device→host bytes. On a remote-TPU
+        transport (~40 MB/s observed) that wire is the product-surface
+        bottleneck, not the graph."""
+        if pcm_format == "f32":
+            return pcm.astype(jnp.float32)
+        if pcm_format == "i16":
+            return jnp.clip(jnp.round(pcm.astype(jnp.float32) * 32767.0),
+                            -32768, 32767).astype(jnp.int16)
+        raise CodecError(f"unknown pcm_format {pcm_format!r}")
 
-        n_q=0 means all model codebooks (reference: codec_decode_params)."""
+    def _decode_dispatch(self, codes, n_q: int, pcm_format: str = "f32"):
+        """Validate + bucket + upload + dispatch one decode; returns the
+        device-resident output and the crop metadata. Does NOT block: on
+        the relay, dispatch is async, so several of these pipeline on the
+        device while the host keeps preparing inputs."""
         if not self.has_decoder:
             raise CodecError(f"{self.arch}: model has no decoder")
         codes = np.asarray(codes)
@@ -377,14 +398,89 @@ class CodecModel:
         bb = self._bucket_b(b)
         buf = np.zeros((bb, tb, use_nq), dtype=np.int32)
         buf[:b, :t] = codes[:, :, :use_nq]
+        fn = self._jitted(
+            ("dec", bb, tb, use_nq, pcm_format),
+            lambda: lambda c: self._fmt_out(self._decode_impl(c, use_nq),
+                                           pcm_format))
+        return fn(self._place(buf)), (b, t, squeeze)
 
-        with perf_scope("decode_total", self.arch):
-            fn = self._jitted(("dec", bb, tb, use_nq),
-                              lambda: lambda c: self._decode_impl(c, use_nq))
-            with perf_scope("graph_compute", "decode"):
-                pcm = self._readback(fn(self._place(buf)))
+    def _decode_crop(self, pcm: np.ndarray, meta) -> np.ndarray:
+        b, t, squeeze = meta
         pcm = pcm[:b, : t * self.hop_size] if self.causal_time else pcm[:b]
         return pcm[0] if squeeze else pcm
+
+    def decode(self, codes, n_q: int = 0,
+               pcm_format: str = "f32") -> np.ndarray:
+        """codes: [T, Q] or [B, T, Q] int → pcm [T*hop] / [B, T*hop];
+        float32 by default, 16-bit PCM with pcm_format="i16" (write_wav-
+        exact conversion done in-graph — half the device→host bytes).
+
+        n_q=0 means all model codebooks (reference: codec_decode_params)."""
+        with perf_scope("decode_total", self.arch):
+            out, meta = self._decode_dispatch(codes, n_q, pcm_format)
+            with perf_scope("graph_compute", "decode"):
+                pcm = self._readback(out)
+        return self._decode_crop(pcm, meta)
+
+    def decode_async(self, codes, n_q: int = 0,
+                     pcm_format: str = "f32") -> "PendingPcm":
+        """Non-blocking decode: uploads + dispatches, returns a PendingPcm
+        whose .result() fetches the PCM. Back-to-back decode_async calls
+        pipeline on the device; fetch several at once with
+        PendingPcm.gather() (one batched transfer)."""
+        out, meta = self._decode_dispatch(codes, n_q, pcm_format)
+        return PendingPcm(self, out, meta)
+
+    def decode_many(self, seqs, n_q: int = 0,
+                    pcm_format: str = "f32") -> list:
+        """Decode a list of [T, Q] code sequences of possibly different
+        lengths. Sequences that land in the same length bucket are decoded
+        as ONE batched graph (batch rows are independent, so results are
+        bit-identical to per-sequence decodes), groups are dispatched
+        back-to-back, and every output is fetched in ONE batched
+        device→host transfer. On a remote-device transport each dispatched
+        op costs a ~30-50 ms round-trip, so minimizing op count — not just
+        overlapping — is what makes this the many-stream throughput
+        surface (reference codec_batch decodes serially,
+        src/codec.cpp:640-786)."""
+        if not self.has_decoder:
+            raise CodecError(f"{self.arch}: model has no decoder")
+        seqs = [np.asarray(s) for s in seqs]
+        groups: Dict[Tuple[int, int], list] = {}
+        for i, s in enumerate(seqs):
+            if s.ndim != 2 or s.shape[0] == 0:
+                raise CodecError(
+                    f"decode_many wants [T, Q] sequences, got {s.shape}")
+            use_nq = n_q if n_q > 0 else min(self.n_q, s.shape[1])
+            if (n_q < 0 or use_nq < 1 or use_nq > self.n_q
+                    or s.shape[1] < use_nq):
+                raise CodecError(f"n_q must be 0 or in [1, {self.n_q}]")
+            tb = bucket_length(s.shape[0]) if self.causal_time else s.shape[0]
+            groups.setdefault((tb, use_nq), []).append(i)
+
+        outs: list = [None] * len(seqs)
+        with perf_scope("decode_total", f"{self.arch}_many{len(seqs)}"):
+            dispatched = []
+            for (tb, use_nq), idxs in groups.items():
+                bb = self._bucket_b(len(idxs))
+                buf = np.zeros((bb, tb, use_nq), dtype=np.int32)
+                for row, i in enumerate(idxs):
+                    buf[row, : seqs[i].shape[0]] = seqs[i][:, :use_nq]
+                fn = self._jitted(
+                    ("dec", bb, tb, use_nq, pcm_format),
+                    lambda use_nq=use_nq:
+                        lambda c: self._fmt_out(
+                            self._decode_impl(c, use_nq), pcm_format))
+                dispatched.append((fn(self._place(buf)), idxs))
+            with perf_scope("graph_compute", "decode_many"):
+                arrs = jax.device_get([o for o, _ in dispatched])
+        for (_, idxs), a in zip(dispatched, arrs):
+            a = np.asarray(a)
+            for row, i in enumerate(idxs):
+                t = seqs[i].shape[0]
+                outs[i] = (a[row, : t * self.hop_size]
+                           if self.causal_time else a[row])
+        return outs
 
     def encode(self, pcm, n_q: int = 0) -> np.ndarray:
         """pcm: [n] / [B, n] float32 → codes int32 [T, n_q] / [B, T, n_q]."""
@@ -420,3 +516,30 @@ class CodecModel:
 
     def encode_latent(self, pcm) -> np.ndarray:
         raise CodecError(f"{self.arch}: continuous-latent encode not supported")
+
+
+class PendingPcm:
+    """Handle for an in-flight decode (decode_async): the device-resident
+    output plus crop metadata. result() blocks on one device→host fetch."""
+
+    def __init__(self, model: CodecModel, out, meta):
+        self._model = model
+        self._out = out
+        self._meta = meta
+
+    def device_array(self):
+        """The uncropped device output [B_bucket, T_bucket*hop] — for
+        device-resident consumers (no host round-trip)."""
+        return self._out
+
+    def result(self) -> np.ndarray:
+        return self._model._decode_crop(self._model._readback(self._out),
+                                        self._meta)
+
+    @staticmethod
+    def gather(pending: list) -> list:
+        """Fetch many PendingPcm in ONE batched device→host transfer (a
+        single round-trip on remote-device transports)."""
+        arrs = jax.device_get([p._out for p in pending])
+        return [p._model._decode_crop(np.asarray(a), p._meta)
+                for p, a in zip(pending, arrs)]

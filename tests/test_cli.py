@@ -79,3 +79,56 @@ def test_batch_decode_cli(wt_gguf, tmp_path):
     y0, _ = read_wav(out_dir / "s0.wav")
     y1, _ = read_wav(out_dir / "s1.wav")
     assert y0.shape[0] == 3 * 320 and y1.shape[0] == 5 * 320
+
+    # --pipeline (decode_many) must match per-sequence decodes exactly.
+    # (NOT the batched run above: WavTokenizer is non-causal, so the
+    # batched pad-to-max graph legitimately differs from exact-length
+    # decodes — the pipelined path is the one that matches the
+    # reference's serial per-sequence semantics.)
+    pipe_dir = tmp_path / "outs_pipe"
+    assert main(["--model", str(wt_gguf), "--codes", *files,
+                 "--out-dir", str(pipe_dir), "--pipeline"]) == 0
+    for i, name in enumerate(("s0.wav", "s1.wav")):
+        single_dir = tmp_path / f"out_single{i}"
+        assert main(["--model", str(wt_gguf), "--codes", files[i],
+                     "--out-dir", str(single_dir)]) == 0
+        a, _ = read_wav(single_dir / name)
+        b, _ = read_wav(pipe_dir / name)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_decode_many_and_async_match_decode(wt_gguf):
+    import codec_tpu
+    from codec_tpu.runtime.model import PendingPcm
+
+    m = codec_tpu.load_model(wt_gguf)
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 64, (t, 1)).astype(np.int32) for t in (3, 9, 5)]
+    want = [m.decode(s) for s in seqs]
+
+    got = m.decode_many(seqs)
+    assert len(got) == len(seqs)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+
+    pending = [m.decode_async(s) for s in seqs]
+    for w, p in zip(want, pending):
+        np.testing.assert_array_equal(w, p.result())
+    np.testing.assert_array_equal(
+        want[0], PendingPcm.gather([m.decode_async(seqs[0])])[0])
+
+
+def test_decode_i16_matches_host_conversion(wt_gguf):
+    import codec_tpu
+
+    m = codec_tpu.load_model(wt_gguf)
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 64, (6, 1)).astype(np.int32)
+    f = m.decode(codes)
+    i = m.decode(codes, pcm_format="i16")
+    assert i.dtype == np.int16 and i.shape == f.shape
+    host = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    # separate compiles may reorder float math; allow 1 LSB on near-ties
+    assert np.abs(i.astype(np.int32) - host.astype(np.int32)).max() <= 1
+    many = m.decode_many([codes], pcm_format="i16")[0]
+    np.testing.assert_array_equal(i, many)
