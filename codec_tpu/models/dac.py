@@ -189,6 +189,34 @@ def _res_unit(x, u, dilation, lane_pad: int = 1):
     return x + h
 
 
+def _res_units(x, units, lane_pad: int):
+    """A block's residual units: one chained Pallas kernel (single HBM
+    read+write for all of them) when the stacked weights fit VMEM, else
+    per-unit dispatch."""
+    c = x.shape[-1]
+    k = units[0]["c1"]["k"]
+    chainable = (
+        len(units) == len(RES_DILATIONS)
+        and all(u["c1"]["k"] == k and u["c2"]["k"] == 1
+                and u["c1"]["b"] is not None and u["c2"]["b"] is not None
+                for u in units)
+        and seanet_pallas.use_fused_chain(x.shape[1], c, k, len(units)))
+    if not chainable:
+        for u, d in zip(units, RES_DILATIONS):
+            x = _res_unit(x, u, d, lane_pad)
+        return x
+    pc = functools.partial(_pad_ch, to=lane_pad)
+    return seanet_pallas.seanet_res_chain(
+        x,
+        jnp.stack([pc(pc(u["c1"]["w"], 1), 2) for u in units]),
+        jnp.stack([pc(u["c1"]["b"], 0) for u in units]),
+        jnp.stack([pc(u["s1"], 0, value=1.0) for u in units]),
+        jnp.stack([pc(u["s2"], 0, value=1.0) for u in units]),
+        jnp.stack([pc(pc(u["c2"]["w"], 1), 2)[0] for u in units]),
+        jnp.stack([pc(u["c2"]["b"], 0) for u in units]),
+        dilations=RES_DILATIONS, t_blk=seanet_pallas.pick_t_blk(c))
+
+
 def dac_latent_from_codes(vq: Dict[str, jax.Array], codes: jax.Array,
                           n_q: int) -> jax.Array:
     """codes [B, T, Q] → latent [B, T, hidden]: Σ_q out_proj_q(cb_q[idx]) + b."""
@@ -243,8 +271,7 @@ def dac_decode_from_latent(params: Dict[str, Any], latent: jax.Array,
         w_tr = _pad_ch(_pad_ch(blk["tr"]["w"], 1, to), 2, to)
         x = conv.convtr1d_subpixel(x, w_tr, _pad_ch(blk["tr"]["b"], 0, to),
                                    stride=s, padding=(s + 1) // 2)
-        for u, d in zip(blk["units"], RES_DILATIONS):
-            x = _res_unit(x, u, d, to)
+        x = _res_units(x, blk["units"], to)
     x = act.snake(x, _pad_ch(params["dec_snake"], 0, to, 1.0))
     c2 = dict(params["dec_c2"], w=_pad_ch(params["dec_c2"]["w"], 1, to))
     x = _sym_conv(x, c2)

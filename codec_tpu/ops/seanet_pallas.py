@@ -158,6 +158,130 @@ def seanet_res_unit(x: jax.Array, alpha1: jax.Array, w1: jax.Array,
     return out[:, :t]
 
 
+def _chain_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, ia1_ref, a2_ref,
+                  ia2_ref, w2_ref, b2_ref, out_ref, cur_ref, snk_ref, *,
+                  k: int, dilations: tuple, t_blk: int, halo: int,
+                  t_real: int):
+    """All N res-units of one SEANet block chained in VMEM: read the
+    activation once, write once. Valid region shrinks by 2·h_u per unit
+    (h_u = (k−1)·d_u/2); rows whose global position falls outside the real
+    sequence are re-zeroed between units so the chain matches the global
+    computation's zero padding at both sequence edges."""
+    i = pl.program_id(1)
+    x = x_ref[0]
+    cur_ref[:halo] = halo_ref[0, 0, :halo].astype(jnp.float32)
+    cur_ref[halo + t_blk:] = halo_ref[0, 0, halo:].astype(jnp.float32)
+    cur_ref[halo:halo + t_blk] = x.astype(jnp.float32)
+
+    length = t_blk + 2 * halo
+    off = 0                                   # rows consumed from the left
+    for u, d in enumerate(dilations):
+        h = ((k - 1) * d) // 2
+        l_out = length - 2 * h
+        a1 = a1_ref[u]
+        ia1 = ia1_ref[u]
+        snk_ref[:length] = (
+            cur_ref[:length]
+            + _sin2(a1 * cur_ref[:length]) * ia1).astype(jnp.bfloat16)
+        snk = snk_ref[:]
+        acc = jnp.dot(snk[0:l_out], w1_ref[u, 0],
+                      preferred_element_type=jnp.float32)
+        for j in range(1, k):
+            acc = acc + jnp.dot(snk[j * d: j * d + l_out], w1_ref[u, j],
+                                preferred_element_type=jnp.float32)
+        acc = acc + b1_ref[u]
+        h2 = (acc + _sin2(a2_ref[u] * acc) * ia2_ref[u]).astype(jnp.bfloat16)
+        y = jnp.dot(h2, w2_ref[u],
+                    preferred_element_type=jnp.float32) + b2_ref[u]
+        res = cur_ref[h:h + l_out] + y
+        off += h
+        if u < len(dilations) - 1:
+            # zero rows outside the true sequence: globally the next
+            # unit's conv padding sees zeros there, not this unit's
+            # output-on-zero-padded-input
+            pos = (i * t_blk - halo + off
+                   + jax.lax.broadcasted_iota(jnp.int32, res.shape, 0))
+            res = jnp.where((pos >= 0) & (pos < t_real), res, 0.0)
+        cur_ref[:l_out] = res
+        length = l_out
+    out_ref[0] = cur_ref[:t_blk].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilations", "t_blk", "eps", "interpret"))
+def seanet_res_chain(x: jax.Array, w1s: jax.Array, b1s: jax.Array,
+                     a1s: jax.Array, a2s: jax.Array, w2s: jax.Array,
+                     b2s: jax.Array, dilations: tuple = (1, 3, 9),
+                     t_blk: int = 2048, eps: float = 1e-9,
+                     interpret: bool = False) -> jax.Array:
+    """Chained fused res-units: x [B, T, C]; w1s [N, K, C, C]; w2s
+    [N, C, C]; alphas/biases [N, C]. Equivalent to N sequential
+    seanet_res_unit calls (DAC block: dilations 1,3,9) with one HBM
+    read + one write for the whole chain — ~6 activation passes
+    become 2. Residual accumulation runs in f32 (≥ the per-unit
+    kernel's precision)."""
+    b, t, c = x.shape
+    n, k = w1s.shape[0], w1s.shape[1]
+    halo = sum(((k - 1) * d) // 2 for d in dilations)
+    if halo > t_blk:
+        raise ValueError(f"chain halo {halo} exceeds t_blk {t_blk}")
+    n_tiles = -(-t // t_blk)
+    t_pad = n_tiles * t_blk
+
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    xl = jnp.pad(xp, ((0, 0), (halo, 0), (0, 0)))[:, :t_pad]
+    left = xl.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+    xr = jnp.pad(xp, ((0, 0), (0, t_blk), (0, 0)))[:, t_blk: t_blk + t_pad]
+    right = xr.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+    halos = jnp.concatenate([left, right], axis=2)
+
+    two_d = lambda v: v.reshape(n, 1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _chain_kernel, k=k, dilations=tuple(dilations), t_blk=t_blk,
+        halo=halo, t_real=t)
+    vec = pl.BlockSpec((n, 1, c), lambda bi, i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * halo, c), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, c, c), lambda bi, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec, vec, vec,
+            pl.BlockSpec((n, c, c), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec,
+        ],
+        out_specs=pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),
+            pltpu.VMEM((t_blk + 2 * halo, c), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(xp, halos, w1s.astype(jnp.bfloat16), two_d(b1s), two_d(a1s),
+      1.0 / (two_d(a1s) + eps), two_d(a2s), 1.0 / (two_d(a2s) + eps),
+      w2s.astype(jnp.bfloat16), two_d(b2s))
+    return out[:, :t]
+
+
+def use_fused_chain(t: int, c: int, k: int, n: int) -> bool:
+    """Chained-unit gate: all N units' weights must fit VMEM together
+    alongside the double-buffered tiles. CODEC_NO_FUSED_RESUNIT=1
+    disables (same knob as the single-unit kernel)."""
+    import os
+
+    return (c % 128 == 0 and n * (k + 1) * c * c * 2 <= 16 << 20
+            and t >= 4096 and jax.default_backend() == "tpu"
+            and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))
+
+
 def pick_t_blk(c: int) -> int:
     """Tile length by channel width (keep tiles ~1-2 MB in VMEM)."""
     if c <= 128:

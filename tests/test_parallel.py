@@ -96,7 +96,11 @@ def test_batch_decode_cli_dp(wt_gguf, tmp_path, capsys):
 
     rng = np.random.default_rng(11)
     files = []
-    for i, t in enumerate((3, 5, 4)):
+    # equal lengths: heterogeneous lengths auto-pipeline in the non-DP
+    # run (per-sequence exact-length decodes), which for the NON-causal
+    # WavTokenizer legitimately differs from the DP run's pad-to-max
+    # batch — equal lengths keep both runs on the same batched graph
+    for i, t in enumerate((4, 4, 4)):
         f = tmp_path / f"s{i}.npy"
         np.save(f, rng.integers(0, 64, (t, 1)).astype(np.int32))
         files.append(str(f))

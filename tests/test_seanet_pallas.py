@@ -42,3 +42,46 @@ def test_res_unit_matches_xla_chain(b, t, c, d, tb):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=5e-2)
     corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
     assert corr > 0.9999
+
+
+@pytest.mark.parametrize("b,t,tb", [
+    (1, 200, 64),             # partial last tile, edge masking both ends
+    (2, 130, 64),             # halo (39) close to t_blk, multi-batch
+    (1, 64, 64),              # single tile exact fit
+])
+def test_res_chain_matches_sequential_units(b, t, tb):
+    from codec_tpu.ops.seanet_pallas import seanet_res_chain
+
+    rng = np.random.default_rng(1)
+    c, k, dils = 8, 7, (1, 3, 9)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    units = []
+    for _ in dils:
+        units.append(dict(
+            w1=jnp.asarray(rng.standard_normal((k, c, c)) * 0.2, jnp.float32),
+            b1=jnp.asarray(rng.standard_normal(c), jnp.float32),
+            w2=jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32),
+            b2=jnp.asarray(rng.standard_normal(c), jnp.float32),
+            a1=jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32),
+            a2=jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32),
+        ))
+
+    want = x
+    for u, d in zip(units, dils):
+        want = _xla_unit(want, u["a1"], u["w1"], u["b1"], u["a2"], u["w2"],
+                         u["b2"], d)
+    want = np.asarray(want)
+
+    got = np.asarray(seanet_res_chain(
+        x,
+        jnp.stack([u["w1"] for u in units]),
+        jnp.stack([u["b1"] for u in units]),
+        jnp.stack([u["a1"] for u in units]),
+        jnp.stack([u["a2"] for u in units]),
+        jnp.stack([u["w2"] for u in units]),
+        jnp.stack([u["b2"] for u in units]),
+        dilations=dils, t_blk=tb, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=8e-2)
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.9995
