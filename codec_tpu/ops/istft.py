@@ -44,8 +44,10 @@ def istft_from_head(head: jax.Array, hop: int, pad: int | None = None,
     n_fft = 2 * (n_bins - 1)
     if pad is None:
         pad = (n_fft // 2) if skip_dc_nyquist else (n_fft - hop) // 2
-    logmag = head[..., :n_bins]
-    phase = head[..., n_bins:]
+    # complex math needs f32 (lax.complex rejects bf16); the head is tiny
+    # relative to the backbone, so a 16-bit compute path upcasts here only
+    logmag = head[..., :n_bins].astype(jnp.float32)
+    phase = head[..., n_bins:].astype(jnp.float32)
     mag = jnp.clip(jnp.exp(logmag), None, 1e2)
     spec = mag * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     if skip_dc_nyquist:

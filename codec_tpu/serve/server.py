@@ -125,6 +125,19 @@ class CodecHTTPServer:
                     return self._err(400, str(e))
                 except BrokenPipeError:
                     self.close_connection = True
+                except Exception as e:        # noqa: BLE001
+                    # Unexpected errors must not silently kill the worker
+                    # thread (the client would only see a dropped
+                    # connection): log the full traceback, answer 500 when
+                    # the response hasn't started, else drop cleanly.
+                    import traceback
+
+                    self.log_message("handler error: %s\n%s", e,
+                                     traceback.format_exc())
+                    if self._response_started:
+                        self.close_connection = True
+                        return
+                    return self._err(500, f"{type(e).__name__}: {e}")
 
             def send_response(self, code, message=None):
                 self._response_started = True

@@ -115,3 +115,27 @@ def test_q8_file_has_quantized_tensors(hf_mimi, tmp_path):
     assert GGML_TYPE_Q8_0 in qtypes, "expected some Q8_0 tensors"
     # codebooks must stay full precision
     assert r.tensors["q.s.layers.0.codebook.embed"].ggml_type != GGML_TYPE_Q8_0
+
+
+def test_bf16_istft_models_decode():
+    """16-bit compute through an iSTFT head (WavTokenizer): complex math
+    upcasts to f32 in-graph (lax.complex rejects bf16), everything else
+    stays bf16 — regression for the bench wavtokenizer_bf16_b1 section."""
+    import jax
+    import jax.numpy as jnp
+
+    from codec_tpu.models.bench_init import random_wt_decode_params
+    from codec_tpu.models.wavtokenizer import wt_decode_fn
+
+    wcfg, wparams = random_wt_decode_params()
+    p16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+        wparams)
+    codes = jnp.asarray(np.random.default_rng(0).integers(
+        0, wcfg.codebook_size, (1, 40, 1)), jnp.int32)
+    y32 = np.asarray(wt_decode_fn(wparams, codes, wcfg), np.float32)
+    y16 = np.asarray(wt_decode_fn(p16, codes, wcfg)).astype(np.float32)
+    assert y16.shape == y32.shape
+    corr = np.corrcoef(y32.ravel(), y16.ravel())[0, 1]
+    assert corr > 0.995

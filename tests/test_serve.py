@@ -165,6 +165,8 @@ def test_concurrent_stream_and_batch_synthesize(tts_server):
         t.start()
     for t in ts:
         t.join(timeout=300)
+    assert set(out) == {"stream", "b0", "b1"}, \
+        f"legs that completed: {sorted(out)} (missing ones died/timed out)"
     assert all(v[0] == 200 for v in out.values())
     for i in range(2):
         assert out[f"b{i}"][1] == batch_wav
