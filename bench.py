@@ -165,6 +165,11 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
         wall = _time_calls(lambda: m.encode(pcm), n)  # longer compile
         out["gguf_encode_f32"] = {"xrt": round(enc_s / wall, 1),
                                   "wall_ms": round(wall * 1e3, 2)}
+        # the CLI path: PCM16 WAVs upload int16, /32768 in-graph
+        pcm16 = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(np.int16)
+        wall = _time_calls(lambda: m.encode(pcm16), n)
+        out["gguf_encode_i16_in"] = {"xrt": round(enc_s / wall, 1),
+                                     "wall_ms": round(wall * 1e3, 2)}
 
     for q, key in (("Q8_0", "gguf_decode_q8_0_b1"),
                    ("Q4_K_M", "gguf_decode_q4_k_m_b1")):  # config 5a

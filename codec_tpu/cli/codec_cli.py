@@ -68,10 +68,16 @@ def _read_pcm(model, path):
     token-rate context; reference keeps both on codec_model)."""
     from ..io.wav import read_wav, to_mono
 
-    x, sr = read_wav(path)
+    # mono PCM16 stays int16: encode() uploads half the bytes and
+    # divides by 32768 in-graph (bit-identical to host conversion)
+    x, sr = read_wav(path, keep_i16=True)
     want = getattr(model, "encode_sample_rate", 0) or model.sample_rate
     if sr != want:
         raise SystemExit(f"input sample rate {sr} != model {want}")
+    if x.dtype == np.int16:
+        if x.shape[1] == 1:
+            return x[:, 0]
+        x = x.astype(np.float32) / 32768.0
     return to_mono(x)
 
 

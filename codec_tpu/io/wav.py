@@ -13,9 +13,13 @@ from typing import Tuple, Union
 import numpy as np
 
 
-def read_wav(path) -> Tuple[np.ndarray, int]:
+def read_wav(path, keep_i16: bool = False) -> Tuple[np.ndarray, int]:
     """Read a WAV file / bytes / file-like →
-    (samples[n, channels] float32 in [-1, 1], sample_rate)."""
+    (samples[n, channels] float32 in [-1, 1], sample_rate).
+
+    keep_i16=True returns the raw int16 samples for PCM16 files (other
+    formats still convert to float32) — callers that feed the device can
+    then upload half the bytes and divide by 32768 in-graph."""
     if isinstance(raw := path, (bytes, bytearray)):
         raw = bytes(raw)
     elif hasattr(path, "read"):
@@ -40,7 +44,9 @@ def read_wav(path) -> Tuple[np.ndarray, int]:
         raise ValueError(f"missing fmt/data chunk: {path}")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format == 1 and bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        x = np.frombuffer(data, dtype="<i2")
+        if not keep_i16:
+            x = x.astype(np.float32) / 32768.0
     elif audio_format == 1 and bits == 32:
         x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
     elif audio_format == 3 and bits == 32:

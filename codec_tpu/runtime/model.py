@@ -483,10 +483,16 @@ class CodecModel:
         return outs
 
     def encode(self, pcm, n_q: int = 0) -> np.ndarray:
-        """pcm: [n] / [B, n] float32 → codes int32 [T, n_q] / [B, T, n_q]."""
+        """pcm: [n] / [B, n] float32 in [-1,1] — or int16 PCM, which is
+        uploaded as-is (half the host→device bytes) and divided by 32768
+        in-graph, bit-identical to converting on the host first →
+        codes int32 [T, n_q] / [B, T, n_q]."""
         if not self.has_encoder:
             raise CodecError(f"{self.arch}: model has no encoder")
-        pcm = np.asarray(pcm, dtype=np.float32)
+        pcm = np.asarray(pcm)
+        i16_in = pcm.dtype == np.int16
+        if not i16_in:
+            pcm = pcm.astype(np.float32)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]
@@ -499,12 +505,17 @@ class CodecModel:
         t_frames = -(-n // self.hop_size)
         nb = bucket_length(t_frames) * self.hop_size if self.causal_time else n
         bb = self._bucket_b(b)
-        buf = np.zeros((bb, nb), dtype=np.float32)
+        buf = np.zeros((bb, nb), dtype=np.int16 if i16_in else np.float32)
         buf[:b, :n] = pcm
 
+        def make(use_nq=use_nq, i16_in=i16_in):
+            if i16_in:
+                return lambda x: self._encode_impl(
+                    x.astype(jnp.float32) * (1.0 / 32768.0), use_nq)
+            return lambda x: self._encode_impl(x, use_nq)
+
         with perf_scope("encode_total", self.arch):
-            fn = self._jitted(("enc", bb, nb, use_nq),
-                              lambda: lambda x: self._encode_impl(x, use_nq))
+            fn = self._jitted(("enc", bb, nb, use_nq, i16_in), make)
             with perf_scope("graph_compute", "encode"):
                 codes = self._readback(
                     fn(self._place(buf)))

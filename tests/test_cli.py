@@ -118,6 +118,17 @@ def test_decode_many_and_async_match_decode(wt_gguf):
         want[0], PendingPcm.gather([m.decode_async(seqs[0])])[0])
 
 
+def test_encode_i16_input_matches_f32(wt_gguf):
+    import codec_tpu
+
+    m = codec_tpu.load_model(wt_gguf)
+    rng = np.random.default_rng(6)
+    pcm_i16 = (rng.integers(-30000, 30000, 320 * 5)).astype(np.int16)
+    codes_i = m.encode(pcm_i16)
+    codes_f = m.encode(pcm_i16.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(codes_i, codes_f)
+
+
 def test_decode_i16_matches_host_conversion(wt_gguf):
     import codec_tpu
 
