@@ -20,6 +20,10 @@ Endpoints:
   GET  /health                 → model/LM info JSON
   POST /decode                 body {"codes": [[...], ...], "n_q": 0}
                                → audio/wav
+  POST /batch_decode           body {"sequences": [[[...]], ...], "n_q": 0}
+                               → {"wavs": [base64 WAV, ...]}; same-bucket
+                               sequences decode as one batched graph +
+                               one batched device fetch (decode_many)
   POST /encode                 body: WAV bytes → {"codes": [[...], ...]}
   POST /synthesize             body {"text": "...", "seed": 0,
                                      "max_frames": 0}
@@ -108,6 +112,8 @@ class CodecHTTPServer:
                 try:
                     if self.path == "/decode":
                         return self._decode()
+                    if self.path == "/batch_decode":
+                        return self._batch_decode()
                     if self.path == "/encode":
                         return self._encode()
                     if self.path == "/synthesize":
@@ -148,13 +154,35 @@ class CodecHTTPServer:
                 codes = np.asarray(req["codes"], np.int32)
                 if codes.ndim != 2:
                     raise ValueError("codes must be [T, n_q]")
-                pcm = outer.model.decode(codes, n_q=int(req.get("n_q", 0)))
-                body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
+                # i16: PCM16 conversion happens in-graph (half the
+                # device→host bytes; write_wav-rounding)
+                pcm = outer.model.decode(codes, n_q=int(req.get("n_q", 0)),
+                                         pcm_format="i16")
+                body = (_wav_header(len(pcm), outer.model.sample_rate)
+                        + pcm.astype("<i2").tobytes())
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _batch_decode(self):
+                """Many sequences in one request: same-bucket sequences run
+                as one batched graph with a single batched device→host
+                fetch (CodecModel.decode_many). Response is JSON with one
+                base64 WAV per input sequence."""
+                import base64
+
+                req = json.loads(self._body())
+                seqs = [np.asarray(s, np.int32) for s in req["sequences"]]
+                outs = outer.model.decode_many(seqs,
+                                               n_q=int(req.get("n_q", 0)),
+                                               pcm_format="i16")
+                sr = outer.model.sample_rate
+                wavs = [base64.b64encode(_wav_header(len(p), sr)
+                                         + p.astype("<i2").tobytes()).decode()
+                        for p in outs]
+                self._json(200, {"wavs": wavs, "sample_rate": sr})
 
             def _encode(self):
                 from ..io.wav import read_wav, to_mono

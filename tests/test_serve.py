@@ -62,6 +62,23 @@ def test_decode_roundtrip(server):
     assert len(got) == 4 and len(got[0]) == 1
 
 
+def test_batch_decode_endpoint(server):
+    import base64
+
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(0, 16, (t, 1)).tolist() for t in (3, 6, 3)]
+    status, data = _req(server, "POST", "/batch_decode",
+                        json.dumps({"sequences": seqs}))
+    assert status == 200
+    wavs = [base64.b64decode(w) for w in json.loads(data)["wavs"]]
+    assert len(wavs) == 3
+    for s, w in zip(seqs, wavs):
+        # each WAV equals the single-sequence /decode response
+        st, single = _req(server, "POST", "/decode",
+                          json.dumps({"codes": s}))
+        assert st == 200 and w == single
+
+
 def test_errors(server):
     assert _req(server, "GET", "/nope")[0] == 404
     status, data = _req(server, "POST", "/decode", "not json")
