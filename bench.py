@@ -202,6 +202,14 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
     wall = _time_calls(lambda: mb.decode(codes8, pcm_format="i16"), n)
     out["gguf_decode_bf16_i16_b8"] = {"xrt": round(8 * audio_s / wall, 1),
                                       "wall_ms": round(wall * 1e3, 2)}
+
+    # device-resident wall of the SAME GGUF-loaded weights (chained
+    # in-graph iterations, weights as jit args): isolates the graph from
+    # the transport — on a locally-attached TPU the product surface runs
+    # at this rate plus PCIe microseconds
+    xrt, wall, _ = _bench_decode(m.cfg, m.params, 1, t_frames)
+    out["gguf_decode_device_resident_b1"] = {
+        "xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
     return out
 
 
