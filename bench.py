@@ -231,7 +231,7 @@ def _bench_cold_start(t_frames: int = 250):
             0, 2048, (t_frames, 32)).astype(np.int32)
         cpath = os.path.join(td, "c.npy")
         np.save(cpath, codes)
-        env = dict(os.environ, CODEC_JAX_CACHE="0")
+        env = dict(os.environ, CODEC_JAX_CACHE="0", CODEC_TIERED_JIT="fast")
         t0 = time.monotonic()
         subprocess.run(
             [sys.executable, "-m", "codec_tpu.cli.codec_cli", "decode",
@@ -382,6 +382,17 @@ def _section(extra, key, fn, retries=1):
 
 
 def main():
+    import os
+
+    # Deterministic product-surface numbers: without this the background
+    # best-plan upgrade (tiered jit) can swap executables between warmup
+    # and the timed loop, mixing fast-tier (~11.6 ms) and best-tier
+    # (~5.7 ms) walls run-to-run. "0" = compile the best plan directly
+    # (persistent cache makes reruns cheap). The cold-start subprocess
+    # overrides this back to "fast" — that section measures the
+    # fresh-process fast tier on purpose.
+    os.environ.setdefault("CODEC_TIERED_JIT", "0")
+
     from codec_tpu.models.mimi import MimiConfig
     from codec_tpu.models.mimi_init import random_mimi_params
 

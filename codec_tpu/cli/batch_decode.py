@@ -37,6 +37,13 @@ def main(argv=None) -> int:
                     choices=["float32", "bfloat16", "float16", "auto"])
     args = ap.parse_args(argv)
 
+    import os
+
+    # one-shot process: compile only the fast-plan tier — nothing would
+    # ever use a background best-plan upgrade (same as codec_cli; an
+    # explicit CODEC_TIERED_JIT setting wins)
+    os.environ.setdefault("CODEC_TIERED_JIT", "fast")
+
     import codec_tpu
     from ..io.wav import write_wav
 

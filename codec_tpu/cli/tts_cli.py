@@ -364,6 +364,11 @@ def _run(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # one-shot process: compile only the fast-plan tier (see codec_cli);
+    # an explicit CODEC_TIERED_JIT setting wins
+    os.environ.setdefault("CODEC_TIERED_JIT", "fast")
     try:
         return _run(build_parser().parse_args(argv))
     except BrokenPipeError:

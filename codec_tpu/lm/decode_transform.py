@@ -135,6 +135,11 @@ def transform_lm_codes(codes: np.ndarray, tr: DecodeTransform,
         raise LmError("transform_lm_codes: n_frames_out exceeds input frames")
 
     if tr.is_identity and n_frames_out == n_in:
+        # RAW pass-through, including sentinels: the reference's rewrite
+        # loop (and its clamp) only runs when offset/delay/remap is
+        # active (audio_lm.cpp:1555 `if (offset > 0 || max_delay > 0 ||
+        # cb0_speech_offset != 0)`); the codec's own decode clamps codes
+        # into codebook range
         return codes
 
     out = np.empty((n_frames_out, n_q), np.int32)

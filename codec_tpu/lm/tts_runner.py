@@ -535,6 +535,27 @@ def run_codebook_ar(
     n_speech = None
     eos_c0 = audio_lm.lm.info.eos_code_c0
     if stopped and max_delay > 0 and eos_c0 >= 0:
+        flush_sampler = sampler
+        if fused is not None and on_device is not None:
+            # The fused path never used the host `sampler` (default
+            # greedy); the flush frames' acoustic codes DO reach the
+            # decoded tail after the delay unshift, so keep the main
+            # loop's sampling policy: same chain, continuing the device
+            # RNG key.
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops.sample import sample_logits
+
+            key_box = [fused_key]
+
+            def flush_sampler(cb, lg):
+                key_box[0], sub = jax.random.split(key_box[0])
+                return int(np.asarray(sample_logits(
+                    jnp.asarray(np.asarray(lg, np.float32)), sub,
+                    temperature=on_device.temperature,
+                    top_k=on_device.top_k, top_p=on_device.top_p,
+                    min_p=on_device.min_p)))
         n_speech = len(audio_lm.frames) - 1     # rows before the EOS frame
         last_codes = list(audio_lm.frames[-1])
         for _ in range(max_delay):
@@ -545,7 +566,8 @@ def run_codebook_ar(
             st.step_begin(np.asarray(h, np.float32))
             for _k in range(audio_lm.n_codebook):
                 logits, cb_idx = st.step_logits()
-                code = eos_c0 if cb_idx == 0 else sampler(cb_idx, logits)
+                code = eos_c0 if cb_idx == 0 else flush_sampler(cb_idx,
+                                                                logits)
                 st.step_push_code(code)
             last_codes = list(st.step_finish())
             audio_lm.frames.append(last_codes)

@@ -73,7 +73,13 @@ class MimiStreamingDecoder:
         self.model = model
         self.n_q = n_q if n_q > 0 else model.n_q
         self.batch = batch
-        self.state = mimi_decode_stream_init(model.params, model.cfg, batch,
+        # snapshot the weight tree under the trace lock: concurrent
+        # first-compiles on the shared model temporarily swap tracers
+        # into model.params (runtime/model.py), and reading it unlocked
+        # from a server thread raced into TracerArrayConversionError
+        with model._trace_lock:
+            self._params = model.params
+        self.state = mimi_decode_stream_init(self._params, model.cfg, batch,
                                              dtype=model.compute_dtype)
         cfg, nq = model.cfg, self.n_q
 
@@ -89,7 +95,7 @@ class MimiStreamingDecoder:
         squeeze = codes.ndim == 2
         if squeeze:
             codes = codes[None]
-        pcm, self.state = self._step(self.model.params, self.state,
+        pcm, self.state = self._step(self._params, self.state,
                                      jnp.asarray(codes))
         pcm = np.asarray(pcm)
         return pcm[0] if squeeze else pcm
@@ -98,7 +104,7 @@ class MimiStreamingDecoder:
         from .mimi import mimi_decode_stream_init
 
         self.state = mimi_decode_stream_init(
-            self.model.params, self.model.cfg, self.batch,
+            self._params, self.model.cfg, self.batch,
             dtype=self.model.compute_dtype)
 
 
@@ -113,7 +119,9 @@ class MimiStreamingEncoder:
         self.model = model
         self.n_q = n_q if n_q > 0 else model.n_q
         self.batch = batch
-        self.state = mimi_encode_stream_init(model.params, model.cfg, batch,
+        with model._trace_lock:      # see MimiStreamingDecoder.__init__
+            self._params = model.params
+        self.state = mimi_encode_stream_init(self._params, model.cfg, batch,
                                              dtype=model.compute_dtype)
         cfg, nq = model.cfg, self.n_q
         self._step = jax.jit(
@@ -130,7 +138,7 @@ class MimiStreamingEncoder:
         if pcm.shape[1] % self.model.hop_size:
             raise ValueError(f"chunk length {pcm.shape[1]} not a multiple "
                              f"of hop_size {self.model.hop_size}")
-        codes, self.state = self._step(self.model.params, self.state,
+        codes, self.state = self._step(self._params, self.state,
                                        jnp.asarray(pcm))
         codes = np.asarray(codes)
         return codes[0] if squeeze else codes
@@ -139,5 +147,5 @@ class MimiStreamingEncoder:
         from .mimi import mimi_encode_stream_init
 
         self.state = mimi_encode_stream_init(
-            self.model.params, self.model.cfg, self.batch,
+            self._params, self.model.cfg, self.batch,
             dtype=self.model.compute_dtype)

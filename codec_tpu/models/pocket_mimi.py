@@ -344,7 +344,12 @@ class PocketStreamingDecoder:
     def __init__(self, model: "PocketMimiCodec", batch: int = 1):
         self.model = model
         self.batch = batch
-        self.state = pocket_decode_stream_init(model.params, model.cfg,
+        # snapshot under the trace lock: concurrent first-compiles swap
+        # tracers into model.params (runtime/model.py); an unlocked read
+        # from a server thread raced into TracerArrayConversionError
+        with model._trace_lock:
+            self._params = model.params
+        self.state = pocket_decode_stream_init(self._params, model.cfg,
                                                batch, dtype=model.compute_dtype)
         cfg = model.cfg
         self._step = jax.jit(
@@ -356,12 +361,12 @@ class PocketStreamingDecoder:
         squeeze = latent.ndim == 2
         if squeeze:
             latent = latent[None]
-        pcm, self.state = self._step(self.model.params, self.state,
+        pcm, self.state = self._step(self._params, self.state,
                                      jnp.asarray(latent))
         pcm = np.asarray(pcm)
         return pcm[0] if squeeze else pcm
 
     def reset(self) -> None:
         self.state = pocket_decode_stream_init(
-            self.model.params, self.model.cfg, self.batch,
+            self._params, self.model.cfg, self.batch,
             dtype=self.model.compute_dtype)

@@ -435,8 +435,9 @@ class CodecModel:
                     pcm_format: str = "f32") -> list:
         """Decode a list of [T, Q] code sequences of possibly different
         lengths. Sequences that land in the same length bucket are decoded
-        as ONE batched graph (batch rows are independent, so results are
-        bit-identical to per-sequence decodes), groups are dispatched
+        as ONE batched graph (batch rows are independent, so results match
+        per-sequence decodes up to cross-compile float-reorder noise — in
+        practice equal), groups are dispatched
         back-to-back, and every output is fetched in ONE batched
         device→host transfer. On a remote-device transport each dispatched
         op costs a ~30-50 ms round-trip, so minimizing op count — not just

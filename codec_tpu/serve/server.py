@@ -187,11 +187,18 @@ class CodecHTTPServer:
             def _encode(self):
                 from ..io.wav import read_wav, to_mono
 
-                x, sr = read_wav(io.BytesIO(self._body()))
+                # mono PCM16 stays int16: encode() uploads half the bytes
+                # and divides by 32768 in-graph (same path as codec_cli)
+                x, sr = read_wav(io.BytesIO(self._body()), keep_i16=True)
                 want_sr = getattr(outer.model, "encode_sample_rate", 0) or \
                     outer.model.sample_rate
                 if sr != want_sr:
                     raise ValueError(f"sample rate {sr} != expected {want_sr}")
+                if x.dtype == np.int16:
+                    if x.shape[1] == 1:
+                        codes = outer.model.encode(x[:, 0])
+                        return self._json(200, {"codes": codes.tolist()})
+                    x = x.astype(np.float32) / 32768.0
                 codes = outer.model.encode(to_mono(x))
                 self._json(200, {"codes": codes.tolist()})
 

@@ -94,7 +94,9 @@ def test_batch_decode_cli(wt_gguf, tmp_path):
                      "--out-dir", str(single_dir)]) == 0
         a, _ = read_wav(single_dir / name)
         b, _ = read_wav(pipe_dir / name)
-        np.testing.assert_array_equal(a, b)
+        # separate main() calls retrace/recompile; XLA float-reorder can
+        # flip a 16-bit sample by one LSB (CLAUDE.md)
+        np.testing.assert_allclose(a, b, atol=1.5 / 32767)
 
 
 def test_decode_many_and_async_match_decode(wt_gguf):

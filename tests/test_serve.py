@@ -73,10 +73,15 @@ def test_batch_decode_endpoint(server):
     wavs = [base64.b64decode(w) for w in json.loads(data)["wavs"]]
     assert len(wavs) == 3
     for s, w in zip(seqs, wavs):
-        # each WAV equals the single-sequence /decode response
+        # each WAV matches the single-sequence /decode response; the
+        # batched group compiles a different (b>1) graph, so allow the
+        # one-LSB float-reorder drift CLAUDE.md documents
         st, single = _req(server, "POST", "/decode",
                           json.dumps({"codes": s}))
-        assert st == 200 and w == single
+        assert st == 200 and len(w) == len(single)
+        a = np.frombuffer(w[44:], dtype="<i2").astype(np.int32)
+        b = np.frombuffer(single[44:], dtype="<i2").astype(np.int32)
+        assert int(np.abs(a - b).max()) <= 1
 
 
 def test_errors(server):
