@@ -105,6 +105,16 @@ class FlowLM(CodecLM):
         b64 = r.get_str("codec.lm.tokenizer.spm_b64", "")
         self.spm: Optional[SpmUnigram] = SpmUnigram.from_b64(b64) if b64 else None
 
+        # Host-side copies of the weights read OUTSIDE jit (prefill embed
+        # assembly, latent denorm, speaker proj). Reading self.w from a
+        # server thread races with jit_weighted tracing — which swaps
+        # tracers into self.w — and np.asarray(tracer) raises; snapshot
+        # once at load (also saves a device→host transfer per call).
+        self._host = {k: (np.asarray(self.w[k]) if self.w[k] is not None
+                          else None)
+                      for k in ("text_embed", "bos_before_voice", "emb_std",
+                                "emb_mean", "speaker_proj", "bos_emb")}
+
         from ..runtime.jit_weights import jit_weighted
         self._step_jit = jit_weighted(self, self._step_fn, ("w",),
                                       donate_argnums=(0, 1))
@@ -277,17 +287,17 @@ class FlowLM(CodecLM):
         """mu [T, ldim] → voice rows [T, d_model] (F.linear, no bias)."""
         if self.w["speaker_proj"] is None:
             raise LmError("model has no speaker_proj (no voice cloning)")
-        return np.asarray(mu, np.float32) @ np.asarray(self.w["speaker_proj"]).T
+        return np.asarray(mu, np.float32) @ self._host["speaker_proj"].T
 
     def denorm_latent(self, latent: np.ndarray) -> np.ndarray:
-        return np.asarray(latent) * np.asarray(self.w["emb_std"]) + \
-            np.asarray(self.w["emb_mean"])
+        return np.asarray(latent) * self._host["emb_std"] + \
+            self._host["emb_mean"]
 
     def flow_prefill(self, st: LmState, token_ids, voice_rows=None) -> None:
         token_ids = np.asarray(token_ids, np.int32)
-        parts = [np.asarray(self.w["text_embed"])[token_ids]]
+        parts = [self._host["text_embed"][token_ids]]
         if self.insert_bos_before_voice and voice_rows is not None and len(voice_rows):
-            parts.append(np.asarray(self.w["bos_before_voice"])[None])
+            parts.append(self._host["bos_before_voice"][None])
         if voice_rows is not None and len(voice_rows):
             parts.append(np.asarray(voice_rows, np.float32))
         seq = np.concatenate(parts, axis=0)
