@@ -386,12 +386,12 @@ def main():
 
     # Deterministic product-surface numbers: without this the background
     # best-plan upgrade (tiered jit) can swap executables between warmup
-    # and the timed loop, mixing fast-tier (~11.6 ms) and best-tier
-    # (~5.7 ms) walls run-to-run. "0" = compile the best plan directly
-    # (persistent cache makes reruns cheap). The cold-start subprocess
-    # overrides this back to "fast" — that section measures the
-    # fresh-process fast tier on purpose.
-    os.environ.setdefault("CODEC_TIERED_JIT", "0")
+    # and the timed loop, mixing fast-tier and best-tier walls
+    # run-to-run. "fast" pins the fast tier: deterministic, cheap to
+    # compile on a cold cache (the best-plan b=1 graph compiles ~276 s on
+    # the relay), and the product walls are transport-dominated anyway
+    # (the plans' graph walls differ ~6 ms on b=1; they coincide at b>1).
+    os.environ.setdefault("CODEC_TIERED_JIT", "fast")
 
     from codec_tpu.models.mimi import MimiConfig
     from codec_tpu.models.mimi_init import random_mimi_params
