@@ -80,7 +80,7 @@ def main(argv=None) -> int:
             batch = np.zeros((len(seqs), t_max, n_q), np.int32)
         for i, s in enumerate(seqs):
             batch[i, : s.shape[0]] = s[:, :batch.shape[2]]
-        pcm = (model.decode_latent(batch) if args.latent
+        pcm = (model.decode_latent(batch, pcm_format="i16") if args.latent
                else model.decode(batch, n_q=args.nq, pcm_format="i16"))
         if mesh is not None:
             print(f"dp={args.dp}: device output sharding {model.last_out_sharding}")

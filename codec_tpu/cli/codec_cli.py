@@ -138,7 +138,7 @@ def _run(args) -> int:
         print(f"wrote {args.out}: {out.shape[0]} samples ({codes.shape} codes)")
     elif args.cmd == "decode-latent":
         z = np.load(args.latent)
-        pcm = model.decode_latent(z)
+        pcm = model.decode_latent(z, pcm_format="i16")
         write_wav(args.out, pcm, model.sample_rate)
         print(f"wrote {args.out}: {pcm.shape[0]} samples")
     return 0

@@ -171,7 +171,7 @@ class BlueMagpieAudioVAE(CodecModel):
     def encode(self, pcm, n_q: int = 0):
         raise CodecError("BlueMagpie-AudioVAE encode produces a continuous latent; use encode_latent")
 
-    def decode_latent(self, latent) -> np.ndarray:
+    def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:
         latent = np.asarray(latent, np.float32)
         squeeze = latent.ndim == 2
         if squeeze:
@@ -181,7 +181,7 @@ class BlueMagpieAudioVAE(CodecModel):
         pcm = self._run_batched(
             ("dec_lat",),
             lambda: lambda z: bm_decode_latent_fn(self.params, z, self.cfg),
-            latent)
+            latent, pcm_format=pcm_format)
         return pcm[0] if squeeze else pcm
 
     def encode_latent(self, pcm) -> np.ndarray:

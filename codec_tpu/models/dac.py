@@ -349,7 +349,7 @@ class DacCodec(CodecModel):
     def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
         return dac_encode_fn(self.params, pcm, self.cfg, n_q=n_q)
 
-    def decode_latent(self, latent) -> np.ndarray:
+    def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:
         """Continuous-latent decode (reference vtable decode_latent,
         dac.cpp:1138-1150). latent: [T, latent_dim] or [B, T, latent_dim]."""
         latent = np.asarray(latent, dtype=np.float32)
@@ -359,5 +359,5 @@ class DacCodec(CodecModel):
         pcm = self._run_batched(
             ("dec_lat",),
             lambda: lambda z: dac_decode_from_latent(self.params, z, self.cfg),
-            latent)
+            latent, pcm_format=pcm_format)
         return pcm[0] if squeeze else pcm

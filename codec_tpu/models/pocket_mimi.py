@@ -194,7 +194,7 @@ class PocketMimiCodec(CodecModel):
     def decode(self, codes, n_q: int = 0):
         raise CodecError("Pocket-Mimi is a continuous-latent codec; use decode_latent")
 
-    def decode_latent(self, latent) -> np.ndarray:
+    def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:
         latent = np.asarray(latent, dtype=np.float32)
         squeeze = latent.ndim == 2
         if squeeze:
@@ -204,7 +204,7 @@ class PocketMimiCodec(CodecModel):
         pcm = self._run_batched(
             ("dec_lat",),
             lambda: lambda z: pocket_decode_latent_fn(self.params, z, self.cfg),
-            latent)
+            latent, pcm_format=pcm_format)
         return pcm[0] if squeeze else pcm
 
     def streaming_decoder(self, batch: int = 1) -> "PocketStreamingDecoder":

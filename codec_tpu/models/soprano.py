@@ -125,7 +125,7 @@ class SopranoCodec(CodecModel):
     def decode(self, codes, n_q: int = 0):
         raise CodecError("Soprano decoder does not accept token inputs; use decode_latent")
 
-    def decode_latent(self, latent) -> np.ndarray:
+    def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:
         latent = np.asarray(latent, dtype=np.float32)
         squeeze = latent.ndim == 2
         if squeeze:
@@ -135,5 +135,5 @@ class SopranoCodec(CodecModel):
         pcm = self._run_batched(
             ("dec_lat",),
             lambda: lambda z: soprano_decode_latent_fn(self.params, z, self.cfg),
-            latent)
+            latent, pcm_format=pcm_format)
         return pcm[0] if squeeze else pcm

@@ -174,16 +174,22 @@ class CodecModel:
         return np.asarray(out)
 
     def _run_batched(self, key: Tuple, make: Callable[[], Callable],
-                     buf: np.ndarray) -> np.ndarray:
+                     buf: np.ndarray, pcm_format: str = "f32") -> np.ndarray:
         """Shared device-call path for latent encode/decode: pad the leading
         batch dim to its bucket (a mesh-size multiple under DP), place the
-        buffer (batch-sharded when a mesh is attached), run, crop."""
+        buffer (batch-sharded when a mesh is attached), run, crop.
+        pcm_format="i16" converts the output to 16-bit PCM in-graph (only
+        meaningful for decode directions that produce PCM)."""
         b = buf.shape[0]
         bb = self._bucket_b(b)
         if bb != b:
             buf = np.concatenate(
                 [buf, np.zeros((bb - b,) + buf.shape[1:], buf.dtype)])
-        fn = self._jitted(key + buf.shape, make)
+        if pcm_format != "f32":
+            inner_make = make
+            make = lambda: (lambda *a, _f=inner_make(): self._fmt_out(
+                _f(*a), pcm_format))
+        fn = self._jitted(key + (pcm_format,) + buf.shape, make)
         # no block_until_ready: np.asarray in _readback synchronizes, and
         # on the axon relay every extra device round-trip costs ~30 ms
         out = self._readback(fn(self._place(buf)))

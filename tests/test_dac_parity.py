@@ -82,6 +82,12 @@ def test_decode_latent(tiny_dac):
     got = ours.decode_latent(z[0].T)
     assert np.corrcoef(got, want)[0, 1] > 0.9999
 
+    # i16 output (the decode-latent CLI path): write_wav-exact conversion
+    i16 = ours.decode_latent(z[0].T, pcm_format="i16")
+    assert i16.dtype == np.int16 and i16.shape == got.shape
+    host = np.clip(np.rint(got * 32767.0), -32768, 32767).astype(np.int16)
+    assert np.abs(i16.astype(np.int32) - host.astype(np.int32)).max() <= 1
+
 
 def test_partial_nq(tiny_dac):
     hf, ours, cfg = tiny_dac
