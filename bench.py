@@ -416,6 +416,11 @@ def main():
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
     _section(extra, "bf16_b8_throughput", bf16_b8)
 
+    def bf16_b1():
+        xrt, wall, _ = _bench_decode(cfg, params_bf16, 1, t_frames)
+        return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
+    _section(extra, "bf16_b1", bf16_b1)
+
     # DAC / WavTokenizer per-chip xRT (SURVEY §7.8: record Mimi/DAC/WT)
     from codec_tpu.models.bench_init import (random_dac_decode_params,
                                              random_wt_decode_params)

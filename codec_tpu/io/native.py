@@ -14,7 +14,9 @@ from typing import Optional
 
 import numpy as np
 
-_SO_PATH = Path(__file__).parent / "_native.so"
+# cached OUTSIDE the package: a .so inside codec_tpu/ looks like an
+# importable extension module to package walkers (and fails)
+_SO_PATH = Path(__file__).parent.parent.parent / "native" / "libgguf_native.so"
 _SRC_PATH = Path(__file__).parent.parent.parent / "native" / "gguf_native.cpp"
 
 _lib: Optional[ctypes.CDLL] = None
