@@ -185,7 +185,7 @@ class BlueMagpieAudioVAE(CodecModel):
         return pcm[0] if squeeze else pcm
 
     def encode_latent(self, pcm) -> np.ndarray:
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

@@ -159,7 +159,7 @@ class ChatterboxS3T(CodecModel):
     def log_mel(self, pcm: np.ndarray) -> np.ndarray:
         """16 kHz PCM → [T_mel, n_mels] (reference:
         codec_chatterbox_s3t_prepare_log_mel)."""
-        pcm = np.asarray(pcm, np.float32).reshape(-1)
+        pcm = self._pcm_host_f32(pcm).reshape(-1)
         if pcm.size == 0:
             raise CodecError("empty Chatterbox-S3T PCM input")
         padded = -(-len(pcm) // TOKEN_HOP) * TOKEN_HOP
@@ -175,7 +175,7 @@ class ChatterboxS3T(CodecModel):
             raise CodecError(f"{self.arch}: model has no encoder")
         if n_q not in (0, 1):
             raise CodecError("Chatterbox-S3T encode n_q must be 0 or 1")
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

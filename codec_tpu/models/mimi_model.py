@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..runtime.model import CodecModel
@@ -129,9 +130,7 @@ class MimiStreamingEncoder:
             donate_argnums=(1,))
 
     def push(self, pcm) -> "np.ndarray":
-        import numpy as np
-
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self.model._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

@@ -256,7 +256,7 @@ class MossAudioCodec(CodecModel):
     def encode(self, pcm, n_q: int = 0):
         """pcm [n] mono or [n, channels] (interleaved to one mono-eq stream,
         reference: codec_moss_run_encode per-channel hop padding)."""
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         nch = self.cfg.number_channels
         if pcm.ndim == 2 and pcm.shape[1] == nch and nch > 1:
             per_ch = pcm.shape[0]

@@ -198,7 +198,7 @@ class NeuCodec(CodecModel):
                              "(only distill implemented)")
         if n_q not in (0, 1):
             raise CodecError("NeuCodec encode n_q must be 0 or 1")
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

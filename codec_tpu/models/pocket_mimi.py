@@ -216,7 +216,7 @@ class PocketMimiCodec(CodecModel):
 
     def encode_latent(self, pcm) -> np.ndarray:
         """PCM → continuous latent mu (reference: codec_pocket_mimi_encode)."""
-        pcm = np.asarray(pcm, dtype=np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

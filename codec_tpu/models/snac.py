@@ -253,7 +253,7 @@ class SnacCodec(CodecModel):
         return super().decode(codes, n_q=n_q)
 
     def encode(self, pcm, n_q: int = 0):
-        pcm = np.asarray(pcm, dtype=np.float32)
+        pcm = self._pcm_host_f32(pcm)
         n = pcm.shape[-1]
         pad = -(-n // self.cfg.pad_to) * self.cfg.pad_to - n
         if pad:

@@ -306,7 +306,7 @@ class XCodec2(CodecModel):
             raise CodecError(f"{self.arch}: model has no encoder")
         if n_q not in (0, 1):
             raise CodecError("xcodec2 encode n_q must be 0 or 1")
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

@@ -294,7 +294,7 @@ class XyTokenizerCodec(CodecModel):
         self.chunk_codes = int(self.params["post_rvq"]["pos"].shape[0])
 
     def encode(self, pcm, n_q: int = 0):
-        pcm = np.asarray(pcm, np.float32)
+        pcm = self._pcm_host_f32(pcm)
         squeeze = pcm.ndim == 1
         if squeeze:
             pcm = pcm[None]

@@ -369,6 +369,17 @@ class CodecModel:
 
     # -- public API --------------------------------------------------------
     @staticmethod
+    def _pcm_host_f32(pcm) -> np.ndarray:
+        """Normalize a PCM argument on the host: float passes through,
+        int16 scales by 1/32768 — for encode paths that consume the PCM
+        host-side (mel frontends) or don't route through the base
+        encode()'s in-graph conversion."""
+        pcm = np.asarray(pcm)
+        if pcm.dtype == np.int16:
+            return pcm.astype(np.float32) / 32768.0
+        return pcm.astype(np.float32)
+
+    @staticmethod
     def _fmt_out(pcm: jax.Array, pcm_format: str) -> jax.Array:
         """In-graph output formatting. "i16" converts to 16-bit PCM with
         the exact formula of io/wav.py::write_wav (round-half-even), so a

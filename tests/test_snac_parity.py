@@ -240,6 +240,14 @@ def test_encode_parity(tiny_snac):
     mismatch = int((got != want).sum())
     assert mismatch == 0, f"{mismatch}/{got.size} codes differ"
 
+    # int16 PCM input (the CLI's PCM16 WAV path) must scale by 1/32768 —
+    # regression: encode overrides consuming raw np.float32 casts saw
+    # ±32767-valued "floats" and emitted 100%-flipped codes
+    pcm16 = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(np.int16)
+    got16 = ours.encode(pcm16)
+    ref16 = ours.encode(pcm16.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(got16, ref16)
+
 
 def test_roundtrip(tiny_snac):
     ref, ours = tiny_snac
