@@ -203,6 +203,12 @@ def _bench_product_surface(t_frames: int = 250, n: int = 10):
     out["gguf_decode_bf16_i16_b8"] = {"xrt": round(8 * audio_s / wall, 1),
                                       "wall_ms": round(wall * 1e3, 2)}
 
+    codes16 = rng.integers(0, mb.codebook_size,
+                           (16, t_frames, mb.n_q)).astype(np.int32)
+    wall = _time_calls(lambda: mb.decode(codes16, pcm_format="i16"), n)
+    out["gguf_decode_bf16_i16_b16"] = {"xrt": round(16 * audio_s / wall, 1),
+                                       "wall_ms": round(wall * 1e3, 2)}
+
     # device-resident wall of the SAME GGUF-loaded weights (chained
     # in-graph iterations, weights as jit args): isolates the graph from
     # the transport — on a locally-attached TPU the product surface runs
