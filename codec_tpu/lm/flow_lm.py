@@ -113,7 +113,7 @@ class FlowLM(CodecLM):
         self._host = {k: (np.asarray(self.w[k]) if self.w[k] is not None
                           else None)
                       for k in ("text_embed", "bos_before_voice", "emb_std",
-                                "emb_mean", "speaker_proj", "bos_emb")}
+                                "emb_mean", "speaker_proj")}
 
         from ..runtime.jit_weights import jit_weighted
         self._step_jit = jit_weighted(self, self._step_fn, ("w",),
@@ -285,7 +285,7 @@ class FlowLM(CodecLM):
 
     def speaker_rows(self, mu: np.ndarray) -> np.ndarray:
         """mu [T, ldim] → voice rows [T, d_model] (F.linear, no bias)."""
-        if self.w["speaker_proj"] is None:
+        if self._host["speaker_proj"] is None:
             raise LmError("model has no speaker_proj (no voice cloning)")
         return np.asarray(mu, np.float32) @ self._host["speaker_proj"].T
 

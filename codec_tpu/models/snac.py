@@ -253,7 +253,11 @@ class SnacCodec(CodecModel):
         return super().decode(codes, n_q=n_q)
 
     def encode(self, pcm, n_q: int = 0):
-        pcm = self._pcm_host_f32(pcm)
+        # zero-padding is exact in int16 too — keep i16 input intact so
+        # the base encode's half-bytes upload + in-graph /32768 applies
+        pcm = np.asarray(pcm)
+        if pcm.dtype != np.int16:
+            pcm = np.asarray(pcm, np.float32)
         n = pcm.shape[-1]
         pad = -(-n // self.cfg.pad_to) * self.cfg.pad_to - n
         if pad:

@@ -377,7 +377,7 @@ class CodecModel:
         pcm = np.asarray(pcm)
         if pcm.dtype == np.int16:
             return pcm.astype(np.float32) / 32768.0
-        return pcm.astype(np.float32)
+        return np.asarray(pcm, np.float32)      # copy-free when already f32
 
     @staticmethod
     def _fmt_out(pcm: jax.Array, pcm_format: str) -> jax.Array:
@@ -540,7 +540,7 @@ class CodecModel:
         codes = codes[:b, :t_frames] if self.causal_time else codes[:b]
         return codes[0] if squeeze else codes
 
-    def decode_latent(self, latent) -> np.ndarray:
+    def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:
         raise CodecError(f"{self.arch}: decode_latent not supported")
 
     def encode_latent(self, pcm) -> np.ndarray:
