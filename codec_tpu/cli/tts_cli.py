@@ -198,10 +198,14 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
 
 
 def run_backbone_synthesize(model, reader, backbone_path, text: str,
-                            seed: int = 0, max_frames: int = 0):
+                            seed: int = 0, max_frames: int = 0, bb=None):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
     tts-cli over tts_runner_synthesize → run_codebook_ar,
-    tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113)."""
+    tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113).
+
+    `bb`: a preloaded LlamaBackbone to reuse across calls (the serving
+    layer loads once and serializes generations); its KV state is reset
+    here. Default loads fresh from backbone_path (one-shot CLI)."""
     from ..io.gguf import GGUFReader
     from ..lm.audio_lm import AudioLM
     from ..lm.backbone import create_backbone
@@ -216,7 +220,10 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
                                          text, seed=seed,
                                          max_frames=max_frames)
 
-    bb = create_backbone(backbone_path)
+    if bb is None:
+        bb = create_backbone(backbone_path)
+    else:
+        bb.reset()
     pi = build_prompt_info(reader)
     if pi.hidden_dim and bb.cfg.hidden != pi.hidden_dim:
         raise ValueError(f"backbone hidden {bb.cfg.hidden} != "

@@ -29,10 +29,15 @@ Endpoints:
                                      "max_frames": 0}
                                → audio/wav; with {"stream": true} the WAV
                                is chunked-transfer-encoded as frames are
-                               vocoded (time-to-first-byte ≈ one AR step)
+                               vocoded (time-to-first-byte ≈ one AR step).
+                               FlowLM models are self-contained; codebook-
+                               AR kinds (CSM/Qwen3/MOSS) serve when the
+                               process was started with --backbone
+                               (generations serialize on one backbone)
 
 Usage:
   python -m codec_tpu.serve --model pocket.gguf [--port 8765]
+  python -m codec_tpu.serve --model csm.gguf --backbone bb.gguf  # AR kinds
 """
 
 from __future__ import annotations
@@ -63,7 +68,9 @@ def _pcm16(x: np.ndarray) -> bytes:
 
 class CodecHTTPServer:
     def __init__(self, model_path: str, host: str = "127.0.0.1",
-                 port: int = 8765):
+                 port: int = 8765, backbone_path: str = None):
+        import threading as _threading
+
         import codec_tpu
         from ..io.gguf import GGUFReader
         from ..lm import create_lm
@@ -71,6 +78,16 @@ class CodecHTTPServer:
         self.model = codec_tpu.load_model(model_path)
         self.reader = GGUFReader(model_path)
         self.lm = create_lm(self.reader)
+        # Codebook-AR serving: one backbone loaded at startup; its KV
+        # state is reset per request and generations serialize on a lock
+        # (the codec decode + FlowLM paths stay fully concurrent).
+        self.backbone = None
+        self.backbone_path = backbone_path
+        self._bb_lock = _threading.Lock()
+        if backbone_path:
+            from ..lm.backbone import create_backbone
+
+            self.backbone = create_backbone(backbone_path)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -203,22 +220,33 @@ class CodecHTTPServer:
                 self._json(200, {"codes": codes.tolist()})
 
             def _synthesize(self):
-                from ..cli.tts_cli import run_flow_synthesize
+                from ..cli.tts_cli import (run_backbone_synthesize,
+                                           run_flow_synthesize)
                 from ..lm.flow_lm import FlowLM
 
-                if outer.lm is None or not isinstance(outer.lm, FlowLM):
-                    raise ValueError(
-                        "synthesize needs a flow_lm model GGUF (self-"
-                        "contained); codebook-AR kinds need a backbone — "
-                        "use tts-cli")
                 req = json.loads(self._body())
                 text = req["text"]
-                if req.get("stream"):
-                    return self._synthesize_stream(req, text)
-                pcm, n_frames, stop = run_flow_synthesize(
-                    outer.model, outer.lm, text,
-                    seed=int(req.get("seed", 0)),
-                    max_frames=int(req.get("max_frames", 0)))
+                if outer.lm is not None and isinstance(outer.lm, FlowLM):
+                    if req.get("stream"):
+                        return self._synthesize_stream(req, text)
+                    pcm, n_frames, stop = run_flow_synthesize(
+                        outer.model, outer.lm, text,
+                        seed=int(req.get("seed", 0)),
+                        max_frames=int(req.get("max_frames", 0)))
+                elif outer.backbone is not None:
+                    # codebook-AR kinds: the shared backbone's KV state is
+                    # reset per request, generations serialize on a lock
+                    with outer._bb_lock:
+                        pcm, n_frames, stop = run_backbone_synthesize(
+                            outer.model, outer.reader, outer.backbone_path,
+                            text, seed=int(req.get("seed", 0)),
+                            max_frames=int(req.get("max_frames", 0)),
+                            bb=outer.backbone)
+                else:
+                    raise ValueError(
+                        "synthesize needs a flow_lm model GGUF (self-"
+                        "contained) or a server started with --backbone "
+                        "for codebook-AR kinds")
                 body = _wav_header(len(pcm), outer.model.sample_rate) + _pcm16(pcm)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -292,9 +320,13 @@ def main(argv=None) -> int:
     ap.add_argument("--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--backbone", default=None,
+                    help="backbone GGUF for codebook-AR /synthesize "
+                         "(same artifact as tts-cli --backbone)")
     args = ap.parse_args(argv)
     try:
-        srv = CodecHTTPServer(args.model, args.host, args.port)
+        srv = CodecHTTPServer(args.model, args.host, args.port,
+                              backbone_path=args.backbone)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -164,6 +164,45 @@ def test_concurrent_synthesize_state_isolation(tts_server):
         assert cs == 200 and cd == sd
 
 
+@pytest.fixture(scope="module")
+def ar_server(tmp_path_factory):
+    """Codebook-AR serving: mimi+rda codec GGUF + llama backbone GGUF
+    (fixture recipe shared with tests/test_cli_tts.py)."""
+    import test_cli_tts as tc
+    from codec_tpu.serve import CodecHTTPServer
+
+    model_path, bb_path = tc.mimi_rda_and_backbone.__wrapped__(
+        tmp_path_factory)
+    srv = CodecHTTPServer(str(model_path), port=0,
+                          backbone_path=str(bb_path))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_backbone_synthesize_endpoint(ar_server):
+    req = {"text": "hello there", "seed": 3, "max_frames": 4}
+    status, wav = _req(ar_server, "POST", "/synthesize", json.dumps(req))
+    assert status == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+    # deterministic per seed (SamplerChain + greedy depth codebooks)
+    status2, wav2 = _req(ar_server, "POST", "/synthesize", json.dumps(req))
+    assert status2 == 200 and wav2 == wav
+    # concurrent requests serialize on the backbone lock and both finish
+    out = {}
+
+    def worker(i):
+        out[i] = _req(ar_server, "POST", "/synthesize",
+                      json.dumps(dict(req, seed=10 + i)))
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert sorted(out) == [0, 1]
+    assert all(v[0] == 200 for v in out.values())
+
+
 def test_concurrent_stream_and_batch_synthesize(tts_server):
     """A chunked streaming synthesize interleaved with plain ones: all
     complete, and the streamed PCM equals its non-stream counterpart."""
