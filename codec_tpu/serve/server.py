@@ -20,6 +20,10 @@ Endpoints:
   GET  /health                 → model/LM info JSON
   POST /decode                 body {"codes": [[...], ...], "n_q": 0}
                                → audio/wav
+  POST /decode_stream          body {"codes": ..., "chunk_frames": 25}
+                               → chunked-transfer audio/wav through a
+                               streaming-decoder session (causal codecs;
+                               first bytes after one chunk of frames)
   POST /batch_decode           body {"sequences": [[[...]], ...], "n_q": 0}
                                → {"wavs": [base64 WAV, ...]}; same-bucket
                                sequences decode as one batched graph +
@@ -129,6 +133,8 @@ class CodecHTTPServer:
                 try:
                     if self.path == "/decode":
                         return self._decode()
+                    if self.path == "/decode_stream":
+                        return self._decode_stream()
                     if self.path == "/batch_decode":
                         return self._batch_decode()
                     if self.path == "/encode":
@@ -182,6 +188,39 @@ class CodecHTTPServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _decode_stream(self):
+                """Chunked-transfer WAV decode for causal codecs: code
+                frames are pushed through a per-request streaming-decoder
+                session, so the first audio bytes leave after one chunk
+                instead of the full sequence (no reference analog — the
+                reference decodes whole sequences per call)."""
+                req = json.loads(self._body())
+                codes = np.asarray(req["codes"], np.int32)
+                if codes.ndim != 2:
+                    raise ValueError("codes must be [T, n_q]")
+                if not getattr(outer.model, "causal_time", False) or \
+                        not hasattr(outer.model, "streaming_decoder"):
+                    raise ValueError(
+                        f"{outer.model.arch}: no streaming decode path")
+                chunk_frames = max(1, int(req.get("chunk_frames", 25)))
+                dec = outer.model.streaming_decoder(
+                    n_q=int(req.get("n_q", 0)) or codes.shape[1])
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data +
+                                     b"\r\n")
+                    self.wfile.flush()
+
+                chunk(_wav_header(-1, outer.model.sample_rate))
+                for t0 in range(0, codes.shape[0], chunk_frames):
+                    pcm = dec.push(codes[t0: t0 + chunk_frames])
+                    chunk(_pcm16(pcm))
+                chunk(b"")
 
             def _batch_decode(self):
                 """Many sequences in one request: same-bucket sequences run

@@ -181,6 +181,31 @@ def ar_server(tmp_path_factory):
     srv.shutdown()
 
 
+def test_decode_stream_endpoint(ar_server):
+    """Chunked streaming decode on the (causal) mimi model: the streamed
+    PCM matches the whole-sequence decode within the usual one-LSB
+    cross-graph drift."""
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 16, (7, ar_server.model.n_q)).tolist()
+    status, wav = _req(ar_server, "POST", "/decode_stream",
+                       json.dumps({"codes": codes, "chunk_frames": 3}))
+    assert status == 200 and wav[:4] == b"RIFF"
+    got = np.frombuffer(wav[44:], dtype="<i2").astype(np.int32)
+    ref_pcm = ar_server.model.decode(np.asarray(codes, np.int32))
+    ref = (np.clip(ref_pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+    assert got.shape[0] == ref.shape[0]
+    assert int(np.abs(got - ref.astype(np.int32)).max()) <= 1
+
+    # non-causal models refuse cleanly
+    # (the module-level `server` fixture is WavTokenizer)
+
+
+def test_decode_stream_rejects_non_causal(server):
+    status, data = _req(server, "POST", "/decode_stream",
+                        json.dumps({"codes": [[1], [2]]}))
+    assert status == 400 and b"no streaming decode path" in data
+
+
 def test_backbone_synthesize_endpoint(ar_server):
     req = {"text": "hello there", "seed": 3, "max_frames": 4}
     status, wav = _req(ar_server, "POST", "/synthesize", json.dumps(req))
