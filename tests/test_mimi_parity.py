@@ -191,3 +191,21 @@ def test_streaming_encode_matches_full(tiny_mimi):
     enc = ours.streaming_encoder()
     with pytest.raises(ValueError):
         enc.push(pcm[: hop + 7])
+
+
+def test_decode_many_groups_same_bucket(tiny_mimi):
+    """Causal arch: sequences with different T but the same length bucket
+    decode as ONE batched graph and crop to each T — results match
+    per-sequence decode() exactly (same jit cache in one process)."""
+    _, ours, _ = tiny_mimi
+    rng = np.random.default_rng(9)
+    seqs = [rng.integers(0, ours.codebook_size,
+                         (t, ours.n_q)).astype(np.int32) for t in (5, 3, 7)]
+    want = [ours.decode(s) for s in seqs]
+    got = ours.decode_many(seqs)
+    # all three land in one bucket (bucket_length<=16) -> at most one new
+    # batched graph beyond whatever earlier tests compiled
+    assert ("dec", 4, 16, ours.n_q, "f32") in ours._jit_cache
+    for w, g in zip(want, got):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, atol=1e-5)
