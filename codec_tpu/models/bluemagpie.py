@@ -165,7 +165,7 @@ class BlueMagpieAudioVAE(CodecModel):
         self.has_encoder = "enc0" in self.params
         self.has_decoder = "dec_in_dw" in self.params
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         raise CodecError("BlueMagpie-AudioVAE is a continuous-latent codec; use decode_latent")
 
     def encode(self, pcm, n_q: int = 0):

@@ -494,7 +494,7 @@ class ChatterboxS3G(CodecModel):
             "chatterbox_s3g.cond.prompt_feat_frames", 0)
         self.params = load_s3g_params(reader, self.cfg, dtype=self.compute_dtype)
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         """Prompt tokens + speech tokens → 24 kHz PCM (reference:
         codec_chatterbox_s3g_decode). CFM noise / NSF phase+noise are
         host-sampled with a fixed seed, like the reference's mt19937(0)."""
@@ -533,4 +533,4 @@ class ChatterboxS3G(CodecModel):
         i = np.arange(min(n_trim, max(0, len(pcm) - n_trim)))
         ang = np.pi * (1.0 - i / n_trim)
         pcm[n_trim:n_trim + len(i)] *= 0.5 * (np.cos(ang) + 1.0)
-        return pcm
+        return self._fmt_out_host(pcm, pcm_format)

@@ -276,13 +276,15 @@ class MossAudioCodec(CodecModel):
         codes = np.asarray(jax.block_until_ready(fn(jnp.asarray(flat[None]))))[0]
         return codes
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         codes = np.asarray(codes, np.int32)
         squeeze = codes.ndim == 2
         if squeeze:
             codes = codes[None]
-        fn = self._jitted(("dec",) + codes.shape,
-                          lambda: lambda c: moss_decode_fn(self.params, c, self.cfg))
+        fn = self._jitted(
+            ("dec", pcm_format) + codes.shape,
+            lambda: lambda c: self._fmt_out(
+                moss_decode_fn(self.params, c, self.cfg), pcm_format))
         pcm = np.asarray(jax.block_until_ready(fn(jnp.asarray(codes))))
         nch = self.cfg.number_channels
         if nch > 1:

@@ -191,7 +191,7 @@ class PocketMimiCodec(CodecModel):
         self.has_encoder = "enc" in self.params
         self.has_decoder = "dec" in self.params
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         raise CodecError("Pocket-Mimi is a continuous-latent codec; use decode_latent")
 
     def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:

@@ -244,13 +244,13 @@ class SnacCodec(CodecModel):
     def _encode_impl(self, pcm, n_q):
         return snac_encode_fn(self.params, pcm, self.cfg)
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         codes = np.asarray(codes)
         t = codes.shape[-2]
         if t % self.cfg.vq_strides[0] != 0:
             from ..runtime.model import CodecError
             raise CodecError(f"SNAC n_frames must be a multiple of {self.cfg.vq_strides[0]}")
-        return super().decode(codes, n_q=n_q)
+        return super().decode(codes, n_q=n_q, pcm_format=pcm_format)
 
     def encode(self, pcm, n_q: int = 0):
         # zero-padding is exact in int16 too — keep i16 input intact so

@@ -122,7 +122,7 @@ class SopranoCodec(CodecModel):
     def _decode_impl(self, codes, n_q):
         raise CodecError("Soprano decoder does not accept token inputs; use decode_latent")
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         raise CodecError("Soprano decoder does not accept token inputs; use decode_latent")
 
     def decode_latent(self, latent, pcm_format: str = "f32") -> np.ndarray:

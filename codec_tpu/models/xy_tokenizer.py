@@ -318,7 +318,7 @@ class XyTokenizerCodec(CodecModel):
     def _decode_impl(self, codes, n_q):
         return xy_decode_fn(self.params, codes, self.cfg)
 
-    def decode(self, codes, n_q: int = 0):
+    def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):
         """Chunked decode (reference: codec_xy_decode splits at
         chunk_code_length = post-RVQ pos-emb rows)."""
         codes = np.asarray(codes)
@@ -332,5 +332,5 @@ class XyTokenizerCodec(CodecModel):
             fn = self._jitted(("dec", chunk.shape),
                               lambda: lambda c: xy_decode_fn(self.params, c, self.cfg))
             pieces.append(np.asarray(jax.block_until_ready(fn(jnp.asarray(chunk.astype(np.int32))))))
-        pcm = np.concatenate(pieces, axis=1)
+        pcm = self._fmt_out_host(np.concatenate(pieces, axis=1), pcm_format)
         return pcm[0] if squeeze else pcm

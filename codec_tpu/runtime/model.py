@@ -380,6 +380,18 @@ class CodecModel:
         return np.asarray(pcm, np.float32)      # copy-free when already f32
 
     @staticmethod
+    def _fmt_out_host(pcm: np.ndarray, pcm_format: str) -> np.ndarray:
+        """Host-side counterpart of _fmt_out for decode overrides whose
+        graphs aren't routed through the base jit wrapper (chunked /
+        multi-stage decoders): identical write_wav formula."""
+        if pcm_format == "f32":
+            return np.asarray(pcm, np.float32)
+        if pcm_format == "i16":
+            return np.clip(np.rint(np.asarray(pcm, np.float32) * 32767.0),
+                           -32768, 32767).astype(np.int16)
+        raise CodecError(f"unknown pcm_format {pcm_format!r}")
+
+    @staticmethod
     def _fmt_out(pcm: jax.Array, pcm_format: str) -> jax.Array:
         """In-graph output formatting. "i16" converts to 16-bit PCM with
         the exact formula of io/wav.py::write_wav (round-half-even), so a

@@ -631,6 +631,11 @@ def main(argv=None) -> int:
     failed = 0
     import contextlib
     keep = os.environ.get("E2E_KEEP_TMP")
+    if keep and not os.path.isdir(keep):
+        # flag-style value ("1"): make a kept dir instead of treating the
+        # value as a path
+        keep = tempfile.mkdtemp(prefix="e2e_keep_")
+        print(f"# E2E_KEEP_TMP: keeping artifacts in {keep}", file=sys.stderr)
     ctx = contextlib.nullcontext(keep) if keep else tempfile.TemporaryDirectory()
     with ctx as tmp:
         for m in names:
