@@ -145,3 +145,21 @@ def test_decode_i16_matches_host_conversion(wt_gguf):
     assert np.abs(i.astype(np.int32) - host.astype(np.int32)).max() <= 1
     many = m.decode_many([codes], pcm_format="i16")[0]
     np.testing.assert_array_equal(i, many)
+
+
+def test_all_model_classes_accept_pcm_format():
+    """Every registered arch's decode/decode_latent (and any encode
+    override) must accept the keyword arguments the CLIs pass
+    unconditionally — regression for overrides missing pcm_format."""
+    import inspect
+
+    from codec_tpu.models import registry
+    from codec_tpu.models.registry import get_model_class, known_archs
+
+    for arch in known_archs():
+        cls = get_model_class(arch)
+        for meth in ("decode", "decode_latent"):
+            sig = inspect.signature(getattr(cls, meth))
+            assert "pcm_format" in sig.parameters, (arch, meth)
+        sig = inspect.signature(cls.encode)
+        assert "n_q" in sig.parameters, arch
