@@ -363,6 +363,81 @@ def _bench_tts_rda(fast: bool = False):
     return out
 
 
+def _bench_tts_rda_chunked(fast: bool = False):
+    """Chunked on-device generation (lm/fused_gen.py): K whole frames —
+    CSM-1B-shaped llama backbone step + fused depth-AR frame + feedback
+    compose — per device call, one packed fetch. This is the tts-cli
+    `--on-device --chunk-frames K` path; vs the per-frame rda section it
+    removes 2·K−2 dispatches per K frames."""
+    import jax.random as jr
+
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.backbone import BackboneConfig
+    from codec_tpu.lm.fused_gen import build_gen_chunk
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+
+    _FIXTURE_DIR.mkdir(exist_ok=True)
+    k_frames = 4 if fast else 16
+    iters = 2 if fast else 4
+    p = _FIXTURE_DIR / ("rda_smoke.gguf" if fast else "rda_csm1b.gguf")
+    if not p.exists():
+        if fast:
+            write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2,
+                           heads=2, kv=1, hdim=16, inter=64)
+        else:
+            write_rda_gguf(p)
+    lm = create_lm(GGUFReader(p))
+
+    if fast:
+        cfg = BackboneConfig(hidden=64, n_layers=2, n_heads=2, n_kv_heads=1,
+                             head_dim=16, ffn_dim=64, vocab_size=8,
+                             max_ctx=128)
+    else:
+        # Llama-1B shape (the CSM backbone): bf16 weights, 1024-slot KV
+        cfg = BackboneConfig(hidden=2048, n_layers=16, n_heads=32,
+                             n_kv_heads=8, head_dim=64, ffn_dim=8192,
+                             vocab_size=8, max_ctx=1024)
+    dtype = jnp.bfloat16
+    kbox = [jr.PRNGKey(0)]
+
+    def W(*s, off=0.0):
+        kbox[0], sub = jr.split(kbox[0])
+        return (jr.normal(sub, s, jnp.float32) * 0.02 + off).astype(dtype)
+
+    L, nh, nkv, hd, ffn, hid = (cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+                                cfg.head_dim, cfg.ffn_dim, cfg.hidden)
+    bb_params = {
+        "freq_factors": None,
+        "out_norm": W(hid, off=1.0),
+        "layers": {
+            "attn_norm": W(L, hid, off=1.0), "ffn_norm": W(L, hid, off=1.0),
+            "q": W(L, nh * hd, hid), "k": W(L, nkv * hd, hid),
+            "v": W(L, nkv * hd, hid), "o": W(L, hid, nh * hd),
+            "gate": W(L, ffn, hid), "up": W(L, ffn, hid),
+            "down": W(L, hid, ffn),
+        },
+    }
+    chunk = build_gen_chunk(lm, cfg, (0.0, 0, 1.0, 0.0), k_frames)
+
+    kv = jnp.zeros((L, 2, nkv, cfg.max_ctx, hd), dtype)
+    h = jr.normal(jr.PRNGKey(1), (hid,), jnp.float32) * 0.3
+    key = jr.PRNGKey(2)
+    packed, h, kv, key = chunk(bb_params, kv, np.int32(0), np.int32(0),
+                               h, key, np.int32(0))
+    np.asarray(packed)                               # compile + warm
+    rtt = _readback_rtt()
+    t0 = time.monotonic()
+    for _ in range(iters):
+        packed, h, kv, key = chunk(bb_params, kv, np.int32(0), np.int32(0),
+                                   h, key, np.int32(0))
+        np.asarray(packed)
+    wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) / (iters * k_frames)
+    return {"rda_chunked_frame_ms": round(wall * 1e3, 2),
+            "rda_chunked_rtf": round(wall / 0.080, 4),
+            "rda_chunk_frames": k_frames}
+
+
 def _bench_tts_ar(fast: bool = False):
     """All three TTS/AR sections (kept for CPU smoke compatibility)."""
     out = {}
@@ -512,6 +587,7 @@ def main():
     _section(tts, "cfm", _bench_tts_cfm)
     _section(tts, "flow", _bench_tts_flow)
     _section(tts, "rda", _bench_tts_rda)
+    _section(tts, "rda_chunked", _bench_tts_rda_chunked)
     extra["tts_ar"] = {k: v for d in tts.values()
                        for k, v in (d.items() if isinstance(d, dict) else [])}
     for name, d in tts.items():

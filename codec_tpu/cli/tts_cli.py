@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="vocode each AR frame through the streaming decoder "
                         "as it is generated (reports time-to-first-audio)")
+    p.add_argument("--on-device", action="store_true", dest="on_device",
+                   help="codebook-AR kinds: sample on-device (fused frame; "
+                        "the temperature/top-k chain then applies to every "
+                        "codebook, not just cb0) and, where the kind and "
+                        "backbone support it, chain --chunk-frames whole "
+                        "frames per device call")
+    p.add_argument("--chunk-frames", type=int, default=8,
+                   help="frames per device call with --on-device (1 = one "
+                        "fused frame per call)")
     return ap
 
 
@@ -198,7 +207,8 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
 
 
 def run_backbone_synthesize(model, reader, backbone_path, text: str,
-                            seed: int = 0, max_frames: int = 0, bb=None):
+                            seed: int = 0, max_frames: int = 0, bb=None,
+                            on_device: bool = False, chunk_frames: int = 8):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
     tts-cli over tts_runner_synthesize → run_codebook_ar,
     tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113).
@@ -288,8 +298,16 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
             prompt_embeds = [audio_lm.compose_prompt_embd(t) for t in ids]
         else:
             prompt_embeds = list(bb.embed_tokens(ids))
+        ods = None
+        if on_device:
+            from ..ops.sample import OnDeviceSampling
+
+            ods = OnDeviceSampling(temperature=pi.default_temperature,
+                                   top_k=pi.default_top_k, seed=seed,
+                                   chunk_frames=max(1, chunk_frames))
         res = run_codebook_ar(audio_lm, bb, prompt_embeds,
-                              max_steps=max_steps, sampler=sampler, pi=pi)
+                              max_steps=max_steps, sampler=sampler, pi=pi,
+                              on_device=ods)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
     if res.pcm is None:
@@ -347,7 +365,8 @@ def _run(args) -> int:
         if not isinstance(lm, FlowLM):
             pcm, n_frames, stop = run_backbone_synthesize(
                 model, reader, args.backbone, args.text,
-                seed=args.seed, max_frames=args.max_frames)
+                seed=args.seed, max_frames=args.max_frames,
+                on_device=args.on_device, chunk_frames=args.chunk_frames)
             write_wav(args.out, pcm, model.sample_rate)
             print(f"wrote {args.out}: {pcm.shape[0]} samples "
                   f"({n_frames} frames, stop={stop})")

@@ -224,9 +224,65 @@ class LlamaBackbone:
     # -- state -------------------------------------------------------------
     def reset(self) -> None:
         c = self.cfg
-        self.kv = jnp.zeros((c.n_layers, 2, c.n_kv_heads, c.max_ctx,
-                             c.head_dim), self.dtype)
+        kv = jnp.zeros((c.n_layers, 2, c.n_kv_heads, c.max_ctx,
+                        c.head_dim), self.dtype)
+        if getattr(self, "_kv_sharding", None) is not None:
+            kv = jax.device_put(kv, self._kv_sharding)
+        self.kv = kv
         self.pos = 0
+
+    # -- tensor parallelism --------------------------------------------------
+    def set_mesh(self, mesh, axis: str = "tp") -> None:
+        """Shard the backbone tensor-parallel over `mesh` (Megatron layout):
+        column-parallel q/k/v/gate/up, row-parallel o/down — XLA's SPMD
+        partitioner inserts the all-reduce after each row-parallel
+        contraction — and the KV cache split on its kv-head axis. Inputs
+        and per-token hiddens stay replicated, so `step`/`prefill`/the
+        fused generation chunk (lm/fused_gen.py) are unchanged: jit
+        follows the argument shardings.
+
+        Requires n_heads, n_kv_heads and ffn_dim divisible by the mesh
+        size (GQA groups stay chip-local). Packed-quantized weights
+        (quantized=True) are not supported — their Pallas matmuls would
+        need manual shard_map partitioning.
+
+        Reference contrast: the reference is single-device by design
+        (SURVEY §2.7); multi-chip TP on the TTS backbone is where a
+        billion-parameter host LLM benefits from ICI."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        c = self.cfg
+        ntp = int(mesh.shape[axis])
+        for name, dim in (("n_heads", c.n_heads), ("n_kv_heads", c.n_kv_heads),
+                          ("ffn_dim", c.ffn_dim)):
+            if dim % ntp:
+                raise ValueError(f"backbone TP: {name}={dim} not divisible "
+                                 f"by mesh size {ntp}")
+        if any(isinstance(self.params["layers"].get(k), dict)
+               for k in ("q", "k", "v", "o", "gate", "up", "down")):
+            raise ValueError("backbone TP: packed-quantized weights are "
+                             "not supported; load with quantized=False")
+
+        def sh(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        col, row = sh(None, axis, None), sh(None, None, axis)
+        specs = {"q": col, "k": col, "v": col, "gate": col, "up": col,
+                 "o": row, "down": row,
+                 "q_b": sh(None, axis), "k_b": sh(None, axis),
+                 "v_b": sh(None, axis)}
+        repl = sh()
+        layers = {k: jax.device_put(v, specs.get(k, repl))
+                  for k, v in self.params["layers"].items()}
+        self.params = {
+            **{k: (v if v is None or k == "layers"
+                   else jax.device_put(v, repl))
+               for k, v in self.params.items()},
+            "layers": layers,
+        }
+        self._kv_sharding = sh(None, None, axis, None, None)
+        self.kv = jax.device_put(self.kv, self._kv_sharding)
+        self._fns.clear()                 # recompile against new shardings
 
     def _fwd(self, t: int):
         fn = self._fns.get(t)

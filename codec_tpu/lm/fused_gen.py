@@ -1,0 +1,124 @@
+"""Fully on-device chunked AR generation for codebook-AR TTS.
+
+`run_codebook_ar`'s fused path still makes TWO device dispatches per
+frame (backbone step + fused LM frame); each dispatch on a relay-attached
+TPU carries a ~30 ms floor (docs/PERF.md), so the per-frame wall is
+transport-bound even though the device work is a few ms. This module
+chains the whole loop — fused depth-AR frame → EOS gate → feedback-embed
+compose → backbone step — inside ONE jitted `lax.while_loop` that runs up
+to K frames per device call and stops early at EOS, returning the emitted
+codes plus bookkeeping in a single packed fetch. Carried state (backbone
+KV cache, hidden, PRNG key) stays device-resident between chunks.
+
+Reference contrast: the reference host loop re-enters the host once per
+codebook per frame AND once per backbone step
+(/root/reference/common/tts_runner.cpp:707, run_codebook_ar); the
+round-2 fused frame cut that to 2 dispatches/frame; this cuts it to
+2/K dispatches per frame. Identical code streams: the frame fn and the
+`jax.random.split` sequence are exactly the ones the per-frame fused
+path uses, and the feedback compose matches `compose_next_embd`
+(reference: codec_lm_compose_next_embd, src/lm/lm.cpp:535).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# meta slots appended after the K*n_cb flattened codes
+_META = 3          # [n_emitted, stopped_by_eos, backbone_pos]
+
+
+def build_gen_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
+                    n_frames: int) -> Callable:
+    """Compile a K-frame generation chunk for an LM kind exposing
+    `_build_frame(chain)` + `compose_embd_fn()` (residual_depth_ar today).
+
+    Returns fn(bb_params, kv, pos0, base_frame, h, key, text_ctx) →
+    (packed int32 [K*n_cb + 3], h', kv', key') where packed =
+    codes.flatten() ++ [n_emitted, stopped, pos_after]. Rows past
+    n_emitted are unwritten (the loop exits at EOS); `pos_after` is the
+    backbone position after the last feedback step (the EOS frame takes
+    none, matching the host loop which breaks before `backbone.step`).
+
+    `kv` is donated — pass the previous chunk's return (or the backbone's
+    current cache) and treat it as consumed.
+    """
+    from ..runtime.jit_weights import array_attrs, jit_weighted
+    from .backbone import backbone_forward
+
+    frame = lm._build_frame(chain)
+    compose = lm.compose_embd_fn()
+    info = lm.info
+    eos_code = int(info.eos_code_c0)
+    eos_min = int(info.eos_min_step)
+    n_cb = int(info.n_codebook)
+    k_frames = int(n_frames)
+
+    def chunk(bb_params, kv, pos0, base_frame, h, key, text_ctx):
+        buf0 = jnp.zeros((k_frames, n_cb), jnp.int32)
+        kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
+
+        def cond(s):
+            return jnp.logical_and(s[0] < k_frames, jnp.logical_not(s[1]))
+
+        def body(s):
+            i, _done, h, kv, pos, key, buf = s
+            key, sub = jax.random.split(key)
+            codes = frame(h, sub, text_ctx)
+            if eos_code >= 0:
+                is_eos = jnp.logical_and(codes[0] == eos_code,
+                                         base_frame + i >= eos_min)
+            else:
+                is_eos = jnp.bool_(False)
+            buf = jax.lax.dynamic_update_slice(buf, codes[None], (i, 0))
+
+            def advance(op):
+                h_in, kv_in = op
+                emb = compose(codes).astype(kv_dtype)
+                h2, kv2 = backbone_forward(bb_params, kv_in, pos,
+                                           emb[None], bb_cfg)
+                return h2[0].astype(jnp.float32), kv2
+
+            h, kv = jax.lax.cond(is_eos, lambda op: op, advance, (h, kv))
+            pos = pos + jnp.where(is_eos, 0, 1)
+            return (i + 1, is_eos, h, kv, pos, key, buf)
+
+        i, done, h, kv, pos, key, buf = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.bool_(False), h, kv,
+             jnp.asarray(pos0, jnp.int32), key, buf0))
+        meta = jnp.stack([i, done.astype(jnp.int32), pos])
+        packed = jnp.concatenate([buf.reshape(-1), meta])
+        return packed, h, kv, key
+
+    return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
+
+
+def gen_chunk_cached(lm, backbone, *, n_frames: int,
+                     temperature: float = 0.0, top_k: int = 0,
+                     top_p: float = 1.0, min_p: float = 0.0) -> Callable:
+    """Per-LM cache over build_gen_chunk, keyed by (sampler chain, K,
+    backbone shape). Backbone weights ride as explicit jit arguments, so
+    one compiled chunk serves any checkpoint of the same config."""
+    chain = (float(temperature), int(top_k), float(top_p), float(min_p))
+    cache = getattr(lm, "_gen_chunk_cache", None)
+    if cache is None:
+        cache = lm._gen_chunk_cache = {}
+    key = (chain, int(n_frames), repr(backbone.cfg))
+    fn = cache.get(key)
+    if fn is None:
+        fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames)
+        cache[key] = fn
+    return fn
+
+
+def supports_gen_chunk(lm: Any, backbone: Any) -> bool:
+    """The chunked loop needs a traceable frame + compose on the LM kind
+    and a JAX backbone with functional KV (the tts_runner Backbone
+    protocol alone — an opaque host LLM — cannot be chained in-graph)."""
+    return (hasattr(lm, "_build_frame") and hasattr(lm, "compose_embd_fn")
+            and hasattr(backbone, "params") and hasattr(backbone, "kv")
+            and hasattr(backbone, "cfg"))

@@ -432,6 +432,33 @@ class ResidualDepthArLM(CodecLM):
                 out += np.asarray(self.audio_embds[i][c])
         return out
 
+    def compose_embd_fn(self):
+        """Traceable analog of compose_audio_embd for the fused generation
+        chunk (lm/fused_gen.py): codes [n_codebook] int32 → composed
+        feedback embedding. Sampled codes are always in-range, so the host
+        path's c>=0 pad guard is unnecessary here. Attributes are read
+        inside the traced body so jit_weighted can swap argument leaves in."""
+        if self.compose_table is not None:
+            stride = int(self.compose_stride)
+
+            def compose(codes):
+                offs = jnp.arange(codes.shape[0], dtype=codes.dtype) * stride
+                return self.compose_table[codes + offs].sum(0)
+
+            return compose
+
+        live = [i for i, t in enumerate(self.audio_embds) if t is not None]
+        if not live:
+            raise LmError("compose_embd_fn: no audio embedding tables")
+
+        def compose(codes):
+            acc = self.audio_embds[live[0]][codes[live[0]]]
+            for i in live[1:]:
+                acc = acc + self.audio_embds[i][codes[i]]
+            return acc
+
+        return compose
+
     # -- Qwen3-TTS talker helpers -----------------------------------------
     def text_proj_dim(self) -> int:
         return int(self.tp_fc2_w.shape[0]) if self.tp_fc2_w is not None else 0

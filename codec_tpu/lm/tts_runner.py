@@ -503,6 +503,56 @@ def run_codebook_ar(
 
     stopped = False
     steps = 0
+
+    chunk_n = int(getattr(on_device, "chunk_frames", 1) or 1) \
+        if on_device is not None else 1
+    if fused is not None and chunk_n > 1:
+        from .fused_gen import supports_gen_chunk
+
+        if not supports_gen_chunk(audio_lm.lm, backbone):
+            chunk_n = 1
+    if fused is not None and chunk_n > 1:
+        # Chunked on-device loop: K frames (LM frame + feedback compose +
+        # backbone step) per device call, early-exit at EOS, one packed
+        # fetch per chunk (lm/fused_gen.py). Code stream identical to the
+        # per-frame fused path below.
+        import jax.numpy as jnp
+
+        from .fused_gen import gen_chunk_cached
+
+        chunk_fn = gen_chunk_cached(
+            audio_lm.lm, backbone, n_frames=chunk_n,
+            temperature=on_device.temperature, top_k=on_device.top_k,
+            top_p=on_device.top_p, min_p=on_device.min_p)
+        n_cb = audio_lm.n_codebook
+        kv = backbone.kv
+        pos = backbone.pos
+        hd = jnp.asarray(np.asarray(h, np.float32))
+        tc = st.text_context if st.text_context is not None else 0
+        while steps < max_steps and not stopped:
+            packed, hd, kv, fused_key = chunk_fn(
+                backbone.params, kv, np.int32(pos),
+                np.int32(st.frame_counter), hd, fused_key, np.int32(tc))
+            arr = np.asarray(packed)
+            n_emit = int(arr[-3])
+            pos = int(arr[-1])
+            if n_emit == 0:                      # no progress: bail out
+                break
+            frames = arr[: chunk_n * n_cb].reshape(chunk_n, n_cb)[:n_emit]
+            for row in frames:
+                codes = st.push_frame(row)
+                steps += 1
+                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                    stopped = True
+                    break
+                if steps >= max_steps:
+                    break
+        # hand the device-resident state back for the delay-flush path
+        # (h itself is only ever reassigned below, no fetch needed)
+        backbone.kv = kv
+        backbone.pos = pos
+        max_steps = 0                            # skip the per-frame loop
+
     for _ in range(max_steps):
         if fused is not None:
             fused_key, sub = jax.random.split(fused_key)

@@ -80,9 +80,15 @@ def sample_logits(logits: jax.Array, key: jax.Array, *,
 class OnDeviceSampling:
     """Marker config for AR runners: requests the fused on-device frame
     step (one device call per frame) instead of the host sampler chain.
-    Seed feeds a jax PRNG split per frame/codebook."""
+    Seed feeds a jax PRNG split per frame/codebook.
+
+    `chunk_frames` > 1 additionally chains up to that many whole frames
+    (LM frame + EOS gate + feedback compose + backbone step) inside one
+    device call (lm/fused_gen.py) when the kind and backbone support it —
+    same code stream as chunk_frames=1, ~1/K the dispatch overhead."""
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
     min_p: float = 0.0
     seed: int = 0xC0DEC1AB
+    chunk_frames: int = 1

@@ -280,7 +280,9 @@ class CodecHTTPServer:
                             outer.model, outer.reader, outer.backbone_path,
                             text, seed=int(req.get("seed", 0)),
                             max_frames=int(req.get("max_frames", 0)),
-                            bb=outer.backbone)
+                            bb=outer.backbone,
+                            on_device=bool(req.get("on_device", False)),
+                            chunk_frames=int(req.get("chunk_frames", 8)))
                 else:
                     raise ValueError(
                         "synthesize needs a flow_lm model GGUF (self-"

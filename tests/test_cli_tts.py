@@ -263,6 +263,23 @@ def test_tts_cli_synthesize_backbone(mimi_rda_and_backbone, tmp_path, capsys):
     assert "backbone AR done" in capsys.readouterr().out
 
 
+def test_tts_cli_synthesize_backbone_on_device(mimi_rda_and_backbone,
+                                               tmp_path, capsys):
+    """--on-device --chunk-frames: the chunked fused generation loop
+    (lm/fused_gen.py) through the CLI surface."""
+    from codec_tpu.cli.tts_cli import main
+
+    model_path, bb_path = mimi_rda_and_backbone
+    out = tmp_path / "bb_dev.wav"
+    assert main(["synthesize", "--model", str(model_path),
+                 "--backbone", str(bb_path), "--text", "hello there",
+                 "--out", str(out), "--max-frames", "5",
+                 "--on-device", "--chunk-frames", "3"]) == 0
+    pcm, sr = read_wav(out)
+    assert sr == 24000 and pcm.shape[0] > 0
+    assert "backbone AR done" in capsys.readouterr().out
+
+
 def test_tts_cli_synthesize_backbone_quant_exec(mimi_rda_and_backbone,
                                                  tmp_path, capsys,
                                                  monkeypatch):

@@ -242,3 +242,153 @@ def test_push_frame_validates(rda_gguf):
         st.push_frame([SIZES[0]] + [0] * (N_CB - 1))   # out of range
     got = st.push_frame([1] * N_CB)
     assert got == [1] * N_CB and st.frame_counter == 1
+
+
+# ---------------------------------------------------------------------------
+# chunked on-device generation (lm/fused_gen.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_backbone_gguf(tmp_path_factory):
+    """A real (tiny) llama backbone GGUF with hidden == the RDA fixtures' H,
+    for the chunked generation loop (which needs functional KV)."""
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.convert import get_converter
+
+    torch.manual_seed(3)
+    cfg = LlamaConfig(
+        hidden_size=H, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        vocab_size=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128)
+    hf = LlamaModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("bb") / "bb.gguf"
+    conv.convert_and_save(path)
+    return path
+
+
+def _fresh_backbone(path):
+    from codec_tpu.lm.backbone import create_backbone
+
+    return create_backbone(path, max_ctx=64)
+
+
+@pytest.mark.parametrize("ods", [
+    OnDeviceSampling(chunk_frames=3),                      # greedy
+    OnDeviceSampling(temperature=0.8, top_k=5, seed=11, chunk_frames=3),
+])
+def test_gen_chunk_matches_per_frame(rda_gguf, tiny_backbone_gguf, ods):
+    """Chunked loop (chunk not dividing max_steps) emits the exact code
+    stream of the per-frame fused path: same frame fn, same PRNG splits,
+    same feedback compose."""
+    import dataclasses
+
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    path, _ = rda_gguf
+    rng = np.random.default_rng(4)
+    prompt = [rng.standard_normal(H).astype(np.float32) * 0.3]
+
+    per_frame = dataclasses.replace(ods, chunk_frames=1)
+    ref = run_codebook_ar(AudioLM(GGUFReader(path)),
+                          _fresh_backbone(tiny_backbone_gguf), prompt,
+                          max_steps=5, decode=False, on_device=per_frame)
+    got = run_codebook_ar(AudioLM(GGUFReader(path)),
+                          _fresh_backbone(tiny_backbone_gguf), prompt,
+                          max_steps=5, decode=False, on_device=ods)
+    np.testing.assert_array_equal(ref.codes, got.codes)
+    assert got.n_steps == ref.n_steps
+    assert got.stopped_by_eos == ref.stopped_by_eos
+
+
+def test_gen_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
+                                 tmp_path_factory):
+    """EOS landing inside a chunk: the loop exits early, records the EOS
+    frame, takes no backbone step for it, and matches the per-frame path.
+    A zeroed c0 head makes greedy c0 always 0; with eos_code_c0=0 and
+    eos_min_step=2 generation stops at the third frame."""
+    import dataclasses
+
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    _, tensors = rda_gguf
+    path = tmp_path_factory.mktemp("rda_eos") / "rda_eos.gguf"
+    w = GGUFWriter(path, "mimi")
+    _write_base(w)
+    w.add_bool("codec.lm.has_adaptor", True)
+    w.add_string("codec.lm.kind", "residual_depth_ar")
+    w.add_string("codec.lm.host_arch", "llama")
+    w.add_uint32("codec.lm.hidden_dim", H)
+    w.add_uint32("codec.lm.audio_embed_dim", H)
+    w.add_uint32("codec.lm.n_codebook", N_CB)
+    w.add_array("codec.lm.codebook_sizes", SIZES)
+    w.add_array("codec.lm.delay_pattern", [0] * N_CB)
+    w.add_int32("codec.lm.eos_code_c0", 0)
+    w.add_int32("codec.lm.eos_min_step", 2)
+    w.add_uint32("codec.lm.residual.depth_layers", DLAYERS)
+    w.add_uint32("codec.lm.residual.depth_hidden", DH)
+    w.add_uint32("codec.lm.residual.depth_n_heads", DHEADS)
+    w.add_uint32("codec.lm.residual.depth_n_kv_heads", DKV)
+    w.add_uint32("codec.lm.residual.depth_head_dim", DHD)
+    w.add_uint32("codec.lm.residual.depth_intermediate", DINTER)
+    w.add_float32("codec.lm.residual.depth_rope_theta", 10000.0)
+    w.add_float32("codec.lm.residual.depth_rms_norm_eps", 1e-5)
+    w.add_bool("codec.lm.residual.depth_has_in_proj", True)
+    w.add_bool("codec.lm.residual.depth_has_qk_norm", False)
+    w.add_bool("codec.lm.residual.depth_has_output_norm", True)
+    w.add_bool("codec.lm.residual.depth_use_rope", True)
+    w.add_string("codec.lm.residual.c0_input_modality", "audio")
+    for name, t in tensors.items():
+        if name == "lm.c0_head.weight":
+            t = torch.zeros_like(t)
+        w.add_tensor(name, t.numpy())
+    w.write()
+
+    prompt = [np.full(H, 0.1, np.float32)]
+    chunked = OnDeviceSampling(chunk_frames=8)
+    ref = run_codebook_ar(AudioLM(GGUFReader(path)),
+                          _fresh_backbone(tiny_backbone_gguf), prompt,
+                          max_steps=16, decode=False,
+                          on_device=dataclasses.replace(chunked,
+                                                        chunk_frames=1))
+    got = run_codebook_ar(AudioLM(GGUFReader(path)),
+                          _fresh_backbone(tiny_backbone_gguf), prompt,
+                          max_steps=16, decode=False, on_device=chunked)
+    assert ref.stopped_by_eos and got.stopped_by_eos
+    assert ref.n_steps == got.n_steps == 3        # eos gate at min_step=2
+    np.testing.assert_array_equal(ref.codes, got.codes)
+
+
+def test_gen_chunk_stub_backbone_falls_back(rda_gguf):
+    """A host-only backbone (no functional KV) silently uses the per-frame
+    fused path — chunk_frames is a fast-path request, not a contract."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+    from test_audio_lm import StubBackbone
+
+    path, _ = rda_gguf
+    prompt = [np.random.default_rng(1).standard_normal(H).astype(np.float32)]
+    ref = run_codebook_ar(AudioLM(GGUFReader(path)), StubBackbone(H, seed=2),
+                          prompt, max_steps=4, decode=False,
+                          on_device=OnDeviceSampling())
+    got = run_codebook_ar(AudioLM(GGUFReader(path)), StubBackbone(H, seed=2),
+                          prompt, max_steps=4, decode=False,
+                          on_device=OnDeviceSampling(chunk_frames=4))
+    np.testing.assert_array_equal(ref.codes, got.codes)
+
+
+def test_compose_embd_fn_matches_host(rda_gguf):
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    fn = lm.compose_embd_fn()
+    rng = np.random.default_rng(7)
+    codes = np.asarray([rng.integers(0, s) for s in SIZES], np.int32)
+    got = np.asarray(fn(jnp.asarray(codes)))
+    want = lm.compose_audio_embd([int(c) for c in codes])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

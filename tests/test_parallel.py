@@ -269,3 +269,108 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(N_DEV)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism: the TTS backbone (lm/backbone.py set_mesh)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tp_backbone_gguf(tmp_path_factory):
+    """Tiny llama backbone whose head/kv/ffn dims divide the 8-device mesh
+    (heads=8, kv_heads=8, ffn=64)."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.convert import get_converter
+
+    torch.manual_seed(5)
+    cfg = LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, head_dim=4,
+        vocab_size=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64)
+    hf = LlamaModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("tp") / "bb.gguf"
+    conv.convert_and_save(path)
+    return path
+
+
+def test_tp_backbone_matches_single_and_partitions(tp_backbone_gguf):
+    """Megatron-sharded backbone: prefill+step outputs match the
+    single-device backbone, weights/KV are device-sharded, and the
+    compiled step HLO contains the row-parallel all-reduce (proof the
+    matmuls really partition over the mesh)."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    embeds = rng.standard_normal((5, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(tp_backbone_gguf, max_ctx=32)
+    want_prefill = ref.prefill(embeds)
+    want_step = ref.step(embeds[0])
+
+    tp = create_backbone(tp_backbone_gguf, max_ctx=32)
+    tp.set_mesh(make_mesh(N_DEV, axis="tp"), axis="tp")
+    q_sh = tp.params["layers"]["q"].sharding
+    assert len(q_sh.device_set) == N_DEV and not q_sh.is_fully_replicated
+    assert len(tp.kv.sharding.device_set) == N_DEV
+    got_prefill = tp.prefill(embeds)
+    got_step = tp.step(embeds[0])
+    np.testing.assert_allclose(got_prefill, want_prefill, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got_step, want_step, atol=1e-4, rtol=1e-4)
+
+    fn = tp._fwd(1)
+    hlo = fn.lower(tp.params, tp.kv, tp.pos,
+                   jnp.asarray(embeds[:1], tp.dtype)).compile().as_text()
+    assert "all-reduce" in hlo, "TP backbone step HLO has no all-reduce"
+
+    # KV stays sharded across steps and reset
+    assert len(tp.kv.sharding.device_set) == N_DEV
+    tp.reset()
+    assert len(tp.kv.sharding.device_set) == N_DEV
+
+
+def test_tp_backbone_rejects_indivisible(tp_backbone_gguf):
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    bb.cfg.n_kv_heads = 3                      # 3 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        bb.set_mesh(make_mesh(N_DEV, axis="tp"), axis="tp")
+
+
+def test_tp_gen_chunk_matches_unsharded(tp_backbone_gguf, tmp_path_factory):
+    """The chunked on-device generation loop (lm/fused_gen.py) over a
+    TP-sharded backbone: whole AR generation — LM frame + backbone step —
+    runs tensor-parallel in one compiled while_loop and emits the same
+    codes as the unsharded chunked run."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.ops.sample import OnDeviceSampling
+    from codec_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path_factory.mktemp("tp_gen") / "rda.gguf"
+    write_rda_gguf(p, h=32, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    prompt = [np.full(32, 0.1, np.float32)]
+    ods = OnDeviceSampling(chunk_frames=3)
+
+    ref_bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    ref = run_codebook_ar(AudioLM(GGUFReader(p)), ref_bb, prompt,
+                          max_steps=5, decode=False, on_device=ods)
+
+    tp_bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    tp_bb.set_mesh(make_mesh(N_DEV, axis="tp"), axis="tp")
+    got = run_codebook_ar(AudioLM(GGUFReader(p)), tp_bb, prompt,
+                          max_steps=5, decode=False, on_device=ods)
+    np.testing.assert_array_equal(ref.codes, got.codes)
+    assert got.n_steps == ref.n_steps
