@@ -278,11 +278,21 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     elif pi.streaming_interleave:       # MOSS-TTS-Realtime
         from ..lm.tts_runner import run_realtime_streaming
 
+        ods = None
+        if on_device:
+            from ..ops.sample import OnDeviceSampling
+
+            ods = OnDeviceSampling(
+                temperature=pi.default_temperature, top_k=pi.default_top_k,
+                top_p=pi.default_top_p,
+                repetition_penalty=pi.default_repetition_penalty,
+                repetition_window=pi.repetition_window,
+                seed=seed, chunk_frames=max(1, chunk_frames))
         res = run_realtime_streaming(
             audio_lm, bb, lambda tok: bb.embed_tokens([tok])[0],
             ctx_tokens=ids[: max(1, len(ids) - pi.prefill_text_len)],
             text_tokens=ids[max(1, len(ids) - pi.prefill_text_len):] or ids,
-            pi=pi, max_frames=max_steps)
+            pi=pi, max_frames=max_steps, on_device=ods)
     else:                               # CSM / Qwen3 / MOSS-TTSD
         chain = SamplerChain(seed=seed, temperature=pi.default_temperature,
                              top_k=pi.default_top_k)

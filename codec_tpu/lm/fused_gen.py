@@ -97,20 +97,104 @@ def build_gen_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
     return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
 
 
+def build_stream_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
+                       rep: Tuple[float, int], n_frames: int) -> Callable:
+    """K-frame chunk of the realtime streaming interleave (reference:
+    run_realtime_streaming, tts_runner.cpp:490; host analog
+    lm/tts_runner.py). Differences from build_gen_chunk: per-codebook
+    repetition-penalty history rides in the carry (`rep=(penalty,
+    window)`, see `_build_frame_rp`), and each non-EOS frame's backbone
+    input row is tok_embd[text_sched[i]] + compose(codes) — the text side
+    of the text⊕audio interleave, scheduled by the host per chunk.
+
+    Returns fn(bb_params, kv, pos0, base_frame, h, key, hist, text_sched)
+    → (packed int32 [K*n_cb + 3], h', kv', key', hist'); packed layout as
+    build_gen_chunk. `text_sched` is int32 [K] (pad-filled past the spoken
+    text); `kv` is donated.
+    """
+    from ..runtime.jit_weights import array_attrs, jit_weighted
+    from .backbone import backbone_forward
+
+    frame = lm._build_frame(chain, rep=rep)
+    compose = lm.compose_embd_fn()
+    info = lm.info
+    eos_code = int(info.eos_code_c0)
+    eos_min = int(info.eos_min_step)
+    n_cb = int(info.n_codebook)
+    k_frames = int(n_frames)
+
+    def chunk(bb_params, kv, pos0, base_frame, h, key, hist, text_sched):
+        buf0 = jnp.zeros((k_frames, n_cb), jnp.int32)
+        kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
+
+        def cond(s):
+            return jnp.logical_and(s[0] < k_frames, jnp.logical_not(s[1]))
+
+        def body(s):
+            i, _done, h, kv, pos, key, hist, buf = s
+            key, sub = jax.random.split(key)
+            codes, hist = frame(h, sub, jnp.int32(0), hist)
+            if eos_code >= 0:
+                is_eos = jnp.logical_and(codes[0] == eos_code,
+                                         base_frame + i >= eos_min)
+            else:
+                is_eos = jnp.bool_(False)
+            buf = jax.lax.dynamic_update_slice(buf, codes[None], (i, 0))
+
+            def advance(op):
+                h_in, kv_in = op
+                emb = (bb_params["tok_embd"][text_sched[i]].astype(jnp.float32)
+                       + compose(codes)).astype(kv_dtype)
+                h2, kv2 = backbone_forward(bb_params, kv_in, pos,
+                                           emb[None], bb_cfg)
+                return h2[0].astype(jnp.float32), kv2
+
+            h, kv = jax.lax.cond(is_eos, lambda op: op, advance, (h, kv))
+            pos = pos + jnp.where(is_eos, 0, 1)
+            return (i + 1, is_eos, h, kv, pos, key, hist, buf)
+
+        i, done, h, kv, pos, key, hist, buf = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.bool_(False), h, kv,
+             jnp.asarray(pos0, jnp.int32), key, hist, buf0))
+        meta = jnp.stack([i, done.astype(jnp.int32), pos])
+        packed = jnp.concatenate([buf.reshape(-1), meta])
+        return packed, h, kv, key, hist
+
+    return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
+
+
+def init_rep_hist(lm, window: int):
+    """Fresh repetition-penalty history for build_stream_chunk's carry:
+    a (−1-filled ring [n_cb, window], slot pointer) for window > 0, or a
+    seen-mask [n_cb, max vocab] for window < 0."""
+    n_cb = int(lm.info.n_codebook)
+    if window > 0:
+        return (jnp.full((n_cb, int(window)), -1, jnp.int32), jnp.int32(0))
+    return jnp.zeros((n_cb, max(lm.info.codebook_sizes)), bool)
+
+
 def gen_chunk_cached(lm, backbone, *, n_frames: int,
                      temperature: float = 0.0, top_k: int = 0,
-                     top_p: float = 1.0, min_p: float = 0.0) -> Callable:
-    """Per-LM cache over build_gen_chunk, keyed by (sampler chain, K,
-    backbone shape). Backbone weights ride as explicit jit arguments, so
-    one compiled chunk serves any checkpoint of the same config."""
+                     top_p: float = 1.0, min_p: float = 0.0,
+                     rep: Tuple[float, int] | None = None,
+                     stream: bool = False) -> Callable:
+    """Per-LM cache over build_gen_chunk / build_stream_chunk, keyed by
+    (sampler chain, rep, K, flavor, backbone shape). Backbone weights ride
+    as explicit jit arguments, so one compiled chunk serves any checkpoint
+    of the same config."""
     chain = (float(temperature), int(top_k), float(top_p), float(min_p))
     cache = getattr(lm, "_gen_chunk_cache", None)
     if cache is None:
         cache = lm._gen_chunk_cache = {}
-    key = (chain, int(n_frames), repr(backbone.cfg))
+    key = (chain, rep, int(n_frames), stream, repr(backbone.cfg))
     fn = cache.get(key)
     if fn is None:
-        fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames)
+        if stream:
+            fn = build_stream_chunk(lm, backbone.cfg, chain,
+                                    rep or (1.0, 0), n_frames)
+        else:
+            fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames)
         cache[key] = fn
     return fn
 

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..ops import attn, norms, rope
-from ..ops.sample import sample_logits
+from ..ops.sample import (apply_repetition_penalty, sample_logits,
+                          seen_mask_from_ring)
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -327,12 +328,26 @@ class ResidualDepthArLM(CodecLM):
         self._fused_cache[key] = fn
         return fn
 
-    def _build_frame(self, chain):
+    def _build_frame(self, chain, rep=None):
         """The un-jitted single-stream frame fn for the given sampler chain
-        (shared by fused_frame and fused_frame_batched)."""
+        (shared by fused_frame and fused_frame_batched).
+
+        `rep=(penalty, window)` builds the repetition-penalized variant for
+        the realtime-streaming chunk (lm/fused_gen.py): the returned fn is
+        frame(h, key, text_ctx, hist) → (codes, hist'), where hist is a
+        per-codebook history ring [n_cb, window] int32 (window > 0, empty
+        slots −1, plus a slot pointer) or a persistent seen-mask
+        [n_cb, V] bool (window < 0). Penalty hits raw logits before the
+        temperature chain and is skipped entirely at temperature <= 0 —
+        both matching the host SamplerChain (lm/tts_runner.py:126-138);
+        history still advances so greedy and sampled runs carry the same
+        state shape."""
         n, off, n_dh, heads, sizes, pre_w, pre_m, tabs_s = self._fused_consts()
         info = self.info
         row_dim = info.audio_embed_dim
+
+        if rep is not None:
+            return self._build_frame_rp(chain, rep)
 
         def sample(lg, key):
             return sample_logits(lg, key, temperature=chain[0], top_k=chain[1],
@@ -379,6 +394,78 @@ class ResidualDepthArLM(CodecLM):
                 return buf, c
             _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
             return codes.at[off:].set(depth_codes) if off else depth_codes
+
+        return frame
+
+    def _build_frame_rp(self, chain, rep):
+        """Repetition-penalized frame variant (contract in _build_frame)."""
+        n, off, n_dh, _, _, _, _, _ = self._fused_consts()
+        info = self.info
+        row_dim = info.audio_embed_dim
+        pen, window = float(rep[0]), int(rep[1])
+        vmax = max(info.codebook_sizes)
+        use_pen = chain[0] > 0.0 and pen != 1.0 and window != 0
+
+        def sample(lg, key, seen_row):
+            if use_pen:
+                lg = apply_repetition_penalty(lg, seen_row[: lg.shape[0]], pen)
+            return sample_logits(lg, key, temperature=chain[0], top_k=chain[1],
+                                 top_p=chain[2], min_p=chain[3])
+
+        def frame(h, key, text_ctx, hist):
+            _, _, _, heads, sizes, pre_w, pre_m, tabs_s = \
+                self._fused_consts_cache
+            if window > 0:
+                rings, ptr = hist
+                seen = jax.vmap(
+                    lambda r: seen_mask_from_ring(r, vmax))(rings) \
+                    if use_pen else None
+            else:
+                seen = hist if use_pen else None
+            keys = jax.random.split(key, n)
+            buf = jnp.zeros((n, row_dim), jnp.float32)
+            codes = jnp.zeros((n,), jnp.int32)
+            if not self.in_proj_per_pos:
+                buf = buf.at[0, : info.hidden_dim].set(h)
+            elif self.c0_is_text:
+                buf = buf.at[0].set(self.text_embd[text_ctx])
+            if not self.depth_emits_c0:
+                c0 = sample(self.c0_head @ h, keys[0],
+                            None if seen is None else seen[0])
+                codes = codes.at[0].set(c0)
+                if n > 1:
+                    buf = buf.at[1].set(self.audio_embds[0][c0])
+            if n_dh:
+                def body(carry, i):
+                    buf = carry
+                    x = self._depth_trunk(buf, h)
+                    row = x[i + off]
+                    if pre_w is not None:
+                        row = jnp.where(
+                            pre_m[i],
+                            norms.rms_norm(row, pre_w[i], self.rms_eps), row)
+                    lg = heads[i] @ row
+                    lg = jnp.where(jnp.arange(lg.shape[0]) < sizes[i],
+                                   lg, -jnp.inf)
+                    c = sample(lg, keys[i + off],
+                               None if seen is None else seen[i + off])
+                    if tabs_s is not None:
+                        emb = tabs_s[jnp.minimum(i, tabs_s.shape[0] - 1)][c]
+                        nxt = jax.lax.dynamic_update_slice(buf, emb[None],
+                                                           (i + off + 1, 0))
+                        buf = jnp.where(i < n_dh - 1, nxt, buf)
+                    return buf, c
+
+                _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
+                codes = codes.at[off:].set(depth_codes) if off else depth_codes
+            # history advances even when the penalty is inert (greedy /
+            # penalty 1.0): the carried state keeps one shape per window
+            if window > 0:
+                rings = rings.at[:, ptr % window].set(codes)
+                hist = (rings, ptr + 1)
+            else:
+                hist = hist.at[jnp.arange(n), codes].set(True)
+            return codes, hist
 
         return frame
 

@@ -182,13 +182,23 @@ def run_realtime_streaming(
     max_frames: int = 1024,
     samplers: Optional[Sequence[Callable[[np.ndarray], int]]] = None,
     decode: bool = True,
+    on_device: "OnDeviceSampling | None" = None,
 ) -> SynthesisResult:
     """MOSS-TTS-Realtime streaming interleave (reference:
     run_realtime_streaming, tts_runner.cpp:490). Each backbone input row is
     text_embd[token] + compose_audio_embd(codes); the prompt prefill pads
     the audio channel, the last prefill row carries the BOS code, then the
     spoken text streams one token per generated audio frame (padded out
-    with text_pad once exhausted). `pi` is a PromptInfo."""
+    with text_pad once exhausted). `pi` is a PromptInfo.
+
+    `on_device` with chunk_frames > 1 and a JAX backbone runs the loop as
+    K-frame device chunks (lm/fused_gen.py build_stream_chunk): fused
+    frame with per-codebook repetition penalty (on_device.repetition_*;
+    ring/mask history carried on device), text⊕audio compose and backbone
+    step all in one lax.while_loop per chunk. `samplers` is then unused —
+    the sampler chain is on_device's, and the text schedule must be a
+    concrete token list (text_embd_fn must be the backbone's tok_embd
+    lookup, which it is for every caller)."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
     audio_lm.reset()
@@ -222,6 +232,59 @@ def run_realtime_streaming(
     text_idx = prefill_n
     stopped = False
     steps = 0
+
+    chunk_n = int(getattr(on_device, "chunk_frames", 1) or 1) \
+        if on_device is not None else 1
+    if chunk_n > 1:
+        from .fused_gen import supports_gen_chunk
+
+        if not (supports_gen_chunk(audio_lm.lm, backbone)
+                and hasattr(audio_lm.lm, "_build_frame_rp")):
+            chunk_n = 1
+    if chunk_n > 1:
+        import jax
+        import jax.numpy as jnp
+
+        from .fused_gen import gen_chunk_cached, init_rep_hist
+
+        rep = (float(on_device.repetition_penalty),
+               int(on_device.repetition_window))
+        chunk_fn = gen_chunk_cached(
+            audio_lm.lm, backbone, n_frames=chunk_n, stream=True, rep=rep,
+            temperature=on_device.temperature, top_k=on_device.top_k,
+            top_p=on_device.top_p, min_p=on_device.min_p)
+        hist = init_rep_hist(audio_lm.lm, rep[1])
+        key = jax.random.PRNGKey(on_device.seed)
+        kv = backbone.kv
+        pos = backbone.pos
+        hd = jnp.asarray(np.asarray(h, np.float32))
+        while steps < max_frames and not stopped:
+            sched = np.asarray(
+                [text_tokens[text_idx + j] if text_idx + j < len(text_tokens)
+                 else pi.text_pad_id for j in range(chunk_n)], np.int32)
+            packed, hd, kv, key, hist = chunk_fn(
+                backbone.params, kv, np.int32(pos),
+                np.int32(st.frame_counter), hd, key, hist,
+                jnp.asarray(sched))
+            arr = np.asarray(packed)
+            n_emit = int(arr[-3])
+            pos = int(arr[-1])
+            if n_emit == 0:
+                break
+            rows = arr[: chunk_n * n_cb].reshape(chunk_n, n_cb)[:n_emit]
+            for row in rows:
+                codes = st.push_frame(row)
+                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                    stopped = True
+                    break
+                steps += 1
+                text_idx += 1
+                if steps >= max_frames:
+                    break
+        backbone.kv = kv
+        backbone.pos = pos
+        max_frames = 0                           # skip the per-frame loop
+
     for _ in range(max_frames):
         st.step_begin(np.asarray(h, np.float32))
         for cb in range(n_cb):

@@ -57,6 +57,26 @@ def _apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(logits >= kth, logits, _NEG)
 
 
+def apply_repetition_penalty(logits: jax.Array, seen: jax.Array,
+                             penalty: float) -> jax.Array:
+    """llama-style repetition penalty on raw logits (host analog:
+    SamplerChain, lm/tts_runner.py — positive seen logits are divided by
+    the penalty, negative ones multiplied). `seen` is a boolean mask over
+    the vocab (True = token appeared in the penalized history window)."""
+    if penalty == 1.0:
+        return logits
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, pen, logits)
+
+
+def seen_mask_from_ring(ring: jax.Array, vocab: int) -> jax.Array:
+    """Boolean [vocab] mask of the token ids present in a history ring
+    buffer (int32 [W], empty slots = -1: out-of-range scatter indices are
+    dropped)."""
+    mask = jnp.zeros((vocab,), bool)
+    return mask.at[ring].set(True, mode="drop")
+
+
 def sample_logits(logits: jax.Array, key: jax.Array, *,
                   temperature: float = 0.0, top_k: int = 0,
                   top_p: float = 1.0, min_p: float = 0.0) -> jax.Array:
@@ -92,3 +112,7 @@ class OnDeviceSampling:
     min_p: float = 0.0
     seed: int = 0xC0DEC1AB
     chunk_frames: int = 1
+    # repetition penalty (realtime-streaming chunks): >0 window = ring of
+    # the last N frames per codebook, <0 = unbounded, 0 = no penalty
+    repetition_penalty: float = 1.0
+    repetition_window: int = 0

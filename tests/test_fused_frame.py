@@ -306,19 +306,9 @@ def test_gen_chunk_matches_per_frame(rda_gguf, tiny_backbone_gguf, ods):
     assert got.stopped_by_eos == ref.stopped_by_eos
 
 
-def test_gen_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
-                                 tmp_path_factory):
-    """EOS landing inside a chunk: the loop exits early, records the EOS
-    frame, takes no backbone step for it, and matches the per-frame path.
-    A zeroed c0 head makes greedy c0 always 0; with eos_code_c0=0 and
-    eos_min_step=2 generation stops at the third frame."""
-    import dataclasses
-
-    from codec_tpu.lm.audio_lm import AudioLM
-    from codec_tpu.lm.tts_runner import run_codebook_ar
-
-    _, tensors = rda_gguf
-    path = tmp_path_factory.mktemp("rda_eos") / "rda_eos.gguf"
+def _write_rda_eos_gguf(tensors, path):
+    """The rda_gguf tensors with a zeroed c0 head and eos_code_c0=0:
+    greedy c0 is always 0, so generation EOSes at eos_min_step=2."""
     w = GGUFWriter(path, "mimi")
     _write_base(w)
     w.add_bool("codec.lm.has_adaptor", True)
@@ -349,6 +339,21 @@ def test_gen_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
             t = torch.zeros_like(t)
         w.add_tensor(name, t.numpy())
     w.write()
+    return path
+
+
+def test_gen_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
+                                 tmp_path_factory):
+    """EOS landing inside a chunk: the loop exits early, records the EOS
+    frame, takes no backbone step for it, and matches the per-frame path."""
+    import dataclasses
+
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    _, tensors = rda_gguf
+    path = _write_rda_eos_gguf(
+        tensors, tmp_path_factory.mktemp("rda_eos") / "rda_eos.gguf")
 
     prompt = [np.full(H, 0.1, np.float32)]
     chunked = OnDeviceSampling(chunk_frames=8)
@@ -392,3 +397,159 @@ def test_compose_embd_fn_matches_host(rda_gguf):
     got = np.asarray(fn(jnp.asarray(codes)))
     want = lm.compose_audio_embd([int(c) for c in codes])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# repetition penalty + chunked realtime streaming (lm/fused_gen.py)
+# ---------------------------------------------------------------------------
+
+def test_repetition_penalty_matches_host_chain():
+    """apply_repetition_penalty + seen_mask_from_ring reproduce the host
+    SamplerChain's penalty arithmetic (lm/tts_runner.py:134-138)."""
+    from codec_tpu.ops.sample import (apply_repetition_penalty,
+                                      seen_mask_from_ring)
+
+    rng = np.random.default_rng(0)
+    logits = (rng.standard_normal(20) * 2).astype(np.float32)
+    hist = [3, 3, 5, 19]
+    pen = 1.3
+
+    want = logits.astype(np.float64).copy()
+    seen = np.unique(hist)
+    pos = want[seen] > 0
+    want[seen[pos]] /= pen
+    want[seen[~pos]] *= pen
+
+    ring = np.full(8, -1, np.int32)
+    ring[: len(hist)] = hist
+    mask = seen_mask_from_ring(jnp.asarray(ring), 20)
+    np.testing.assert_array_equal(
+        np.asarray(mask), np.isin(np.arange(20), hist))
+    got = apply_repetition_penalty(jnp.asarray(logits), mask, pen)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_frame_rp_greedy_matches_plain_and_updates_history(rda_gguf):
+    """The penalized frame variant at temperature 0 emits the plain fused
+    frame's codes (penalty inert, host parity) and still advances both
+    history representations."""
+    from codec_tpu.lm.fused_gen import init_rep_hist
+
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    chain = (0.0, 0, 1.0, 0.0)
+    rng = np.random.default_rng(5)
+    h = jnp.asarray(rng.standard_normal(H) * 0.3, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    plain = jax.jit(lm._build_frame(chain))
+    codes0 = np.asarray(plain(h, key, jnp.int32(0)))
+
+    ring_fn = jax.jit(lm._build_frame(chain, rep=(1.3, 6)))
+    codes1, (rings, ptr) = ring_fn(h, key, jnp.int32(0),
+                                   init_rep_hist(lm, 6))
+    np.testing.assert_array_equal(np.asarray(codes1), codes0)
+    np.testing.assert_array_equal(np.asarray(rings[:, 0]), codes0)
+    assert int(ptr) == 1 and np.all(np.asarray(rings[:, 1:]) == -1)
+
+    mask_fn = jax.jit(lm._build_frame(chain, rep=(1.3, -1)))
+    codes2, mask = mask_fn(h, key, jnp.int32(0), init_rep_hist(lm, -1))
+    np.testing.assert_array_equal(np.asarray(codes2), codes0)
+    mask = np.asarray(mask)
+    assert mask.sum() == len(set(
+        (cb, c) for cb, c in enumerate(codes0)))
+    assert all(mask[cb, c] for cb, c in enumerate(codes0))
+
+
+def test_frame_rp_penalty_suppresses_repeats(rda_gguf):
+    """With a huge penalty and near-greedy temperature, a code already in
+    the ring cannot win again when its logit is positive."""
+    path, _ = rda_gguf
+    lm = create_lm(GGUFReader(path))
+    rng = np.random.default_rng(6)
+    h = jnp.asarray(rng.standard_normal(H) * 0.3, jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    greedy = np.asarray(jax.jit(lm._build_frame((0.0, 0, 1.0, 0.0)))(
+        h, key, jnp.int32(0)))
+    fn = jax.jit(lm._build_frame((1e-4, 0, 1.0, 0.0), rep=(1e6, 4)))
+    n = lm.info.n_codebook
+    rings = jnp.asarray(np.tile(greedy[:, None], (1, 4)), jnp.int32)
+    codes, _ = fn(h, key, jnp.int32(0), (rings, jnp.int32(4)))
+    codes = np.asarray(codes)
+    # c0 logits for this fixture straddle zero; check each cb whose greedy
+    # winner had a positive logit got displaced
+    st = lm.new_state()
+    st.step_begin(np.asarray(h, np.float32))
+    for cb in range(n):
+        logits, _ = st.step_logits()
+        if logits[greedy[cb]] > 0:
+            assert codes[cb] != greedy[cb], f"cb {cb} repeated"
+        st.step_push_code(int(greedy[cb]))
+    st.step_finish()
+
+
+def test_stream_chunk_sizes_agree(rda_gguf, tiny_backbone_gguf):
+    """run_realtime_streaming on-device: chunk sizes 2 and 4 emit the same
+    stream (same PRNG split sequence, same penalty history), with the
+    text⊕audio compose and repetition state carried across chunks."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.prompt_info import build_prompt_info
+    from codec_tpu.lm.tts_runner import run_realtime_streaming
+
+    path, _ = rda_gguf
+
+    def run(chunk):
+        reader = GGUFReader(path)
+        alm = AudioLM(reader)
+        pi = build_prompt_info(reader, alm.lm.info)
+        pi.streaming_interleave = True
+        pi.prefill_text_len = 2
+        pi.text_pad_id = 0
+        pi.audio_pad_code = 1
+        pi.bos_code_c0 = 2
+        bb = _fresh_backbone(tiny_backbone_gguf)
+        ods = OnDeviceSampling(temperature=0.8, top_k=5, seed=11,
+                               chunk_frames=chunk,
+                               repetition_penalty=1.3,
+                               repetition_window=3)
+        return run_realtime_streaming(
+            alm, bb, lambda t: bb.embed_tokens([t])[0],
+            ctx_tokens=[1, 2, 3], text_tokens=[4, 5, 6, 7],
+            pi=pi, max_frames=5, decode=False, on_device=ods)
+
+    a = run(4)
+    b = run(2)
+    assert a.codes.shape == (5, N_CB)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert a.n_steps == b.n_steps == 5
+
+
+def test_stream_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
+                                    tmp_path_factory):
+    """EOS inside a streaming chunk: frames stop at the gate, the EOS frame
+    is trimmed from the codes, steps count only non-EOS frames."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.prompt_info import build_prompt_info
+    from codec_tpu.lm.tts_runner import run_realtime_streaming
+
+    _, tensors = rda_gguf
+    path = _write_rda_eos_gguf(
+        tensors, tmp_path_factory.mktemp("rt_eos") / "rt_eos.gguf")
+    reader = GGUFReader(path)
+    alm = AudioLM(reader)
+    pi = build_prompt_info(reader, alm.lm.info)
+    pi.streaming_interleave = True
+    pi.prefill_text_len = 2
+    pi.text_pad_id = 0
+    pi.audio_pad_code = 1
+    pi.bos_code_c0 = 2
+    bb = _fresh_backbone(tiny_backbone_gguf)
+    res = run_realtime_streaming(
+        alm, bb, lambda t: bb.embed_tokens([t])[0],
+        ctx_tokens=[1, 2, 3], text_tokens=[4, 5, 6, 7],
+        pi=pi, max_frames=16, decode=False,
+        on_device=OnDeviceSampling(chunk_frames=8))
+    assert res.stopped_by_eos
+    assert res.n_steps == 2                    # eos gate at min_step=2
+    assert res.codes.shape == (2, N_CB)        # EOS frame trimmed
