@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--nq", type=int, default=0)
     ap.add_argument("--dp", type=int, default=0,
                     help="shard batch over this many devices (0 = single device)")
+    ap.add_argument("--sp", type=int, default=0,
+                    help="sequence parallelism: shard each sequence's TIME "
+                         "dim over this many devices (single long streams; "
+                         "mutually exclusive with --dp)")
     ap.add_argument("--pipeline", action="store_true",
                     help="decode sequences as pipelined per-sequence graphs "
                          "with one batched readback (decode_many) instead of "
@@ -48,12 +52,19 @@ def main(argv=None) -> int:
     from ..io.wav import write_wav
 
     dtype = args.dtype
+    if args.dp > 1 and args.sp > 1:
+        raise SystemExit("--dp and --sp are mutually exclusive")
     mesh = None
     if args.dp > 1:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(args.dp)
     model = codec_tpu.load_model(args.model, compute_dtype=dtype, mesh=mesh)
+    if args.sp > 1:
+        from ..parallel.mesh import make_mesh
+
+        model.set_mesh(make_mesh(args.sp, axis="sp"), axis="sp", dim=1)
+        mesh = model.mesh
 
     seqs = [np.load(p) for p in args.codes]
     lens = [s.shape[0] for s in seqs]
@@ -83,7 +94,8 @@ def main(argv=None) -> int:
         pcm = (model.decode_latent(batch, pcm_format="i16") if args.latent
                else model.decode(batch, n_q=args.nq, pcm_format="i16"))
         if mesh is not None:
-            print(f"dp={args.dp}: device output sharding {model.last_out_sharding}")
+            mode = f"sp={args.sp}" if args.sp > 1 else f"dp={args.dp}"
+            print(f"{mode}: device output sharding {model.last_out_sharding}")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -270,11 +270,19 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         from ..lm.tts_runner import run_lfm2_sequential
 
         table = np.asarray(bb.params["tok_embd"], np.float32)
+        ods = None
+        if on_device:
+            from ..ops.sample import OnDeviceSampling
+
+            ods = OnDeviceSampling(temperature=pi.default_temperature,
+                                   top_k=pi.default_top_k, seed=seed,
+                                   chunk_frames=max(1, chunk_frames))
         res = run_lfm2_sequential(
             audio_lm, bb, table, ids, pi, max_frames=max_steps,
             sampler=SamplerChain(seed=seed,
                                  temperature=pi.default_temperature,
-                                 top_k=pi.default_top_k))
+                                 top_k=pi.default_top_k),
+            on_device=ods)
     elif pi.streaming_interleave:       # MOSS-TTS-Realtime
         from ..lm.tts_runner import run_realtime_streaming
 

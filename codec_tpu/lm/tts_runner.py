@@ -320,11 +320,16 @@ def run_lfm2_sequential(
     max_frames: int = 1024,
     sampler: Optional[Callable[[np.ndarray], int]] = None,
     decode: bool = True,
+    on_device: "OnDeviceSampling | None" = None,
 ) -> SynthesisResult:
     """LFM2-Audio sequential text→audio (reference: run_lfm2_sequential,
     tts_runner.cpp:609). Free-runs in text modality (tied-embedding logits
     = text_embd_table @ hidden) until audio_start_id, then codebook-AR
-    until EOS. One sampler stream drives both phases."""
+    until EOS. One sampler stream drives both phases.
+
+    `on_device` with chunk_frames > 1 and a JAX backbone runs the AUDIO
+    phase as K-frame device chunks (lm/fused_gen.py); the short text
+    phase stays on the host. `sampler` then only drives the text phase."""
     if audio_lm.lm is None:
         raise ValueError("model has no codec_lm adaptor")
     audio_lm.reset()
@@ -354,6 +359,51 @@ def run_lfm2_sequential(
     st = audio_lm.state
     stopped = False
     steps = 0
+
+    chunk_n = int(getattr(on_device, "chunk_frames", 1) or 1) \
+        if on_device is not None else 1
+    if chunk_n > 1:
+        from .fused_gen import supports_gen_chunk
+
+        if not supports_gen_chunk(audio_lm.lm, backbone):
+            chunk_n = 1
+    if chunk_n > 1:
+        import jax
+        import jax.numpy as jnp
+
+        from .fused_gen import gen_chunk_cached
+
+        chunk_fn = gen_chunk_cached(
+            audio_lm.lm, backbone, n_frames=chunk_n,
+            temperature=on_device.temperature, top_k=on_device.top_k,
+            top_p=on_device.top_p, min_p=on_device.min_p)
+        n_cb = audio_lm.n_codebook
+        key = jax.random.PRNGKey(on_device.seed)
+        kv = backbone.kv
+        pos = backbone.pos
+        hd = jnp.asarray(np.asarray(h, np.float32))
+        while steps < max_frames and not stopped:
+            packed, hd, kv, key = chunk_fn(
+                backbone.params, kv, np.int32(pos),
+                np.int32(st.frame_counter), hd, key, np.int32(0))
+            arr = np.asarray(packed)
+            n_emit = int(arr[-3])
+            pos = int(arr[-1])
+            if n_emit == 0:
+                break
+            rows = arr[: chunk_n * n_cb].reshape(chunk_n, n_cb)[:n_emit]
+            for row in rows:
+                codes = st.push_frame(row)
+                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                    stopped = True
+                    break
+                steps += 1
+                if steps >= max_frames:
+                    break
+        backbone.kv = kv
+        backbone.pos = pos
+        max_frames = 0                           # skip the per-frame loop
+
     for _ in range(max_frames):
         st.step_begin(np.asarray(h, np.float32))
         for _cb in range(audio_lm.n_codebook):

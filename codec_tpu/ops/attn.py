@@ -29,9 +29,12 @@ def _use_flash_window(t, causal, window, n_valid) -> bool:
 
     import jax as _jax
 
+    from .conv import sp_mode
+
     return (causal and window is not None and n_valid is None
             and t >= _FLASH_MIN_T and window < t
             and _jax.default_backend() == "tpu"
+            and not sp_mode()
             and not os.environ.get("CODEC_NO_FLASH_ATTN"))
 
 

@@ -61,6 +61,30 @@ def compile_plan(mode: str):
         _PLAN_MODE.reset(tok)
 
 
+# Sequence-parallel tracing: when a CodecModel mesh shards the TIME dim
+# (set_mesh(..., dim=1)), Pallas kernels must stand down — pallas_call
+# does not auto-partition under GSPMD; the XLA forms they replace DO
+# (convs get halo exchanges, matmuls get collectives). Dispatch gates
+# (ops/attn flash window, ops/seanet_pallas fused units) consult this.
+
+_SP_MODE: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "codec_sequence_sharded", default=False)
+
+
+def sp_mode() -> bool:
+    """True while tracing a graph whose time dim is mesh-sharded."""
+    return _SP_MODE.get()
+
+
+@contextlib.contextmanager
+def sequence_sharded(flag: bool = True):
+    tok = _SP_MODE.set(flag)
+    try:
+        yield
+    finally:
+        _SP_MODE.reset(tok)
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,

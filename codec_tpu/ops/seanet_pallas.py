@@ -277,8 +277,11 @@ def use_fused_chain(t: int, c: int, k: int, n: int) -> bool:
     disables (same knob as the single-unit kernel)."""
     import os
 
+    from .conv import sp_mode
+
     return (c % 128 == 0 and n * (k + 1) * c * c * 2 <= 16 << 20
             and t >= 4096 and jax.default_backend() == "tpu"
+            and not sp_mode()
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))
 
 
@@ -298,6 +301,9 @@ def use_fused_unit(t: int, c: int, k: int) -> bool:
     disables."""
     import os
 
+    from .conv import sp_mode
+
     return (c % 128 == 0 and c <= 768 and k * c * c * 2 <= 9 << 20
             and t >= 4096 and jax.default_backend() == "tpu"
+            and not sp_mode()
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))

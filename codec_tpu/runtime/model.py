@@ -123,8 +123,9 @@ class CodecModel:
         self.metadata: Dict[str, Any] = dict(reader.kv)
         self._jit_cache: Dict[Any, Callable] = {}
         self._trace_lock = threading.RLock()
-        self.mesh = None                    # set via set_mesh() for DP
+        self.mesh = None                    # set via set_mesh() for DP/SP
         self.mesh_axis = "dp"
+        self.mesh_dim = 0                   # 0 = batch (DP), 1 = time (SP)
         self.last_out_sharding = None       # sharding of the last device output
         self._load(reader)
 
@@ -134,12 +135,19 @@ class CodecModel:
     # every decode/encode graph can be sharded over a device mesh: weights
     # are replicated once, inputs are placed batch-split, and XLA partitions
     # the whole graph per-chip with zero steady-state collectives.
-    def set_mesh(self, mesh, axis: str = "dp") -> None:
+    def set_mesh(self, mesh, axis: str = "dp", dim: int = 0) -> None:
         """Attach a jax.sharding.Mesh: weights are replicated onto it and all
-        subsequent encode/decode calls shard the batch dim over `axis`."""
+        subsequent encode/decode calls shard input/output dim `dim` over
+        `axis`. dim=0 is data parallelism (multi-stream batch decode);
+        dim=1 is SEQUENCE parallelism — ONE long stream's time dim split
+        across chips (XLA inserts the conv halo exchanges; Pallas kernels
+        stand down via ops.conv.sequence_sharded since pallas_call does
+        not auto-partition). SP trades the fused kernels for n-chip
+        scaling of conv-dominated decodes on clips too long for one chip's
+        latency budget."""
         from ..parallel.mesh import replicate
 
-        self.mesh, self.mesh_axis = mesh, axis
+        self.mesh, self.mesh_axis, self.mesh_dim = mesh, axis, int(dim)
         for a in self._PARAM_ATTRS:
             tree = getattr(self, a, None)
             if tree is not None:
@@ -150,9 +158,10 @@ class CodecModel:
         return self.mesh.shape[self.mesh_axis] if self.mesh is not None else 1
 
     def _bucket_b(self, b: int) -> int:
-        """Batch bucket, rounded up to a multiple of the mesh size."""
+        """Batch bucket, rounded up to a multiple of the mesh size (DP
+        meshes only — an SP mesh shards time, not batch)."""
         bb = bucket_batch(b)
-        n = self._mesh_n()
+        n = self._mesh_n() if self.mesh_dim == 0 else 1
         return bb if bb % n == 0 else -(-b // n) * n
 
     def _place(self, buf: np.ndarray) -> jax.Array:
@@ -166,7 +175,10 @@ class CodecModel:
             return jax.device_put(buf)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = P(self.mesh_axis, *([None] * (buf.ndim - 1)))
+        parts = [None] * buf.ndim
+        if buf.ndim > self.mesh_dim:
+            parts[self.mesh_dim] = self.mesh_axis
+        spec = P(*parts)
         return jax.device_put(buf, NamedSharding(self.mesh, spec))
 
     def _readback(self, out: jax.Array) -> np.ndarray:
@@ -298,21 +310,26 @@ class CodecModel:
                         try:
                             for a, v in trees.items():
                                 setattr(self, a, v)
-                            with _conv.compile_plan(plan):
+                            with _conv.compile_plan(plan), \
+                                    _conv.sequence_sharded(
+                                        self.mesh is not None
+                                        and self.mesh_dim == 1):
                                 out = inner(*args)
                         finally:
                             for a, v in saved.items():
                                 setattr(self, a, v)
                     if self.mesh is not None:
-                        # Pin outputs batch-sharded so DP results stay
-                        # resident per-chip (no implicit gather at the jit
+                        # Pin outputs sharded on the mesh dim (batch for
+                        # DP, time for SP) so results stay resident
+                        # per-chip (no implicit gather at the jit
                         # boundary).
                         from jax.sharding import NamedSharding, PartitionSpec
 
-                        ns = NamedSharding(self.mesh,
-                                           PartitionSpec(self.mesh_axis))
+                        spec = [None] * self.mesh_dim + [self.mesh_axis]
+                        ns = NamedSharding(self.mesh, PartitionSpec(*spec))
                         out = jax.tree_util.tree_map(
-                            lambda o: jax.lax.with_sharding_constraint(o, ns),
+                            lambda o: jax.lax.with_sharding_constraint(o, ns)
+                            if o.ndim > self.mesh_dim else o,
                             out)
                     return out
                 return wrapped

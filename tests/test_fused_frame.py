@@ -553,3 +553,35 @@ def test_stream_chunk_eos_mid_chunk(rda_gguf, tiny_backbone_gguf,
     assert res.stopped_by_eos
     assert res.n_steps == 2                    # eos gate at min_step=2
     assert res.codes.shape == (2, N_CB)        # EOS frame trimmed
+
+
+def test_lfm2_chunked_matches_host(rda_gguf, tiny_backbone_gguf):
+    """run_lfm2_sequential's audio phase chunked on device: at the LFM2
+    default greedy settings the device stream equals the host sampler
+    stream exactly, so the two paths must emit identical codes."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.prompt_info import build_prompt_info
+    from codec_tpu.lm.tts_runner import run_lfm2_sequential
+
+    path, _ = rda_gguf
+
+    def run(ods):
+        reader = GGUFReader(path)
+        alm = AudioLM(reader)
+        pi = build_prompt_info(reader, alm.lm.info)
+        pi.sequential_text_audio = True
+        pi.audio_start_id = 3
+        pi.text_end_id = 4
+        pi.max_text_tokens = 4
+        bb = _fresh_backbone(tiny_backbone_gguf)
+        table = np.asarray(bb.params["tok_embd"], np.float32)
+        return run_lfm2_sequential(
+            alm, bb, table, [1, 2], pi, max_frames=5,
+            sampler=lambda lg: int(np.argmax(lg)),
+            decode=False, on_device=ods)
+
+    host = run(None)
+    dev = run(OnDeviceSampling(chunk_frames=3))      # greedy chunked
+    np.testing.assert_array_equal(host.codes, dev.codes)
+    assert host.n_steps == dev.n_steps
+    assert host.stopped_by_eos == dev.stopped_by_eos

@@ -374,3 +374,85 @@ def test_tp_gen_chunk_matches_unsharded(tp_backbone_gguf, tmp_path_factory):
                           max_steps=5, decode=False, on_device=ods)
     np.testing.assert_array_equal(ref.codes, got.codes)
     assert got.n_steps == ref.n_steps
+
+
+# ---------------------------------------------------------------------------
+# sequence parallelism: one long stream's time dim over the mesh
+# ---------------------------------------------------------------------------
+
+def test_sp_decode_sharded_and_matches(wt_gguf):
+    """CodecModel.set_mesh(dim=1): a SINGLE stream decodes with its time
+    dim split across the mesh (XLA inserts the conv halo exchanges).
+    Output matches the single-device decode up to partitioned-reduction
+    float reorder and stays time-sharded on device."""
+    import codec_tpu
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 64, (1, 48, 1)).astype(np.int32)
+
+    ref = codec_tpu.load_model(wt_gguf).decode(codes)
+
+    model = codec_tpu.load_model(wt_gguf)
+    model.set_mesh(make_mesh(N_DEV, axis="sp"), axis="sp", dim=1)
+    got = model.decode(codes)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    sh = model.last_out_sharding
+    assert sh is not None and len(sh.device_set) == N_DEV, sh
+    assert not sh.is_fully_replicated, sh
+
+
+def test_sp_dac_decode_matches(tmp_path_factory):
+    """SP over a deep SEANet/Snake stack (symmetric padding, upsampling
+    transposed convs): numerics match single-device."""
+    import torch
+    from transformers import DacConfig, DacModel
+
+    import codec_tpu
+    from codec_tpu.convert import get_converter
+    from codec_tpu.parallel.mesh import make_mesh
+
+    torch.manual_seed(0)
+    cfg = DacConfig(
+        encoder_hidden_size=8, decoder_hidden_size=32,
+        downsampling_ratios=[2, 4, 5, 8], upsampling_ratios=[8, 5, 4, 2],
+        n_codebooks=2, codebook_size=32, codebook_dim=4, hidden_size=16,
+        sampling_rate=24000)
+    hf = DacModel(cfg).eval()
+    c = get_converter("dac")(quantization="F32")
+    c.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("sp_dac") / "dac.gguf"
+    c.convert_and_save(path)
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 32, (1, 24, 2)).astype(np.int32)
+    ref = codec_tpu.load_model(path).decode(codes)
+
+    model = codec_tpu.load_model(path)
+    model.set_mesh(make_mesh(N_DEV, axis="sp"), axis="sp", dim=1)
+    got = model.decode(codes)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    assert len(model.last_out_sharding.device_set) == N_DEV
+
+
+def test_batch_decode_cli_sp(wt_gguf, tmp_path, capsys):
+    """`codec-batch-decode --sp 8`: one long sequence decodes with its time
+    dim sharded; WAV matches the single-device CLI run."""
+    from codec_tpu.cli.batch_decode import main
+
+    rng = np.random.default_rng(12)
+    f = tmp_path / "long.npy"
+    np.save(f, rng.integers(0, 64, (48, 1)).astype(np.int32))
+
+    ref_dir = tmp_path / "ref_sp"
+    assert main(["--model", str(wt_gguf), "--codes", str(f),
+                 "--out-dir", str(ref_dir)]) == 0
+    sp_dir = tmp_path / "sp"
+    assert main(["--model", str(wt_gguf), "--codes", str(f),
+                 "--out-dir", str(sp_dir), "--sp", str(N_DEV)]) == 0
+    assert "sp=8: device output sharding" in capsys.readouterr().out
+
+    y_ref, _ = read_wav(ref_dir / "long.wav")
+    y_sp, _ = read_wav(sp_dir / "long.wav")
+    np.testing.assert_allclose(y_sp, y_ref, atol=2.5 / 32767)
