@@ -32,7 +32,7 @@ _META = 3          # [n_emitted, stopped_by_eos, backbone_pos]
 
 
 def build_gen_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
-                    n_frames: int) -> Callable:
+                    n_frames: int, cb0_range=None) -> Callable:
     """Compile a K-frame generation chunk for an LM kind exposing
     `_build_frame(chain)` + `compose_embd_fn()` (residual_depth_ar today).
 
@@ -49,7 +49,7 @@ def build_gen_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
     from ..runtime.jit_weights import array_attrs, jit_weighted
     from .backbone import backbone_forward
 
-    frame = lm._build_frame(chain)
+    frame = lm._build_frame(chain, cb0_range=cb0_range)
     compose = lm.compose_embd_fn()
     info = lm.info
     eos_code = int(info.eos_code_c0)
@@ -178,7 +178,7 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
                      temperature: float = 0.0, top_k: int = 0,
                      top_p: float = 1.0, min_p: float = 0.0,
                      rep: Tuple[float, int] | None = None,
-                     stream: bool = False) -> Callable:
+                     stream: bool = False, cb0_range=None) -> Callable:
     """Per-LM cache over build_gen_chunk / build_stream_chunk, keyed by
     (sampler chain, rep, K, flavor, backbone shape). Backbone weights ride
     as explicit jit arguments, so one compiled chunk serves any checkpoint
@@ -187,14 +187,15 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
     cache = getattr(lm, "_gen_chunk_cache", None)
     if cache is None:
         cache = lm._gen_chunk_cache = {}
-    key = (chain, rep, int(n_frames), stream, repr(backbone.cfg))
+    key = (chain, rep, int(n_frames), stream, cb0_range, repr(backbone.cfg))
     fn = cache.get(key)
     if fn is None:
         if stream:
             fn = build_stream_chunk(lm, backbone.cfg, chain,
                                     rep or (1.0, 0), n_frames)
         else:
-            fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames)
+            fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames,
+                                 cb0_range=cb0_range)
         cache[key] = fn
     return fn
 
@@ -204,5 +205,6 @@ def supports_gen_chunk(lm: Any, backbone: Any) -> bool:
     and a JAX backbone with functional KV (the tts_runner Backbone
     protocol alone — an opaque host LLM — cannot be chained in-graph)."""
     return (hasattr(lm, "_build_frame") and hasattr(lm, "compose_embd_fn")
+            and getattr(lm, "gen_chunk_ok", lambda: True)()
             and hasattr(backbone, "params") and hasattr(backbone, "kv")
             and hasattr(backbone, "cfg"))

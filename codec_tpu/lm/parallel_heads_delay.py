@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.gguf import GGUFReader
-from ..ops.sample import sample_logits
+from ..ops.sample import mask_outside_range, sample_logits
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -69,27 +69,55 @@ class ParallelHeadsDelayLM(CodecLM):
         return state.kind_state["logits"][k]
 
     # -- fused on-device frame ----------------------------------------------
+    def _build_frame(self, chain, rep=None, cb0_range=None):
+        """Un-jitted frame for the fused/chunked paths: all N heads + one
+        sample each. `cb0_range=(start, end, *extra)` applies the
+        RangeConstraint mask to head 0 in-graph (MOSS-TTSD's merged text
+        vocab — reference auto-grammar, common/audio_lm.cpp:1164)."""
+        if rep is not None:
+            raise LmError(
+                "parallel_heads_delay has no repetition-penalty frame")
+
+        def frame(h, key, text_ctx):
+            keys = jax.random.split(key, len(self.heads))
+            outs = []
+            for i, head in enumerate(self.heads):
+                lg = head @ h
+                if i == 0 and cb0_range is not None:
+                    lg = mask_outside_range(lg, cb0_range[0], cb0_range[1],
+                                            cb0_range[2:])
+                outs.append(sample_logits(
+                    lg, keys[i], temperature=chain[0], top_k=chain[1],
+                    top_p=chain[2], min_p=chain[3]))
+            return jnp.stack(outs)
+
+        return frame
+
+    def compose_embd_fn(self):
+        """Traceable feedback compose for the fused generation chunk
+        (lm/fused_gen.py); sampled codes are >= 0 so _compose's pad guard
+        stays inert. Chatterbox's per-step pos_emb is step-dependent —
+        gen_chunk_ok gates those models back to the host loop."""
+        return self._compose
+
+    def gen_chunk_ok(self) -> bool:
+        return self.pos_emb is None
+
     def fused_frame(self, *, temperature: float = 0.0, top_k: int = 0,
-                    top_p: float = 1.0, min_p: float = 0.0):
+                    top_p: float = 1.0, min_p: float = 0.0, cb0_range=None):
         """All N heads + on-device sampling in one compiled graph (heads are
         independent given the hidden, so this is exact, not just a fast
         path). fn(h, key, text_ctx) → codes [n_codebook] int32; text_ctx is
         ignored (uniform fused-frame signature across kinds)."""
         chain = (float(temperature), int(top_k), float(top_p), float(min_p))
-        fn = self._fused_cache.get(chain)
+        key = (chain, cb0_range)
+        fn = self._fused_cache.get(key)
         if fn is not None:
             return fn
-
-        def frame(h, key, text_ctx):
-            keys = jax.random.split(key, len(self.heads))
-            outs = [sample_logits(head @ h, keys[i], temperature=chain[0],
-                                  top_k=chain[1], top_p=chain[2], min_p=chain[3])
-                    for i, head in enumerate(self.heads)]
-            return jnp.stack(outs)
-
         from ..runtime.jit_weights import jit_weighted
-        fn = jit_weighted(self, frame, ("heads", "audio_embds"))
-        self._fused_cache[chain] = fn
+        fn = jit_weighted(self, self._build_frame(chain, cb0_range=cb0_range),
+                          ("heads", "audio_embds"))
+        self._fused_cache[key] = fn
         return fn
 
     # -- embeddings --------------------------------------------------------

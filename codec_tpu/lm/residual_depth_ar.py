@@ -31,8 +31,8 @@ import numpy as np
 
 from ..io.gguf import GGUFReader
 from ..ops import attn, norms, rope
-from ..ops.sample import (apply_repetition_penalty, sample_logits,
-                          seen_mask_from_ring)
+from ..ops.sample import (apply_repetition_penalty, mask_outside_range,
+                          sample_logits, seen_mask_from_ring)
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -280,7 +280,7 @@ class ResidualDepthArLM(CodecLM):
         return c
 
     def fused_frame(self, *, temperature: float = 0.0, top_k: int = 0,
-                    top_p: float = 1.0, min_p: float = 0.0):
+                    top_p: float = 1.0, min_p: float = 0.0, cb0_range=None):
         """One whole frame as a single compiled graph: c0 head + lax.scan
         over the depth codebooks with on-device sampling.
 
@@ -297,12 +297,14 @@ class ResidualDepthArLM(CodecLM):
         top_p chain, ops/sample.py) runs in-graph.
         """
         chain = (float(temperature), int(top_k), float(top_p), float(min_p))
-        fn = self._fused_cache.get(chain)
+        key = (chain, cb0_range)
+        fn = self._fused_cache.get(key)
         if fn is not None:
             return fn
         from ..runtime.jit_weights import array_attrs, jit_weighted
-        fn = jit_weighted(self, self._build_frame(chain), array_attrs(self))
-        self._fused_cache[chain] = fn
+        fn = jit_weighted(self, self._build_frame(chain, cb0_range=cb0_range),
+                          array_attrs(self))
+        self._fused_cache[key] = fn
         return fn
 
     def fused_frame_batched(self, *, temperature: float = 0.0, top_k: int = 0,
@@ -328,9 +330,12 @@ class ResidualDepthArLM(CodecLM):
         self._fused_cache[key] = fn
         return fn
 
-    def _build_frame(self, chain, rep=None):
+    def _build_frame(self, chain, rep=None, cb0_range=None):
         """The un-jitted single-stream frame fn for the given sampler chain
         (shared by fused_frame and fused_frame_batched).
+
+        `cb0_range=(start, end, *extra)` masks the c0 head's logits to the
+        RangeConstraint set in-graph (lm/tts_runner.py:508).
 
         `rep=(penalty, window)` builds the repetition-penalized variant for
         the realtime-streaming chunk (lm/fused_gen.py): the returned fn is
@@ -368,7 +373,11 @@ class ResidualDepthArLM(CodecLM):
                 buf = buf.at[0].set(self.text_embd[text_ctx])
             # c0_is_none: row 0 stays zero
             if not self.depth_emits_c0:
-                c0 = sample(self.c0_head @ h, keys[0])
+                lg0 = self.c0_head @ h
+                if cb0_range is not None:
+                    lg0 = mask_outside_range(lg0, cb0_range[0], cb0_range[1],
+                                             cb0_range[2:])
+                c0 = sample(lg0, keys[0])
                 codes = codes.at[0].set(c0)
                 if n > 1:
                     buf = buf.at[1].set(self.audio_embds[0][c0])

@@ -597,15 +597,24 @@ def run_codebook_ar(
 
     fused = None
     fused_key = None
-    constrained = bool(grammar) or (pi is not None
-                                    and pi.cb0_speech_range_start >= 0)
-    if on_device is not None and not constrained \
+    cb0_range = None
+    if pi is not None and pi.cb0_speech_range_start >= 0 \
+            and pi.cb0_speech_range_end > pi.cb0_speech_range_start:
+        # the RangeConstraint set is a static mask — expressible in-graph
+        # (ops/sample.mask_outside_range), so it does NOT force the host
+        # path the way a grammar (pushdown matcher) does
+        cb0_range = (int(pi.cb0_speech_range_start),
+                     int(pi.cb0_speech_range_end),
+                     int(pi.eos_code_c0) if pi.eos_code_c0 is not None
+                     else -1)
+    if on_device is not None and not grammar \
             and hasattr(audio_lm.lm, "fused_frame"):
         import jax
 
         fused = audio_lm.lm.fused_frame(
             temperature=on_device.temperature, top_k=on_device.top_k,
-            top_p=on_device.top_p, min_p=on_device.min_p)
+            top_p=on_device.top_p, min_p=on_device.min_p,
+            cb0_range=cb0_range)
         fused_key = jax.random.PRNGKey(on_device.seed)
 
     h = None
@@ -636,7 +645,8 @@ def run_codebook_ar(
         chunk_fn = gen_chunk_cached(
             audio_lm.lm, backbone, n_frames=chunk_n,
             temperature=on_device.temperature, top_k=on_device.top_k,
-            top_p=on_device.top_p, min_p=on_device.min_p)
+            top_p=on_device.top_p, min_p=on_device.min_p,
+            cb0_range=cb0_range)
         n_cb = audio_lm.n_codebook
         kv = backbone.kv
         pos = backbone.pos

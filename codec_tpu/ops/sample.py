@@ -57,6 +57,20 @@ def _apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(logits >= kth, logits, _NEG)
 
 
+def mask_outside_range(logits: jax.Array, start: int, end: int,
+                       extra=()) -> jax.Array:
+    """RangeConstraint analog on device (lm/tts_runner.py:508 — the
+    reference's auto-grammar admits exactly the speech-code range plus the
+    EOS sentinel, common/audio_lm.cpp:1164): -inf everything outside
+    [start, end) except the `extra` ids. All bounds are Python statics."""
+    idx = jnp.arange(logits.shape[-1])
+    keep = (idx >= int(start)) & (idx < int(end))
+    for e in extra:
+        if e is not None and 0 <= int(e) < logits.shape[-1]:
+            keep = keep | (idx == int(e))
+    return jnp.where(keep, logits, _NEG)
+
+
 def apply_repetition_penalty(logits: jax.Array, seen: jax.Array,
                              penalty: float) -> jax.Array:
     """llama-style repetition penalty on raw logits (host analog:

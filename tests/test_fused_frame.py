@@ -585,3 +585,61 @@ def test_lfm2_chunked_matches_host(rda_gguf, tiny_backbone_gguf):
     np.testing.assert_array_equal(host.codes, dev.codes)
     assert host.n_steps == dev.n_steps
     assert host.stopped_by_eos == dev.stopped_by_eos
+
+
+def test_phd_fused_range_matches_host(phd_gguf):
+    """cb0_range on the PHD fused frame == the host RangeConstraint path
+    (the MOSS-TTSD merged-vocab constraint, in-graph)."""
+    from codec_tpu.lm.tts_runner import RangeConstraint
+
+    path, _, _ = phd_gguf
+    lm = create_lm(GGUFReader(path))
+    rng = np.random.default_rng(8)
+    h = rng.standard_normal(H).astype(np.float32)
+
+    fn = lm.fused_frame(cb0_range=(5, 15, 7))
+    got = np.asarray(fn(jnp.asarray(h), jax.random.PRNGKey(0), jnp.int32(0)))
+
+    rc = RangeConstraint(lambda lg: int(np.argmax(lg)), 5, 15, extra=(7,))
+    st = lm.new_state()
+    st.step_begin(h)
+    want = []
+    for _k in range(N_CB):
+        logits, cb = st.step_logits()
+        code = rc(logits) if cb == 0 else int(np.argmax(logits))
+        st.step_push_code(code)
+        want.append(code)
+    st.step_finish()
+    assert got.tolist() == want
+    assert 5 <= want[0] < 15 or want[0] == 7
+
+
+def test_ttsd_style_chunked_range_matches_host(phd_gguf, tiny_backbone_gguf):
+    """A delay-pattern PHD model with a cb0 speech-range constraint (the
+    MOSS-TTSD shape) through run_codebook_ar: the chunked on-device path
+    (range mask in-graph) emits the host path's greedy stream, including
+    the post-EOS max(delay) flush frames."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.prompt_info import build_prompt_info
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    path, _, _ = phd_gguf
+
+    def run(ods):
+        reader = GGUFReader(path)
+        alm = AudioLM(reader)
+        pi = build_prompt_info(reader, alm.lm.info)
+        pi.cb0_speech_range_start = 5
+        pi.cb0_speech_range_end = 15
+        bb = _fresh_backbone(tiny_backbone_gguf)
+        prompt = [np.full(H, 0.1, np.float32)]
+        return run_codebook_ar(alm, bb, prompt, max_steps=6, decode=False,
+                               pi=pi, on_device=ods)
+
+    host = run(None)                               # RangeConstraint sampler
+    dev = run(OnDeviceSampling(chunk_frames=4))    # in-graph mask, chunked
+    np.testing.assert_array_equal(host.codes, dev.codes)
+    assert host.n_steps == dev.n_steps
+    assert host.stopped_by_eos == dev.stopped_by_eos
+    assert np.all((host.codes[:, 0] >= 5) & (host.codes[:, 0] < 15)
+                  | (host.codes[:, 0] == 7))
