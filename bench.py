@@ -433,9 +433,36 @@ def _bench_tts_rda_chunked(fast: bool = False):
                                    h, key, np.int32(0))
         np.asarray(packed)
     wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) / (iters * k_frames)
-    return {"rda_chunked_frame_ms": round(wall * 1e3, 2),
-            "rda_chunked_rtf": round(wall / 0.080, 4),
-            "rda_chunk_frames": k_frames}
+    out = {"rda_chunked_frame_ms": round(wall * 1e3, 2),
+           "rda_chunked_rtf": round(wall / 0.080, 4),
+           "rda_chunk_frames": k_frames}
+
+    # batched multi-stream generation (serve /synthesize_batch shape):
+    # B streams' fused frames + backbone steps as batched GEMMs in one
+    # vmapped while_loop — reports the per-stream per-frame wall
+    from codec_tpu.lm.fused_gen import build_gen_chunk_batched
+
+    n_streams = 2 if fast else 8
+    bchunk = build_gen_chunk_batched(lm, cfg, (0.0, 0, 1.0, 0.0), k_frames)
+    kvb = jnp.zeros((n_streams, L, 2, nkv, cfg.max_ctx, hd), dtype)
+    hb = jr.normal(jr.PRNGKey(3), (n_streams, hid), jnp.float32) * 0.3
+    keysb = jax.vmap(jr.PRNGKey)(jnp.arange(n_streams, dtype=jnp.uint32))
+    posb = jnp.zeros((n_streams,), jnp.int32)
+    tcb = jnp.zeros((n_streams,), jnp.int32)
+    packed, hb, kvb, keysb = bchunk(bb_params, kvb, posb, np.int32(0),
+                                    hb, keysb, tcb)
+    np.asarray(packed)                               # compile + warm
+    t0 = time.monotonic()
+    for _ in range(iters):
+        packed, hb, kvb, keysb = bchunk(bb_params, kvb, posb, np.int32(0),
+                                        hb, keysb, tcb)
+        np.asarray(packed)
+    bwall = max(1e-9, (time.monotonic() - t0) - iters * rtt) \
+        / (iters * k_frames * n_streams)
+    out["rda_batched_streams"] = n_streams
+    out["rda_batched_frame_ms_per_stream"] = round(bwall * 1e3, 2)
+    out["rda_batched_rtf_per_stream"] = round(bwall / 0.080, 4)
+    return out
 
 
 def _bench_tts_ar(fast: bool = False):

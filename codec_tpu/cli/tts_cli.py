@@ -334,6 +334,69 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         "eos" if res.stopped_by_eos else "max_frames"
 
 
+def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
+                                  seed: int = 0, max_frames: int = 0,
+                                  bb=None, chunk_frames: int = 8, lm=None):
+    """Batched codebook-AR synthesize: B texts through ONE vmapped
+    on-device generation loop (lm/tts_runner.run_codebook_ar_batch) on
+    shared codec + LM + backbone weights — the multi-stream TTS serving
+    shape (reference contrast: one codec_lm_state per stream but a serial
+    host loop each, lm_internal.h:63-68).
+
+    Plain codebook-AR families only (CSM / Qwen3-TTS / MOSS-TTSD);
+    continuous, LFM2-sequential, streaming-interleave and Chatterbox
+    kinds raise. `lm`: a preloaded CodecLM to share across calls.
+    Returns [(pcm, n_frames, stop), ...] per text."""
+    import numpy as _np
+
+    from ..io.gguf import GGUFReader
+    from ..lm import create_lm
+    from ..lm.audio_lm import AudioLM
+    from ..lm.backbone import create_backbone
+    from ..lm.chatterbox_t3 import is_chatterbox
+    from ..lm.prompt_info import build_prompt_info
+    from ..lm.spm import SpmUnigram
+    from ..lm.tts_runner import run_codebook_ar_batch
+    from ..ops.sample import OnDeviceSampling
+
+    if is_chatterbox(reader):
+        raise ValueError("batched synthesize does not support chatterbox")
+    if bb is None:
+        bb = create_backbone(backbone_path)
+    else:
+        bb.reset()
+    pi = build_prompt_info(reader)
+    if pi.is_continuous or pi.sequential_text_audio or pi.streaming_interleave:
+        raise ValueError(f"batched synthesize supports plain codebook-AR "
+                         f"kinds only (model family: {pi.host_arch})")
+    if pi.hidden_dim and bb.cfg.hidden != pi.hidden_dim:
+        raise ValueError(f"backbone hidden {bb.cfg.hidden} != "
+                         f"codec.lm hidden {pi.hidden_dim}")
+    spm_b64 = GGUFReader(backbone_path).get_str(
+        "backbone.tokenizer.spm_b64", "")
+    if not spm_b64:
+        raise ValueError("backbone GGUF has no baked tokenizer")
+    tok = SpmUnigram.from_b64(spm_b64)
+
+    shared = lm if lm is not None else create_lm(reader)
+    alms = [AudioLM(reader, codec=model, lm=shared) for _ in texts]
+    prompts = []
+    for text, alm in zip(texts, alms):
+        ids = tok.encode(pi.prompt_prefix + text + pi.prompt_suffix)
+        if alm.prompt_needs_composed:
+            prompts.append([alm.compose_prompt_embd(t) for t in ids])
+        else:
+            prompts.append(list(bb.embed_tokens(_np.asarray(ids))))
+    ods = OnDeviceSampling(temperature=pi.default_temperature,
+                           top_k=pi.default_top_k, seed=seed,
+                           chunk_frames=max(2, chunk_frames))
+    results = run_codebook_ar_batch(
+        alms, bb, prompts, ods,
+        max_steps=max_frames if max_frames > 0 else 512, pi=pi)
+    return [(r.pcm, int(r.codes.shape[0]),
+             "eos" if r.stopped_by_eos else "max_frames") for r in results]
+
+
 def _run(args) -> int:
     from ..io.gguf import GGUFReader
 

@@ -46,10 +46,14 @@ class AudioTokenRange:
 class AudioLM:
     """Per-generation audio-LM context (reference: audio_lm_context)."""
 
-    def __init__(self, reader: GGUFReader, codec=None):
+    def __init__(self, reader: GGUFReader, codec=None, lm=None):
+        """`lm`: share an existing CodecLM across contexts (reference:
+        multiple codec_lm_states on one codec_lm, lm_internal.h:63-68) —
+        batched serving creates one AudioLM per stream without reloading
+        weights. Default loads from the reader."""
         self.reader = reader
         self.codec = codec              # CodecModel for decode_audio (optional)
-        self.lm: Optional[CodecLM] = create_lm(reader)
+        self.lm: Optional[CodecLM] = lm if lm is not None else create_lm(reader)
         self.modality = 0
         for bit, key in ((MODALITY_TEXT_IN, "codec.lm.modality.text_in"),
                          (MODALITY_AUDIO_OUT, "codec.lm.modality.audio_out"),

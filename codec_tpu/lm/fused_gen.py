@@ -97,6 +97,87 @@ def build_gen_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
     return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
 
 
+def build_gen_chunk_batched(lm, bb_cfg,
+                            chain: Tuple[float, int, float, float],
+                            n_frames: int, cb0_range=None) -> Callable:
+    """B concurrent generations, whole frame loop batched on device: the
+    vmapped frame + feedback compose + backbone step run all streams
+    together (batched GEMMs through shared weights — the MXU-utilization
+    win over B serial single-stream loops), each stream carrying its own
+    KV cache / hidden / PRNG key / EOS state. The loop exits early only
+    when EVERY stream is done; finished streams keep computing (vmap
+    executes both sides of any select) but their hidden and position are
+    frozen, so the emitted junk rows land at a fixed KV slot that the
+    post-EOS host flush (or nothing) overwrites — per-stream code streams
+    are EXACTLY the single-stream chunk's (same per-stream PRNG splits).
+
+    Returns fn(bb_params, kv [B,L,2,nkv,ctx,D], pos [B], base_frame,
+    h [B,hidden], keys [B PRNG keys], text_ctx [B]) →
+    (packed int32 [K*B*n_cb + 1 + 2B], h', kv', keys') with packed =
+    codes[K,B,n_cb].flatten() ++ [n_iter] ++ done[B] ++ pos_after[B].
+    `kv` is donated.
+
+    Reference contrast: the reference is strictly single-stream per
+    codec_lm_state and steps the host LLM per frame
+    (src/lm/lm_internal.h:63-68, common/tts_runner.cpp:707).
+    """
+    from ..runtime.jit_weights import array_attrs, jit_weighted
+    from .backbone import backbone_forward
+
+    frame = lm._build_frame(chain, cb0_range=cb0_range)
+    compose = lm.compose_embd_fn()
+    info = lm.info
+    eos_code = int(info.eos_code_c0)
+    eos_min = int(info.eos_min_step)
+    n_cb = int(info.n_codebook)
+    k_frames = int(n_frames)
+    max_pos = int(bb_cfg.max_ctx) - 1
+
+    def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx):
+        b = h.shape[0]
+        buf0 = jnp.zeros((k_frames, b, n_cb), jnp.int32)
+        kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
+
+        vframe = jax.vmap(frame)
+        vcompose = jax.vmap(compose)
+        vstep = jax.vmap(
+            lambda kv_b, pos_b, emb_b: backbone_forward(
+                bb_params, kv_b, pos_b, emb_b[None], bb_cfg),
+            in_axes=(0, 0, 0))
+
+        def cond(s):
+            return jnp.logical_and(s[0] < k_frames,
+                                   jnp.logical_not(jnp.all(s[1])))
+
+        def body(s):
+            i, done, h, kv, pos, keys, buf = s
+            nk = jax.vmap(jax.random.split)(keys)
+            keys, subs = nk[:, 0], nk[:, 1]
+            codes = vframe(h, subs, text_ctx)              # [B, n_cb]
+            if eos_code >= 0:
+                is_eos = jnp.logical_and(codes[:, 0] == eos_code,
+                                         base_frame + i >= eos_min)
+            else:
+                is_eos = jnp.zeros((b,), bool)
+            buf = jax.lax.dynamic_update_slice(buf, codes[None], (i, 0, 0))
+            emb = vcompose(codes).astype(kv_dtype)
+            h2, kv = vstep(kv, pos, emb)
+            done = jnp.logical_or(done, is_eos)
+            h = jnp.where(done[:, None], h, h2[:, 0].astype(jnp.float32))
+            pos = jnp.where(done, pos, jnp.minimum(pos + 1, max_pos))
+            return (i + 1, done, h, kv, pos, keys, buf)
+
+        i, done, h, kv, pos, keys, buf = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((b,), bool), h, kv,
+             jnp.asarray(pos, jnp.int32), keys, buf0))
+        packed = jnp.concatenate([buf.reshape(-1), i[None],
+                                  done.astype(jnp.int32), pos])
+        return packed, h, kv, keys
+
+    return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
+
+
 def build_stream_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
                        rep: Tuple[float, int], n_frames: int) -> Callable:
     """K-frame chunk of the realtime streaming interleave (reference:
@@ -178,7 +259,8 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
                      temperature: float = 0.0, top_k: int = 0,
                      top_p: float = 1.0, min_p: float = 0.0,
                      rep: Tuple[float, int] | None = None,
-                     stream: bool = False, cb0_range=None) -> Callable:
+                     stream: bool = False, cb0_range=None,
+                     batched: bool = False) -> Callable:
     """Per-LM cache over build_gen_chunk / build_stream_chunk, keyed by
     (sampler chain, rep, K, flavor, backbone shape). Backbone weights ride
     as explicit jit arguments, so one compiled chunk serves any checkpoint
@@ -187,12 +269,16 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
     cache = getattr(lm, "_gen_chunk_cache", None)
     if cache is None:
         cache = lm._gen_chunk_cache = {}
-    key = (chain, rep, int(n_frames), stream, cb0_range, repr(backbone.cfg))
+    key = (chain, rep, int(n_frames), stream, cb0_range, batched,
+           repr(backbone.cfg))
     fn = cache.get(key)
     if fn is None:
         if stream:
             fn = build_stream_chunk(lm, backbone.cfg, chain,
                                     rep or (1.0, 0), n_frames)
+        elif batched:
+            fn = build_gen_chunk_batched(lm, backbone.cfg, chain, n_frames,
+                                         cb0_range=cb0_range)
         else:
             fn = build_gen_chunk(lm, backbone.cfg, chain, n_frames,
                                  cb0_range=cb0_range)

@@ -505,6 +505,164 @@ def run_chatterbox(
                            stopped_by_eos=stopped)
 
 
+def run_codebook_ar_batch(
+    audio_lms: Sequence[AudioLM],
+    backbone,
+    prompt_embeds_list: Sequence[Sequence[np.ndarray]],
+    on_device: OnDeviceSampling,
+    max_steps: int = 1024,
+    decode: bool = True,
+    n_q: int = 0,
+    pi=None,
+) -> List[SynthesisResult]:
+    """B concurrent Type C/D generations on SHARED weights with the whole
+    frame loop batched on device (lm/fused_gen.build_gen_chunk_batched):
+    one vmapped chunk steps every stream's fused frame + feedback compose
+    + backbone forward together — batched GEMMs through one weight set,
+    the multi-stream TTS serving shape. Each stream owns its AudioLM
+    context (create them with a shared CodecLM: `AudioLM(reader, codec,
+    lm=shared)`), KV cache, PRNG stream (seed + stream index — matching
+    the single-stream chunked run with that seed), and EOS state; streams
+    that stop early ride along inert until the chunk drains.
+
+    Requires a JAX backbone and a chunk-capable kind (raises otherwise —
+    this is an explicit batched API, not a fast path with fallback).
+    Grammar constraints are unsupported; the cb0 RangeConstraint applies
+    in-graph via `pi` as in run_codebook_ar.
+
+    Reference contrast: the reference serializes generations — one
+    codec_lm_state per stream but a host loop per frame each
+    (lm_internal.h:63-68, tts_runner.cpp:707)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_gen import gen_chunk_cached, supports_gen_chunk
+
+    b = len(audio_lms)
+    if b == 0 or b != len(prompt_embeds_list):
+        raise ValueError("need one prompt per stream")
+    lm = audio_lms[0].lm
+    if lm is None:
+        raise ValueError("model has no codec_lm adaptor")
+    for alm in audio_lms[1:]:
+        if alm.lm is not lm:
+            raise ValueError("streams must share one CodecLM "
+                             "(AudioLM(reader, codec, lm=shared))")
+    if not supports_gen_chunk(lm, backbone):
+        raise ValueError("batched generation needs a JAX backbone and a "
+                         "chunk-capable LM kind")
+    chunk_n = max(2, int(on_device.chunk_frames))
+
+    cb0_range = None
+    if pi is not None and pi.cb0_speech_range_start >= 0 \
+            and pi.cb0_speech_range_end > pi.cb0_speech_range_start:
+        cb0_range = (int(pi.cb0_speech_range_start),
+                     int(pi.cb0_speech_range_end),
+                     int(pi.eos_code_c0) if pi.eos_code_c0 is not None
+                     else -1)
+    chunk_fn = gen_chunk_cached(
+        lm, backbone, n_frames=chunk_n, batched=True, cb0_range=cb0_range,
+        temperature=on_device.temperature, top_k=on_device.top_k,
+        top_p=on_device.top_p, min_p=on_device.min_p)
+
+    # per-stream prompt prefill into per-stream KV slices
+    kvs, hs, poss = [], [], []
+    for embeds in prompt_embeds_list:
+        backbone.reset()
+        h = None
+        for e in embeds:
+            h = backbone.step(np.asarray(e, np.float32))
+        if h is None:
+            raise ValueError("every stream needs >= 1 prompt embedding")
+        kvs.append(backbone.kv)
+        hs.append(np.asarray(h, np.float32))
+        poss.append(backbone.pos)
+    kv = jnp.stack(kvs)
+    hd = jnp.asarray(np.stack(hs))
+    pos = np.asarray(poss, np.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(on_device.seed, on_device.seed + b, dtype=jnp.uint32))
+    for alm in audio_lms:
+        alm.reset()
+    states = [alm.state for alm in audio_lms]
+    tc = np.asarray([st.text_context if st.text_context is not None else 0
+                     for st in states], np.int32)
+
+    n_cb = lm.info.n_codebook
+    stopped = [False] * b
+    steps = [0] * b
+    base = states[0].frame_counter
+    while any(not stopped[s] and steps[s] < max_steps for s in range(b)):
+        packed, hd, kv, keys = chunk_fn(
+            backbone.params, kv, jnp.asarray(pos), np.int32(base), hd,
+            keys, jnp.asarray(tc))
+        arr = np.asarray(packed)
+        n_emit = int(arr[chunk_n * b * n_cb])
+        pos = arr[-b:].astype(np.int32)
+        if n_emit == 0:
+            break
+        rows = arr[: chunk_n * b * n_cb].reshape(chunk_n, b, n_cb)
+        for i in range(n_emit):
+            for s in range(b):
+                if stopped[s] or steps[s] >= max_steps:
+                    continue
+                codes = states[s].push_frame(rows[i, s])
+                steps[s] += 1          # the EOS frame counts, like the
+                if audio_lms[s].observe_codes(codes) is ObserveAction.STOP:
+                    stopped[s] = True  # single-stream loop's n_steps
+        base += n_emit
+
+    # per-stream delay-tail flush (contract: include/codec_lm.h:387-401)
+    # through the host step machine off each stream's KV slice
+    results: List[SynthesisResult] = []
+    for s in range(b):
+        alm, st = audio_lms[s], states[s]
+        tr = alm.decode_transform
+        max_delay = tr.max_delay(alm.n_codebook)
+        eos_c0 = lm.info.eos_code_c0
+        n_speech = None
+        if stopped[s] and max_delay > 0 and eos_c0 >= 0:
+            backbone.kv = kv[s]
+            backbone.pos = int(pos[s])
+            flush_key = jax.random.fold_in(keys[s], 0x0F1D)
+            from ..ops.sample import sample_logits as _sl
+
+            n_speech = len(alm.frames) - 1
+            last_codes = list(alm.frames[-1])
+            for _ in range(max_delay):
+                emb = lm.compose_next_embd(last_codes, alm._embed_step)
+                alm._embed_step += 1
+                h = backbone.step(emb)
+                st.step_begin(np.asarray(h, np.float32))
+                for _k in range(alm.n_codebook):
+                    logits, cb_idx = st.step_logits()
+                    if cb_idx == 0:
+                        code = eos_c0
+                    else:
+                        flush_key, sub = jax.random.split(flush_key)
+                        code = int(np.asarray(_sl(
+                            jnp.asarray(np.asarray(logits, np.float32)), sub,
+                            temperature=on_device.temperature,
+                            top_k=on_device.top_k, top_p=on_device.top_p,
+                            min_p=on_device.min_p)))
+                    st.step_push_code(code)
+                last_codes = list(st.step_finish())
+                alm.frames.append(last_codes)
+                steps[s] += 1
+
+        codes = alm.codes_matrix()
+        if stopped[s] and eos_c0 >= 0 and max_delay == 0 and len(codes):
+            codes = codes[:-1]
+        pcm = None
+        if decode and alm.codec is not None and len(codes):
+            pcm = _decode_transformed(alm, codes, n_q=n_q,
+                                      n_speech_frames=n_speech)
+        results.append(SynthesisResult(codes=codes, pcm=pcm,
+                                       n_steps=steps[s],
+                                       stopped_by_eos=stopped[s]))
+    return results
+
+
 class RangeConstraint:
     """GBNF-grammar analog (reference: tts_runner.h:64-73 constrains the
     backbone sampler so generated tokens stay inside the audio-token

@@ -38,6 +38,11 @@ Endpoints:
                                AR kinds (CSM/Qwen3/MOSS) serve when the
                                process was started with --backbone
                                (generations serialize on one backbone)
+  POST /synthesize_batch       body {"texts": [...], "seed": 0,
+                                     "max_frames": 0, "chunk_frames": 8}
+                               → {"wavs": [b64...], "n_frames", "stops"};
+                               B generations batched through ONE vmapped
+                               on-device loop (codebook-AR kinds)
 
 Usage:
   python -m codec_tpu.serve --model pocket.gguf [--port 8765]
@@ -88,6 +93,7 @@ class CodecHTTPServer:
         self.backbone = None
         self.backbone_path = backbone_path
         self._bb_lock = _threading.Lock()
+        self._shared_lm = None          # lazy CodecLM for /synthesize_batch
         if backbone_path:
             from ..lm.backbone import create_backbone
 
@@ -141,6 +147,8 @@ class CodecHTTPServer:
                         return self._encode()
                     if self.path == "/synthesize":
                         return self._synthesize()
+                    if self.path == "/synthesize_batch":
+                        return self._synthesize_batch()
                     return self._err(404, f"no route {self.path}")
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     if self._response_started:
@@ -296,6 +304,45 @@ class CodecHTTPServer:
                 self.send_header("X-Stop", stop)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _synthesize_batch(self):
+                """B texts through ONE vmapped on-device generation loop
+                (run_codebook_ar_batch): batched GEMMs on the shared
+                backbone instead of B serialized /synthesize calls.
+                Body: {"texts": [...], "seed", "max_frames",
+                "chunk_frames"}; response: one base64 WAV per text."""
+                import base64
+
+                from ..cli.tts_cli import run_backbone_synthesize_batch
+
+                req = json.loads(self._body())
+                texts = req["texts"]
+                if outer.backbone is None:
+                    raise ValueError("synthesize_batch needs a server "
+                                     "started with --backbone")
+                with outer._bb_lock:
+                    if outer._shared_lm is None:
+                        from ..lm import create_lm
+
+                        outer._shared_lm = create_lm(outer.reader)
+                    outs = run_backbone_synthesize_batch(
+                        outer.model, outer.reader, outer.backbone_path,
+                        texts, seed=int(req.get("seed", 0)),
+                        max_frames=int(req.get("max_frames", 0)),
+                        bb=outer.backbone, lm=outer._shared_lm,
+                        chunk_frames=int(req.get("chunk_frames", 8)))
+                sr = outer.model.sample_rate
+                wavs = []
+                frames = []
+                stops = []
+                for pcm, n_frames, stop in outs:
+                    pcm = pcm if pcm is not None else np.zeros(0, np.float32)
+                    wavs.append(base64.b64encode(
+                        _wav_header(len(pcm), sr) + _pcm16(pcm)).decode())
+                    frames.append(n_frames)
+                    stops.append(stop)
+                self._json(200, {"wavs": wavs, "sample_rate": sr,
+                                 "n_frames": frames, "stops": stops})
 
             def _synthesize_stream(self, req, text):
                 """Chunked-transfer WAV: each AR frame is vocoded through

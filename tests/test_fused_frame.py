@@ -306,9 +306,10 @@ def test_gen_chunk_matches_per_frame(rda_gguf, tiny_backbone_gguf, ods):
     assert got.stopped_by_eos == ref.stopped_by_eos
 
 
-def _write_rda_eos_gguf(tensors, path):
-    """The rda_gguf tensors with a zeroed c0 head and eos_code_c0=0:
-    greedy c0 is always 0, so generation EOSes at eos_min_step=2."""
+def _write_rda_eos_gguf(tensors, path, zero_c0=True):
+    """The rda_gguf tensors with eos_code_c0=0 and (by default) a zeroed
+    c0 head: greedy c0 is always 0, so generation EOSes at eos_min_step=2.
+    zero_c0=False keeps the provided c0 head (caller-staged EOS timing)."""
     w = GGUFWriter(path, "mimi")
     _write_base(w)
     w.add_bool("codec.lm.has_adaptor", True)
@@ -335,7 +336,7 @@ def _write_rda_eos_gguf(tensors, path):
     w.add_bool("codec.lm.residual.depth_use_rope", True)
     w.add_string("codec.lm.residual.c0_input_modality", "audio")
     for name, t in tensors.items():
-        if name == "lm.c0_head.weight":
+        if zero_c0 and name == "lm.c0_head.weight":
             t = torch.zeros_like(t)
         w.add_tensor(name, t.numpy())
     w.write()
@@ -643,3 +644,95 @@ def test_ttsd_style_chunked_range_matches_host(phd_gguf, tiny_backbone_gguf):
     assert host.stopped_by_eos == dev.stopped_by_eos
     assert np.all((host.codes[:, 0] >= 5) & (host.codes[:, 0] < 15)
                   | (host.codes[:, 0] == 7))
+
+
+# ---------------------------------------------------------------------------
+# batched multi-stream generation (build_gen_chunk_batched)
+# ---------------------------------------------------------------------------
+
+def _shared_alms(path, n, shared):
+    from codec_tpu.lm.audio_lm import AudioLM
+
+    return [AudioLM(GGUFReader(path), lm=shared) for _ in range(n)]
+
+
+def test_batched_gen_matches_single_streams(rda_gguf, tiny_backbone_gguf):
+    """3 concurrent streams through run_codebook_ar_batch == 3 independent
+    single-stream chunked runs with the matching per-stream seeds (the
+    batched chunk's PRNG stream for index s is PRNGKey(seed + s))."""
+    import dataclasses
+
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import (run_codebook_ar,
+                                         run_codebook_ar_batch)
+
+    path, _ = rda_gguf
+    shared = create_lm(GGUFReader(path))
+    rng = np.random.default_rng(9)
+    prompts = [[(rng.standard_normal(H) * 0.3).astype(np.float32)]
+               for _ in range(3)]
+    ods = OnDeviceSampling(temperature=0.8, top_k=5, seed=21, chunk_frames=3)
+
+    batch = run_codebook_ar_batch(
+        _shared_alms(path, 3, shared), _fresh_backbone(tiny_backbone_gguf),
+        prompts, ods, max_steps=5, decode=False)
+
+    for s in range(3):
+        ref = run_codebook_ar(
+            AudioLM(GGUFReader(path), lm=shared),
+            _fresh_backbone(tiny_backbone_gguf), prompts[s], max_steps=5,
+            decode=False,
+            on_device=dataclasses.replace(ods, seed=ods.seed + s,
+                                          chunk_frames=3))
+        np.testing.assert_array_equal(batch[s].codes, ref.codes)
+        assert batch[s].n_steps == ref.n_steps
+        assert batch[s].stopped_by_eos == ref.stopped_by_eos
+
+
+def test_batched_gen_staggered_eos(rda_gguf, tiny_backbone_gguf,
+                                   tmp_path_factory):
+    """Per-stream EOS gating: with c0 logits = the backbone hidden itself
+    (c0_head = scaled identity), greedy cb0 emits eos_code_c0=0 exactly
+    when h[0] is the max component — a deterministic, stream-dependent
+    stop time. Every stream must match its single-stream chunked run
+    (frames, EOS step) while others continue past it."""
+    import dataclasses
+
+    import torch
+
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.tts_runner import (run_codebook_ar,
+                                         run_codebook_ar_batch)
+
+    _, tensors = rda_gguf
+    head = torch.zeros(SIZES[0], H)
+    head[:H, :H] = torch.eye(H) * 2.0
+    path = _write_rda_eos_gguf(
+        dict(tensors, **{"lm.c0_head.weight": head}),
+        tmp_path_factory.mktemp("b_eos") / "rda_eos.gguf", zero_c0=False)
+    shared = create_lm(GGUFReader(path))
+    rng = np.random.default_rng(10)
+    prompts = [[(rng.standard_normal(H) * 0.3).astype(np.float32)]
+               for _ in range(4)]
+    ods = OnDeviceSampling(seed=5, chunk_frames=4)          # greedy
+
+    batch = run_codebook_ar_batch(
+        _shared_alms(path, 4, shared), _fresh_backbone(tiny_backbone_gguf),
+        prompts, ods, max_steps=12, decode=False)
+
+    eos_steps = set()
+    for s in range(4):
+        ref = run_codebook_ar(
+            AudioLM(GGUFReader(path), lm=shared),
+            _fresh_backbone(tiny_backbone_gguf), prompts[s], max_steps=12,
+            decode=False,
+            on_device=dataclasses.replace(ods, seed=ods.seed + s,
+                                          chunk_frames=4))
+        np.testing.assert_array_equal(batch[s].codes, ref.codes)
+        assert batch[s].n_steps == ref.n_steps
+        assert batch[s].stopped_by_eos == ref.stopped_by_eos
+        eos_steps.add(batch[s].n_steps)
+    assert len(eos_steps) > 1, "streams all stopped in lockstep — the " \
+        "fixture no longer staggers; adjust prompts/seed"

@@ -268,3 +268,24 @@ def test_concurrent_stream_and_batch_synthesize(tts_server):
     b = _np.frombuffer(batch_wav[44:], dtype="<i2").astype(_np.int32)
     assert a.shape == b.shape
     assert int(_np.abs(a - b).max()) <= 1
+
+
+def test_synthesize_batch_endpoint(ar_server):
+    """B texts through one vmapped on-device generation loop: per-text
+    WAVs, deterministic per (seed, stream index)."""
+    import base64
+
+    req = {"texts": ["hello there", "hello hello"], "seed": 4,
+           "max_frames": 4, "chunk_frames": 2}
+    status, body = _req(ar_server, "POST", "/synthesize_batch",
+                        json.dumps(req))
+    assert status == 200, body
+    out = json.loads(body)
+    assert len(out["wavs"]) == 2 and out["sample_rate"] == 24000
+    wavs = [base64.b64decode(w) for w in out["wavs"]]
+    assert all(w[:4] == b"RIFF" and len(w) > 44 for w in wavs)
+    assert all(n >= 1 for n in out["n_frames"])
+
+    status2, body2 = _req(ar_server, "POST", "/synthesize_batch",
+                          json.dumps(req))
+    assert status2 == 200 and json.loads(body2)["wavs"] == out["wavs"]
