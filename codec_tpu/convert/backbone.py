@@ -79,9 +79,13 @@ class LlamaBackboneConverter(BaseConverter):
         writer.add_int32("backbone.n_heads", n_heads)
         writer.add_int32("backbone.n_kv_heads", n_kv)
         writer.add_int32("backbone.head_dim", head_dim)
-        writer.add_int32("backbone.ffn_dim",
-                         int(cfg.get("intermediate_size",
-                                     self._sd("layers.0.mlp.gate_proj.weight").shape[0])))
+        if self._has("layers.0.mlp.gate_proj.weight"):
+            ffn_dim = int(cfg.get(
+                "intermediate_size",
+                self._sd("layers.0.mlp.gate_proj.weight").shape[0]))
+        else:                         # MoE: dense ffn_dim is unused
+            ffn_dim = int(cfg.get("intermediate_size", 0))
+        writer.add_int32("backbone.ffn_dim", ffn_dim)
         writer.add_int32("backbone.vocab_size",
                          int(cfg.get("vocab_size", emb.shape[0])))
         writer.add_float32("backbone.rope_theta",
@@ -92,6 +96,32 @@ class LlamaBackboneConverter(BaseConverter):
                          int(self.config.get("backbone_max_ctx",
                              min(4096, int(cfg.get("max_position_embeddings",
                                                    4096))))))
+        # MoE (Qwen3-MoE-style): per-layer router + expert SwiGLUs. Mixed
+        # dense/sparse stacks (decoder_sparse_step > 1 / mlp_only_layers)
+        # are not supported — every layer must be MoE.
+        self._moe = self._has("layers.0.mlp.experts.0.gate_proj.weight")
+        if self._moe:
+            n_experts = 0
+            while self._has(f"layers.0.mlp.experts.{n_experts}."
+                            f"gate_proj.weight"):
+                n_experts += 1
+            for i in range(n_layers):
+                if not self._has(f"layers.{i}.mlp.experts.0.gate_proj.weight"):
+                    raise ValueError(
+                        f"MoE backbone: layer {i} has no experts (mixed "
+                        f"dense/sparse stacks are not supported)")
+            writer.add_int32("backbone.n_experts",
+                             int(cfg.get("num_experts", n_experts)))
+            writer.add_int32("backbone.n_experts_used",
+                             int(cfg.get("num_experts_per_tok", 2)))
+            writer.add_bool("backbone.norm_topk_prob",
+                            bool(cfg.get("norm_topk_prob", True)))
+            writer.add_int32(
+                "backbone.moe_ffn_dim",
+                int(cfg.get("moe_intermediate_size",
+                            self._sd("layers.0.mlp.experts.0."
+                                     "gate_proj.weight").shape[0])))
+            self._n_experts = n_experts
         writer.add_bool("backbone.qk_norm",
                         self._has("layers.0.self_attn.q_norm.weight"))
         writer.add_bool("backbone.attn_bias",
@@ -140,7 +170,18 @@ class LlamaBackboneConverter(BaseConverter):
                                 self._sd(src + "k_norm.weight"))
             self.add_tensor(writer, dst + "ffn_norm.w",
                             self._sd(f"layers.{i}.post_attention_layernorm.weight"))
-            for a, b in (("gate", "gate_proj"), ("up", "up_proj"),
-                         ("down", "down_proj")):
-                self.add_tensor(writer, dst + a + ".w",
-                                self._sd(f"layers.{i}.mlp.{b}.weight"))
+            if getattr(self, "_moe", False):
+                self.add_tensor(writer, dst + "router.w",
+                                self._sd(f"layers.{i}.mlp.gate.weight"))
+                for a, b in (("gate_exps", "gate_proj"), ("up_exps", "up_proj"),
+                             ("down_exps", "down_proj")):
+                    stacked = np.stack(
+                        [np.asarray(self._sd(f"layers.{i}.mlp.experts.{e}."
+                                             f"{b}.weight"))
+                         for e in range(self._n_experts)])
+                    self.add_tensor(writer, dst + a + ".w", stacked)
+            else:
+                for a, b in (("gate", "gate_proj"), ("up", "up_proj"),
+                             ("down", "down_proj")):
+                    self.add_tensor(writer, dst + a + ".w",
+                                    self._sd(f"layers.{i}.mlp.{b}.weight"))

@@ -49,10 +49,19 @@ class BackboneConfig:
     has_qk_norm: bool = False
     has_attn_bias: bool = False
     tied_lm_head: bool = True
+    # MoE (Qwen3-MoE-style sparse FFN): n_experts == 0 means dense
+    n_experts: int = 0
+    n_experts_used: int = 0
+    norm_topk_prob: bool = True
+    moe_ffn_dim: int = 0
 
     @classmethod
     def from_gguf(cls, r: GGUFReader) -> "BackboneConfig":
         return cls(
+            n_experts=r.get_i32("backbone.n_experts", 0),
+            n_experts_used=r.get_i32("backbone.n_experts_used", 0),
+            norm_topk_prob=r.get_bool("backbone.norm_topk_prob", True),
+            moe_ffn_dim=r.get_i32("backbone.moe_ffn_dim", 0),
             hidden=r.get_i32("backbone.hidden_dim"),
             n_layers=r.get_i32("backbone.n_layers"),
             n_heads=r.get_i32("backbone.n_heads"),
@@ -104,9 +113,18 @@ def load_backbone_params(r: GGUFReader, cfg: BackboneConfig,
     layers = []
     for i in range(cfg.n_layers):
         pre = f"backbone.l{i}."
-        lw = {k: get_mat(pre + n) for k, n in
-              (("q", "q.w"), ("k", "k.w"), ("v", "v.w"), ("o", "o.w"),
-               ("gate", "gate.w"), ("up", "up.w"), ("down", "down.w"))}
+        attn = (("q", "q.w"), ("k", "k.w"), ("v", "v.w"), ("o", "o.w"))
+        ffn = () if cfg.n_experts else \
+            (("gate", "gate.w"), ("up", "up.w"), ("down", "down.w"))
+        lw = {k: get_mat(pre + n) for k, n in attn + ffn}
+        if cfg.n_experts:
+            # sparse FFN: router [E, hidden] + stacked expert mats
+            # [E, moe_ffn, hidden] / [E, hidden, moe_ffn] — dense-loaded
+            # (expert matmuls are einsums over the expert axis; the packed
+            # quant kernels only cover 2-D GEMVs)
+            for k, n in (("router", "router.w"), ("gate_exps", "gate_exps.w"),
+                         ("up_exps", "up_exps.w"), ("down_exps", "down_exps.w")):
+                lw[k] = get(pre + n)
         lw["attn_norm"] = get(pre + "attn_norm.w")
         lw["ffn_norm"] = get(pre + "ffn_norm.w")
         if cfg.has_attn_bias:
@@ -143,6 +161,86 @@ def _rope(x, positions, cfg: BackboneConfig, freq_factors):
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
 
 
+def layer_block(xb: jax.Array, lw_i: Dict[str, Any], kv_l: jax.Array,
+                pos0: jax.Array, positions: jax.Array, mask: jax.Array,
+                cfg: BackboneConfig, ff,
+                write_gate=None) -> Tuple[jax.Array, jax.Array]:
+    """One decoder layer: attention (against the full static-length KV
+    cache, new keys written at pos0) + SwiGLU FFN. xb: [T, hidden];
+    kv_l: [2, n_kv, max_ctx, D] (this layer's cache). `write_gate`, when
+    given, is a traced bool: False makes the KV write a no-op (the written
+    slice is replaced by the cache's existing contents) — used by the
+    pipeline schedule's fill/drain bubble steps."""
+    t = xb.shape[0]
+    h = norms.rms_norm(xb, lw_i["attn_norm"], cfg.rms_eps)
+    q = _mm(h, lw_i["q"])
+    k = _mm(h, lw_i["k"])
+    v = _mm(h, lw_i["v"])
+    if cfg.has_attn_bias:
+        q, k, v = q + lw_i["q_b"], k + lw_i["k_b"], v + lw_i["v_b"]
+    q = q.reshape(t, cfg.n_heads, cfg.head_dim).transpose(1, 0, 2)
+    k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim).transpose(1, 0, 2)
+    v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim).transpose(1, 0, 2)
+    if cfg.has_qk_norm:       # per-head RMS over head_dim (Qwen3)
+        q = norms.rms_norm(q, lw_i["q_norm"], cfg.rms_eps)
+        k = norms.rms_norm(k, lw_i["k_norm"], cfg.rms_eps)
+    q = _rope(q[None], positions, cfg, ff)[0]
+    k = _rope(k[None], positions, cfg, ff)[0]
+
+    if write_gate is not None:
+        k = jnp.where(write_gate, k,
+                      jax.lax.dynamic_slice(kv_l[0], (0, pos0, 0), k.shape))
+        v = jnp.where(write_gate, v,
+                      jax.lax.dynamic_slice(kv_l[1], (0, pos0, 0), v.shape))
+    k_cache = jax.lax.dynamic_update_slice(kv_l[0], k, (0, pos0, 0))
+    v_cache = jax.lax.dynamic_update_slice(kv_l[1], v, (0, pos0, 0))
+    kv_l = jnp.stack([k_cache, v_cache])
+
+    rep = cfg.n_heads // cfg.n_kv_heads
+    kk = jnp.repeat(k_cache, rep, axis=0)
+    vv = jnp.repeat(v_cache, rep, axis=0)
+    logits = jnp.einsum("htd,hkd->htk", q, kk,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (cfg.head_dim ** -0.5) + mask[None]
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vv.dtype)
+    ctx = jnp.einsum("htk,hkd->htd", w, vv)
+    ctx = ctx.transpose(1, 0, 2).reshape(t, cfg.n_heads * cfg.head_dim)
+    xb = xb + _mm(ctx, lw_i["o"])
+
+    h = norms.rms_norm(xb, lw_i["ffn_norm"], cfg.rms_eps)
+    if cfg.n_experts:
+        xb = xb + _moe_ffn(h, lw_i, cfg)
+    else:
+        g = jax.nn.silu(_mm(h, lw_i["gate"])) * _mm(h, lw_i["up"])
+        xb = xb + _mm(g, lw_i["down"])
+    return xb, kv_l
+
+
+def _moe_ffn(h: jax.Array, lw_i: Dict[str, Any],
+             cfg: BackboneConfig) -> jax.Array:
+    """Qwen3-MoE sparse FFN: softmax router → top-k (optionally
+    renormalized) → weighted sum of expert SwiGLUs. All experts are
+    computed densely and combined by the (zero-for-unselected) routing
+    matrix: AR decode sees a handful of tokens per call, so gather-based
+    dispatch would move more expert-weight bytes than the dense einsums
+    burn in FLOPs — and the dense form keeps static MXU shapes and lets
+    expert parallelism shard the E axis (set_mesh_ep: each chip computes
+    its local experts for every token, one all-reduce combines).
+    HF oracle: Qwen3MoeSparseMoeBlock.forward."""
+    t = h.shape[0]
+    logits = _mm(h, lw_i["router"])                        # [T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.n_experts_used)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    w = jnp.zeros((t, cfg.n_experts), jnp.float32)
+    w = w.at[jnp.arange(t)[:, None], topi].set(topv)
+    g = jnp.einsum("th,efh->tef", h, lw_i["gate_exps"])
+    u = jnp.einsum("th,efh->tef", h, lw_i["up_exps"])
+    y = jnp.einsum("tef,ehf->teh", jax.nn.silu(g) * u, lw_i["down_exps"])
+    return jnp.einsum("te,teh->th", w.astype(y.dtype), y)
+
+
 def backbone_forward(params: Dict[str, Any], kv: jax.Array, pos0: jax.Array,
                      x: jax.Array, cfg: BackboneConfig
                      ) -> Tuple[jax.Array, jax.Array]:
@@ -158,40 +256,9 @@ def backbone_forward(params: Dict[str, Any], kv: jax.Array, pos0: jax.Array,
 
     def body(xb_kv, lw_i):
         xb, kv_all, li = xb_kv
-        h = norms.rms_norm(xb, lw_i["attn_norm"], cfg.rms_eps)
-        q = _mm(h, lw_i["q"])
-        k = _mm(h, lw_i["k"])
-        v = _mm(h, lw_i["v"])
-        if cfg.has_attn_bias:
-            q, k, v = q + lw_i["q_b"], k + lw_i["k_b"], v + lw_i["v_b"]
-        q = q.reshape(t, cfg.n_heads, cfg.head_dim).transpose(1, 0, 2)
-        k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim).transpose(1, 0, 2)
-        v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim).transpose(1, 0, 2)
-        if cfg.has_qk_norm:       # per-head RMS over head_dim (Qwen3)
-            q = norms.rms_norm(q, lw_i["q_norm"], cfg.rms_eps)
-            k = norms.rms_norm(k, lw_i["k_norm"], cfg.rms_eps)
-        q = _rope(q[None], positions, cfg, ff)[0]
-        k = _rope(k[None], positions, cfg, ff)[0]
-
-        kv_l = kv_all[li]
-        k_cache = jax.lax.dynamic_update_slice(kv_l[0], k, (0, pos0, 0))
-        v_cache = jax.lax.dynamic_update_slice(kv_l[1], v, (0, pos0, 0))
-        kv_all = kv_all.at[li].set(jnp.stack([k_cache, v_cache]))
-
-        rep = cfg.n_heads // cfg.n_kv_heads
-        kk = jnp.repeat(k_cache, rep, axis=0)
-        vv = jnp.repeat(v_cache, rep, axis=0)
-        logits = jnp.einsum("htd,hkd->htk", q, kk,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (cfg.head_dim ** -0.5) + mask[None]
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vv.dtype)
-        ctx = jnp.einsum("htk,hkd->htd", w, vv)
-        ctx = ctx.transpose(1, 0, 2).reshape(t, cfg.n_heads * cfg.head_dim)
-        xb = xb + _mm(ctx, lw_i["o"])
-
-        h = norms.rms_norm(xb, lw_i["ffn_norm"], cfg.rms_eps)
-        g = jax.nn.silu(_mm(h, lw_i["gate"])) * _mm(h, lw_i["up"])
-        xb = xb + _mm(g, lw_i["down"])
+        xb, kv_l = layer_block(xb, lw_i, kv_all[li], pos0, positions, mask,
+                               cfg, ff)
+        kv_all = kv_all.at[li].set(kv_l)
         return (xb, kv_all, li + 1), None
 
     (xb, kv, _), _ = jax.lax.scan(body, (x, kv, 0), params["layers"])
@@ -270,7 +337,16 @@ class LlamaBackbone:
         specs = {"q": col, "k": col, "v": col, "gate": col, "up": col,
                  "o": row, "down": row,
                  "q_b": sh(None, axis), "k_b": sh(None, axis),
-                 "v_b": sh(None, axis)}
+                 "v_b": sh(None, axis),
+                 # MoE experts under TP: every expert's ffn dim splits
+                 # (column-parallel gate/up, row-parallel down); router
+                 # stays replicated
+                 "gate_exps": sh(None, None, axis),
+                 "up_exps": sh(None, None, axis),
+                 "down_exps": sh(None, None, None, axis)}
+        if c.n_experts and c.moe_ffn_dim % ntp:
+            raise ValueError(f"backbone TP: moe_ffn_dim={c.moe_ffn_dim} "
+                             f"not divisible by mesh size {ntp}")
         repl = sh()
         layers = {k: jax.device_put(v, specs.get(k, repl))
                   for k, v in self.params["layers"].items()}
@@ -282,15 +358,111 @@ class LlamaBackbone:
         }
         self._kv_sharding = sh(None, None, axis, None, None)
         self.kv = jax.device_put(self.kv, self._kv_sharding)
+        self._pp = None                   # TP replaces any PP placement
         self._fns.clear()                 # recompile against new shardings
+
+    # -- expert parallelism ---------------------------------------------------
+    def set_mesh_ep(self, mesh, axis: str = "ep") -> None:
+        """Shard a MoE backbone expert-parallel over `mesh[axis]`: the
+        stacked expert weights split on their expert axis (E/n experts'
+        parameters per chip), router/attention replicated. Each chip
+        computes its local experts' SwiGLU for every token and the
+        routing-weighted combine contracts over the sharded expert axis —
+        XLA's SPMD partitioner turns that contraction into one
+        all-reduce per MoE layer, the canonical inference-EP pattern
+        (weights distributed across HBM, compute distributed, one
+        collective to combine).
+
+        Requires n_experts divisible by the mesh size. Dense backbones
+        (n_experts == 0) are rejected — use set_mesh (TP) or set_mesh_pp."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        c = self.cfg
+        nep = int(mesh.shape[axis])
+        if not c.n_experts:
+            raise ValueError("backbone EP: not a MoE backbone "
+                             "(backbone.n_experts == 0)")
+        if c.n_experts % nep:
+            raise ValueError(f"backbone EP: n_experts={c.n_experts} not "
+                             f"divisible by mesh size {nep}")
+
+        def sh(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        exp = sh(None, axis)          # [L, E, ...] leaves split on E
+        specs = {"gate_exps": exp, "up_exps": exp, "down_exps": exp}
+        repl = sh()
+        layers = {k: jax.device_put(v, specs.get(k, repl))
+                  for k, v in self.params["layers"].items()}
+        self.params = {
+            **{k: (v if v is None or k == "layers"
+                   else jax.device_put(v, repl))
+               for k, v in self.params.items()},
+            "layers": layers,
+        }
+        self._kv_sharding = repl
+        self.kv = jax.device_put(self.kv, self._kv_sharding)
+        self._pp = None
+        self._fns.clear()
+
+    # -- pipeline parallelism -------------------------------------------------
+    def set_mesh_pp(self, mesh, axis: str = "pp",
+                    microbatches: int = 4) -> None:
+        """Shard the backbone pipeline-parallel over `mesh[axis]`:
+        n_layers/S whole layers per chip (stacked layer weights and the
+        KV cache split on their layer axis), forward executed by the
+        GPipe schedule in parallel/pipeline.py — microbatched prefill,
+        activations hopping stage-to-stage over ICI neighbor links.
+        Complements TP: PP moves one [mb, hidden] activation per stage
+        instead of an all-reduce per layer, so it is the bandwidth-cheap
+        way to fit a backbone that outgrows one chip's HBM. `step`/
+        `prefill` and the host tts_runner loops are unchanged.
+
+        Requires n_layers divisible by the mesh size; packed-quantized
+        weights are not supported (their Pallas matmuls would need
+        manual partitioning)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        c = self.cfg
+        S = int(mesh.shape[axis])
+        if c.n_layers % S:
+            raise ValueError(f"backbone PP: n_layers={c.n_layers} not "
+                             f"divisible by mesh size {S}")
+        if any(isinstance(self.params["layers"].get(k), dict)
+               for k in ("q", "k", "v", "o", "gate", "up", "down")):
+            raise ValueError("backbone PP: packed-quantized weights are "
+                             "not supported; load with quantized=False")
+
+        stage = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        layers = {k: jax.device_put(v, stage)
+                  for k, v in self.params["layers"].items()}
+        self.params = {
+            **{k: (v if v is None or k == "layers"
+                   else jax.device_put(v, repl))
+               for k, v in self.params.items()},
+            "layers": layers,
+        }
+        self._kv_sharding = stage
+        self.kv = jax.device_put(self.kv, self._kv_sharding)
+        self._pp = (mesh, axis, int(microbatches))
+        self._fns.clear()
 
     def _fwd(self, t: int):
         fn = self._fns.get(t)
         if fn is None:
             cfg = self.cfg
-            fn = jax.jit(
-                lambda p, kv, pos0, x: backbone_forward(p, kv, pos0, x, cfg),
-                donate_argnums=(1,))
+            if getattr(self, "_pp", None) is not None:
+                from ..parallel.pipeline import build_pp_forward
+
+                mesh, axis, n_mb = self._pp
+                fn = jax.jit(build_pp_forward(cfg, mesh, axis, n_mb),
+                             donate_argnums=(1,))
+            else:
+                fn = jax.jit(
+                    lambda p, kv, pos0, x: backbone_forward(p, kv, pos0,
+                                                            x, cfg),
+                    donate_argnums=(1,))
             self._fns[t] = fn
         return fn
 

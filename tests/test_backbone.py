@@ -186,3 +186,32 @@ def test_codebook_ar_with_real_backbone(llama3, tmp_path):
     res = run_codebook_ar(audio_lm, ours, prompt, max_steps=4, decode=False)
     assert res.codes.shape[0] >= 1
     assert res.codes.shape[1] == lm.info.n_codebook
+
+
+def test_qwen3_moe_parity(tmp_path):
+    """MoE backbone (Qwen3-MoE-style sparse FFN): softmax router → top-k
+    → renormalized weighted expert SwiGLUs, parity vs the HF oracle."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeModel
+
+    torch.manual_seed(2)
+    cfg = Qwen3MoeConfig(
+        hidden_size=32, intermediate_size=48, moe_intermediate_size=16,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, vocab_size=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        max_position_embeddings=64, num_experts=8, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[])
+    hf = Qwen3MoeModel(cfg).eval()
+    ours = _convert(hf, cfg.to_dict(), tmp_path, "moe")
+    assert ours.cfg.n_experts == 8 and ours.cfg.n_experts_used == 2
+    assert ours.cfg.moe_ffn_dim == 16
+
+    rng = np.random.default_rng(6)
+    emb = (rng.standard_normal((6, 32)) * 0.3).astype(np.float32)
+    want = _hf_normed(hf, emb)
+    ours.reset()
+    got = [ours.step(emb[i]) for i in range(6)]
+    np.testing.assert_allclose(np.stack(got), want, atol=3e-5, rtol=1e-4)
+    # prefill path too (batched-token routing)
+    ours.reset()
+    last = ours.prefill(emb)
+    np.testing.assert_allclose(last, want[-1], atol=3e-5, rtol=1e-4)

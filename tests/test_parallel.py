@@ -456,3 +456,230 @@ def test_batch_decode_cli_sp(wt_gguf, tmp_path, capsys):
     y_ref, _ = read_wav(ref_dir / "long.wav")
     y_sp, _ = read_wav(sp_dir / "long.wav")
     np.testing.assert_allclose(y_sp, y_ref, atol=2.5 / 32767)
+
+
+# ---------------------------------------------------------------------------
+# pipeline parallelism: the TTS backbone staged over the mesh
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pp_backbone_gguf(tmp_path_factory):
+    """Tiny llama backbone with 8 layers so the full 8-device mesh gets
+    one layer per stage."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.convert import get_converter
+
+    torch.manual_seed(6)
+    cfg = LlamaConfig(
+        hidden_size=32, intermediate_size=48, num_hidden_layers=8,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        vocab_size=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64)
+    hf = LlamaModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("pp") / "bb.gguf"
+    conv.convert_and_save(path)
+    return path
+
+
+def test_pp_backbone_matches_single_and_partitions(pp_backbone_gguf):
+    """GPipe-staged backbone (set_mesh_pp): microbatched prefill + 1-token
+    steps match the single-device backbone, layer weights/KV are sharded
+    on the layer axis, and the compiled HLO carries the stage-to-stage
+    collective-permute (proof the activations really hop the ring)."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(4)
+    embeds = rng.standard_normal((7, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(pp_backbone_gguf, max_ctx=32)
+    want_prefill = ref.prefill(embeds)
+    want_step = ref.step(embeds[0])
+
+    pp = create_backbone(pp_backbone_gguf, max_ctx=32)
+    pp.set_mesh_pp(make_mesh(N_DEV, axis="pp"), axis="pp", microbatches=4)
+    q_sh = pp.params["layers"]["q"].sharding
+    assert len(q_sh.device_set) == N_DEV and not q_sh.is_fully_replicated
+    assert len(pp.kv.sharding.device_set) == N_DEV
+    got_prefill = pp.prefill(embeds)
+    got_step = pp.step(embeds[0])
+    np.testing.assert_allclose(got_prefill, want_prefill, atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(got_step, want_step, atol=1e-4, rtol=1e-4)
+
+    fn = pp._fwd(1)
+    hlo = fn.lower(pp.params, pp.kv, pp.pos,
+                   jnp.asarray(embeds[:1], pp.dtype)).compile().as_text()
+    assert "collective-permute" in hlo, \
+        "PP backbone HLO has no collective-permute"
+
+    # KV stays stage-sharded across steps and reset
+    assert len(pp.kv.sharding.device_set) == N_DEV
+    pp.reset()
+    assert len(pp.kv.sharding.device_set) == N_DEV
+
+
+def test_pp_backbone_two_stage_and_rejects(pp_backbone_gguf):
+    """A 2-stage pipeline (4 layers per stage) also matches; indivisible
+    layer counts are rejected."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    embeds = rng.standard_normal((5, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(pp_backbone_gguf, max_ctx=32)
+    want = ref.prefill(embeds)
+
+    pp = create_backbone(pp_backbone_gguf, max_ctx=32)
+    pp.set_mesh_pp(make_mesh(2, axis="pp"), axis="pp", microbatches=2)
+    np.testing.assert_allclose(pp.prefill(embeds), want, atol=1e-4,
+                               rtol=1e-4)
+
+    bad = create_backbone(pp_backbone_gguf, max_ctx=32)
+    bad.cfg.n_layers = 7
+    with pytest.raises(ValueError, match="not divisible"):
+        bad.set_mesh_pp(make_mesh(N_DEV, axis="pp"), axis="pp")
+
+
+def test_pp_gen_matches_unsharded(pp_backbone_gguf, tmp_path_factory):
+    """Whole AR generation through the host tts_runner loop with a
+    pipeline-staged backbone emits the same codes as unsharded."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path_factory.mktemp("pp_gen") / "rda.gguf"
+    write_rda_gguf(p, h=32, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    prompt = [np.full(32, 0.1, np.float32)]
+
+    ref_bb = create_backbone(pp_backbone_gguf, max_ctx=32)
+    ref = run_codebook_ar(AudioLM(GGUFReader(p)), ref_bb, prompt,
+                          max_steps=5, decode=False)
+
+    pp_bb = create_backbone(pp_backbone_gguf, max_ctx=32)
+    pp_bb.set_mesh_pp(make_mesh(N_DEV, axis="pp"), axis="pp")
+    got = run_codebook_ar(AudioLM(GGUFReader(p)), pp_bb, prompt,
+                          max_steps=5, decode=False)
+    np.testing.assert_array_equal(ref.codes, got.codes)
+    assert got.n_steps == ref.n_steps
+
+
+# ---------------------------------------------------------------------------
+# expert parallelism: MoE backbone experts over the mesh
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def moe_backbone_gguf(tmp_path_factory):
+    """Tiny Qwen3-MoE backbone: 8 experts (one per device), top-2 routing."""
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeModel
+
+    from codec_tpu.convert import get_converter
+
+    torch.manual_seed(7)
+    cfg = Qwen3MoeConfig(
+        hidden_size=32, intermediate_size=48, moe_intermediate_size=16,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, vocab_size=64, rms_norm_eps=1e-6, rope_theta=10000.0,
+        max_position_embeddings=64, num_experts=8, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[])
+    hf = Qwen3MoeModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("ep") / "moe.gguf"
+    conv.convert_and_save(path)
+    return path
+
+
+def test_ep_backbone_matches_single_and_partitions(moe_backbone_gguf):
+    """Expert-parallel MoE backbone (set_mesh_ep): prefill+step match the
+    single-device run, expert weights are sharded on the expert axis, and
+    the compiled HLO carries the per-layer combine all-reduce."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    embeds = rng.standard_normal((5, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(moe_backbone_gguf, max_ctx=32)
+    want_prefill = ref.prefill(embeds)
+    want_step = ref.step(embeds[0])
+
+    ep = create_backbone(moe_backbone_gguf, max_ctx=32)
+    ep.set_mesh_ep(make_mesh(N_DEV, axis="ep"))
+    e_sh = ep.params["layers"]["gate_exps"].sharding
+    assert len(e_sh.device_set) == N_DEV and not e_sh.is_fully_replicated
+    got_prefill = ep.prefill(embeds)
+    got_step = ep.step(embeds[0])
+    np.testing.assert_allclose(got_prefill, want_prefill, atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(got_step, want_step, atol=1e-4, rtol=1e-4)
+
+    fn = ep._fwd(1)
+    hlo = fn.lower(ep.params, ep.kv, ep.pos,
+                   jnp.asarray(embeds[:1], ep.dtype)).compile().as_text()
+    assert "all-reduce" in hlo, "EP backbone step HLO has no all-reduce"
+
+
+def test_ep_rejects_dense_and_indivisible(moe_backbone_gguf,
+                                          pp_backbone_gguf):
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    dense = create_backbone(pp_backbone_gguf, max_ctx=32)
+    with pytest.raises(ValueError, match="not a MoE"):
+        dense.set_mesh_ep(make_mesh(N_DEV, axis="ep"))
+
+    moe = create_backbone(moe_backbone_gguf, max_ctx=32)
+    moe.cfg.n_experts = 6                  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        moe.set_mesh_ep(make_mesh(N_DEV, axis="ep"))
+
+
+def test_tp_moe_backbone_matches(moe_backbone_gguf):
+    """TP over a MoE backbone: every expert's ffn dim splits column/row-
+    parallel (moe_ffn_dim=16 over a 2-chip mesh); outputs match."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    embeds = rng.standard_normal((4, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(moe_backbone_gguf, max_ctx=32)
+    want = ref.prefill(embeds)
+
+    tp = create_backbone(moe_backbone_gguf, max_ctx=32)
+    tp.set_mesh(make_mesh(2, axis="tp"), axis="tp")
+    g_sh = tp.params["layers"]["gate_exps"].sharding
+    assert not g_sh.is_fully_replicated
+    np.testing.assert_allclose(tp.prefill(embeds), want, atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_pp_moe_backbone_matches(moe_backbone_gguf):
+    """PP composes with MoE for free: expert tensors ride the layer-axis
+    stage sharding; a 2-stage pipelined MoE prefill matches."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(10)
+    embeds = rng.standard_normal((4, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(moe_backbone_gguf, max_ctx=32)
+    want = ref.prefill(embeds)
+
+    pp = create_backbone(moe_backbone_gguf, max_ctx=32)
+    pp.set_mesh_pp(make_mesh(2, axis="pp"), axis="pp", microbatches=2)
+    np.testing.assert_allclose(pp.prefill(embeds), want, atol=1e-4,
+                               rtol=1e-4)
