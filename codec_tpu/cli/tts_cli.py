@@ -66,7 +66,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-frames", type=int, default=8,
                    help="frames per device call with --on-device (1 = one "
                         "fused frame per call)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="shard the backbone tensor-parallel over N chips "
+                        "(Megatron column/row split; composes with "
+                        "--on-device)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="shard the backbone pipeline-parallel over N "
+                        "stages (n_layers/N layers per chip; generation "
+                        "runs the host per-frame loop)")
+    p.add_argument("--ep", type=int, default=0,
+                   help="shard a MoE backbone expert-parallel over N chips "
+                        "(n_experts/N experts per chip)")
     return ap
+
+
+def _apply_backbone_mesh(bb, args) -> None:
+    """Wire --tp/--pp/--ep onto a loaded backbone (mutually exclusive)."""
+    from ..parallel.mesh import make_mesh
+
+    if sum(1 for n in (args.tp, args.pp, args.ep) if n > 1) > 1:
+        raise ValueError("--tp, --pp and --ep are mutually exclusive")
+    if args.tp > 1:
+        bb.set_mesh(make_mesh(args.tp, axis="tp"), axis="tp")
+    elif args.pp > 1:
+        bb.set_mesh_pp(make_mesh(args.pp, axis="pp"), axis="pp")
+    elif args.ep > 1:
+        bb.set_mesh_ep(make_mesh(args.ep, axis="ep"))
 
 
 def flow_prepare_text(text: str):
@@ -444,10 +469,21 @@ def _run(args) -> int:
                 f"--backbone bb.gguf (flow_lm models are self-contained)")
         model = codec_tpu.load_model(args.model)
         if not isinstance(lm, FlowLM):
+            bb = None
+            if any(n > 1 for n in (args.tp, args.pp, args.ep)):
+                from ..lm.backbone import create_backbone
+                from ..lm.chatterbox_t3 import is_chatterbox
+
+                if is_chatterbox(reader):
+                    raise ValueError("--tp/--pp/--ep do not support the "
+                                     "chatterbox dual-lane flow")
+                bb = create_backbone(args.backbone)
+                _apply_backbone_mesh(bb, args)
             pcm, n_frames, stop = run_backbone_synthesize(
                 model, reader, args.backbone, args.text,
                 seed=args.seed, max_frames=args.max_frames,
-                on_device=args.on_device, chunk_frames=args.chunk_frames)
+                on_device=args.on_device, chunk_frames=args.chunk_frames,
+                bb=bb)
             write_wav(args.out, pcm, model.sample_rate)
             print(f"wrote {args.out}: {pcm.shape[0]} samples "
                   f"({n_frames} frames, stop={stop})")

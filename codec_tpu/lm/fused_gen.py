@@ -289,8 +289,14 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
 def supports_gen_chunk(lm: Any, backbone: Any) -> bool:
     """The chunked loop needs a traceable frame + compose on the LM kind
     and a JAX backbone with functional KV (the tts_runner Backbone
-    protocol alone — an opaque host LLM — cannot be chained in-graph)."""
+    protocol alone — an opaque host LLM — cannot be chained in-graph).
+    Pipeline-staged backbones (set_mesh_pp) also stand down: the chunk
+    inlines `backbone_forward`, not the shard_map GPipe program, so a
+    PP backbone generates through the host per-frame loop (its
+    prefill/step ARE the pipelined fns). TP and EP compose fine — they
+    are plain sharding annotations that jit propagates into the chunk."""
     return (hasattr(lm, "_build_frame") and hasattr(lm, "compose_embd_fn")
             and getattr(lm, "gen_chunk_ok", lambda: True)()
             and hasattr(backbone, "params") and hasattr(backbone, "kv")
-            and hasattr(backbone, "cfg"))
+            and hasattr(backbone, "cfg")
+            and getattr(backbone, "_pp", None) is None)

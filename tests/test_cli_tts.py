@@ -471,3 +471,34 @@ def test_tts_cli_synthesize_delay_transform(mimi_ttsd_and_backbone,
     assert pcm.shape[0] == t_out * 1920     # mimi hop 1920
     if eos:                                  # flush appended max_delay rows
         assert n_rows >= 1 + max_delay
+
+
+def test_tts_cli_synthesize_backbone_tp_pp(mimi_rda_and_backbone, tmp_path,
+                                           capsys):
+    """--tp / --pp shard the backbone from the CLI surface; generated
+    codes match the unsharded run (same PRNG stream)."""
+    from codec_tpu.cli.tts_cli import main
+
+    model_path, bb_path = mimi_rda_and_backbone
+    ref = tmp_path / "plain.wav"
+    assert main(["synthesize", "--model", str(model_path),
+                 "--backbone", str(bb_path), "--text", "hello there",
+                 "--out", str(ref), "--max-frames", "3"]) == 0
+    y_ref, _ = read_wav(ref)
+
+    for flag in ("--tp", "--pp"):
+        out = tmp_path / f"bb{flag[2:]}.wav"
+        assert main(["synthesize", "--model", str(model_path),
+                     "--backbone", str(bb_path), "--text", "hello there",
+                     "--out", str(out), "--max-frames", "3",
+                     flag, "2"]) == 0
+        pcm, sr = read_wav(out)
+        assert sr == 24000 and pcm.shape[0] == y_ref.shape[0]
+        assert "backbone AR done" in capsys.readouterr().out
+
+    from codec_tpu.cli.tts_cli import _apply_backbone_mesh
+
+    class _A:
+        tp, pp, ep = 2, 2, 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _apply_backbone_mesh(None, _A())
