@@ -550,7 +550,9 @@ def run_codebook_ar_batch(
                              "(AudioLM(reader, codec, lm=shared))")
     if not supports_gen_chunk(lm, backbone):
         raise ValueError("batched generation needs a JAX backbone and a "
-                         "chunk-capable LM kind")
+                         "chunk-capable LM kind (pipeline-staged backbones "
+                         "generate per-stream via run_codebook_ar; TP/EP "
+                         "sharding composes)")
     chunk_n = max(2, int(on_device.chunk_frames))
 
     cb0_range = None

@@ -77,7 +77,8 @@ def _pcm16(x: np.ndarray) -> bytes:
 
 class CodecHTTPServer:
     def __init__(self, model_path: str, host: str = "127.0.0.1",
-                 port: int = 8765, backbone_path: str = None):
+                 port: int = 8765, backbone_path: str = None,
+                 backbone_mesh: tuple = None):
         import threading as _threading
 
         import codec_tpu
@@ -98,6 +99,22 @@ class CodecHTTPServer:
             from ..lm.backbone import create_backbone
 
             self.backbone = create_backbone(backbone_path)
+            if backbone_mesh:
+                # ("tp"|"pp"|"ep", N): shard the preloaded backbone once;
+                # every /synthesize(_batch) then runs multi-chip
+                from ..parallel.mesh import make_mesh
+
+                kind, n = backbone_mesh
+                if kind == "tp":
+                    self.backbone.set_mesh(make_mesh(n, axis="tp"),
+                                           axis="tp")
+                elif kind == "pp":
+                    self.backbone.set_mesh_pp(make_mesh(n, axis="pp"),
+                                              axis="pp")
+                elif kind == "ep":
+                    self.backbone.set_mesh_ep(make_mesh(n, axis="ep"))
+                else:
+                    raise ValueError(f"unknown backbone mesh kind {kind!r}")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -411,10 +428,24 @@ def main(argv=None) -> int:
     ap.add_argument("--backbone", default=None,
                     help="backbone GGUF for codebook-AR /synthesize "
                          "(same artifact as tts-cli --backbone)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="shard the backbone tensor-parallel over N chips")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="shard the backbone pipeline-parallel over N stages")
+    ap.add_argument("--ep", type=int, default=0,
+                    help="shard a MoE backbone expert-parallel over N chips")
     args = ap.parse_args(argv)
+    if sum(1 for n in (args.tp, args.pp, args.ep) if n > 1) > 1:
+        print("error: --tp, --pp and --ep are mutually exclusive",
+              file=sys.stderr)
+        return 1
+    mesh = next((
+        (k, n) for k, n in (("tp", args.tp), ("pp", args.pp),
+                            ("ep", args.ep)) if n > 1), None)
     try:
         srv = CodecHTTPServer(args.model, args.host, args.port,
-                              backbone_path=args.backbone)
+                              backbone_path=args.backbone,
+                              backbone_mesh=mesh)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -683,3 +683,34 @@ def test_pp_moe_backbone_matches(moe_backbone_gguf):
     pp.set_mesh_pp(make_mesh(2, axis="pp"), axis="pp", microbatches=2)
     np.testing.assert_allclose(pp.prefill(embeds), want, atol=1e-4,
                                rtol=1e-4)
+
+
+def test_ep_gen_chunk_matches_unsharded(moe_backbone_gguf,
+                                        tmp_path_factory):
+    """The chunked on-device generation loop over an EP-sharded MoE
+    backbone: jit propagates the expert sharding into the while_loop and
+    the emitted codes match the unsharded chunked run."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.ops.sample import OnDeviceSampling
+    from codec_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path_factory.mktemp("ep_gen") / "rda.gguf"
+    write_rda_gguf(p, h=32, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    prompt = [np.full(32, 0.1, np.float32)]
+    ods = OnDeviceSampling(chunk_frames=3)
+
+    ref_bb = create_backbone(moe_backbone_gguf, max_ctx=32)
+    ref = run_codebook_ar(AudioLM(GGUFReader(p)), ref_bb, prompt,
+                          max_steps=5, decode=False, on_device=ods)
+
+    ep_bb = create_backbone(moe_backbone_gguf, max_ctx=32)
+    ep_bb.set_mesh_ep(make_mesh(N_DEV, axis="ep"))
+    got = run_codebook_ar(AudioLM(GGUFReader(p)), ep_bb, prompt,
+                          max_steps=5, decode=False, on_device=ods)
+    np.testing.assert_array_equal(ref.codes, got.codes)
+    assert got.n_steps == ref.n_steps

@@ -289,3 +289,29 @@ def test_synthesize_batch_endpoint(ar_server):
     status2, body2 = _req(ar_server, "POST", "/synthesize_batch",
                           json.dumps(req))
     assert status2 == 200 and json.loads(body2)["wavs"] == out["wavs"]
+
+
+def test_backbone_tp_server_matches(ar_server, tmp_path_factory):
+    """A server started with a TP-sharded backbone (--tp analog) answers
+    /synthesize with the same WAV bytes as the unsharded server."""
+    import test_cli_tts as tc
+    from codec_tpu.serve import CodecHTTPServer
+
+    req = {"text": "hello there", "seed": 3, "max_frames": 4}
+    status, want = _req(ar_server, "POST", "/synthesize", json.dumps(req))
+    assert status == 200
+
+    model_path, bb_path = tc.mimi_rda_and_backbone.__wrapped__(
+        tmp_path_factory)
+    srv = CodecHTTPServer(str(model_path), port=0,
+                          backbone_path=str(bb_path),
+                          backbone_mesh=("tp", 2))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, wav = _req(srv, "POST", "/synthesize", json.dumps(req))
+        assert status == 200 and wav == want
+        sh = srv.backbone.params["layers"]["q"].sharding
+        assert len(sh.device_set) == 2 and not sh.is_fully_replicated
+    finally:
+        srv.shutdown()
