@@ -418,9 +418,11 @@ class LlamaBackbone:
         way to fit a backbone that outgrows one chip's HBM. `step`/
         `prefill` and the host tts_runner loops are unchanged.
 
-        Requires n_layers divisible by the mesh size; packed-quantized
-        weights are not supported (their Pallas matmuls would need
-        manual partitioning)."""
+        Requires n_layers divisible by the mesh size. Packed-quantized
+        weights (quantized=True) compose: whole layers stay intact per
+        stage, so each stage's fused dequant-matmul kernels run
+        unmodified on its local layer slice — PP × Q4_K is the
+        max-capacity configuration (0.75 B/weight × n chips of HBM)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         c = self.cfg
@@ -428,15 +430,12 @@ class LlamaBackbone:
         if c.n_layers % S:
             raise ValueError(f"backbone PP: n_layers={c.n_layers} not "
                              f"divisible by mesh size {S}")
-        if any(isinstance(self.params["layers"].get(k), dict)
-               for k in ("q", "k", "v", "o", "gate", "up", "down")):
-            raise ValueError("backbone PP: packed-quantized weights are "
-                             "not supported; load with quantized=False")
 
         stage = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
-        layers = {k: jax.device_put(v, stage)
-                  for k, v in self.params["layers"].items()}
+        layers = {k: jax.device_put(v, stage)       # dict-valued (packed-
+                  for k, v in self.params["layers"].items()}  # quant) leaves
+                                                    # shard on L too
         self.params = {
             **{k: (v if v is None or k == "layers"
                    else jax.device_put(v, repl))

@@ -714,3 +714,45 @@ def test_ep_gen_chunk_matches_unsharded(moe_backbone_gguf,
                           max_steps=5, decode=False, on_device=ods)
     np.testing.assert_array_equal(ref.codes, got.codes)
     assert got.n_steps == ref.n_steps
+
+
+def test_pp_quantized_backbone_matches(tmp_path_factory):
+    """PP over packed-quantized (Q8_0) backbone weights: whole layers per
+    stage keep the fused dequant-matmul path intact; outputs match the
+    unsharded quantized backbone."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.convert import get_converter
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    torch.manual_seed(8)
+    cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=32,
+        vocab_size=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64)
+    hf = LlamaModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="Q8_0")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    path = tmp_path_factory.mktemp("ppq") / "bb_q8.gguf"
+    conv.convert_and_save(path)
+
+    rng = np.random.default_rng(12)
+    embeds = rng.standard_normal((5, 64)).astype(np.float32) * 0.3
+
+    ref = create_backbone(path, max_ctx=32, quantized=True)
+    assert isinstance(ref.params["layers"]["q"], dict), "not packed-quant"
+    want_prefill = ref.prefill(embeds)
+    want_step = ref.step(embeds[0])
+
+    pp = create_backbone(path, max_ctx=32, quantized=True)
+    pp.set_mesh_pp(make_mesh(4, axis="pp"), axis="pp", microbatches=2)
+    qs_sh = pp.params["layers"]["q"]["qs"].sharding
+    assert len(qs_sh.device_set) == 4 and not qs_sh.is_fully_replicated
+    np.testing.assert_allclose(pp.prefill(embeds), want_prefill,
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(pp.step(embeds[0]), want_step,
+                               atol=1e-4, rtol=1e-4)
