@@ -756,3 +756,44 @@ def test_pp_quantized_backbone_matches(tmp_path_factory):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(pp.step(embeds[0]), want_step,
                                atol=1e-4, rtol=1e-4)
+
+
+def test_tp_batched_gen_matches_unsharded(tp_backbone_gguf,
+                                          tmp_path_factory):
+    """The production serving shape: B concurrent generations through ONE
+    batched on-device chunk (run_codebook_ar_batch) over a TP-sharded
+    backbone — batch dim rides along, every GEMM splits Megatron-style.
+    Codes match the unsharded batched run stream-for-stream."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_codebook_ar_batch
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.ops.sample import OnDeviceSampling
+    from codec_tpu.parallel.mesh import make_mesh
+
+    p = tmp_path_factory.mktemp("tp_batch") / "rda.gguf"
+    write_rda_gguf(p, h=32, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    rng = np.random.default_rng(13)
+    prompts = [[(rng.standard_normal(32) * 0.3).astype(np.float32)]
+               for _ in range(3)]
+    ods = OnDeviceSampling(temperature=0.8, top_k=5, seed=4, chunk_frames=3)
+
+    def alms(n, shared):
+        return [AudioLM(GGUFReader(p), lm=shared) for _ in range(n)]
+
+    shared = create_lm(GGUFReader(p))
+    ref_bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    ref = run_codebook_ar_batch(alms(3, shared), ref_bb, prompts, ods,
+                                max_steps=5, decode=False)
+
+    shared2 = create_lm(GGUFReader(p))
+    tp_bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    tp_bb.set_mesh(make_mesh(N_DEV, axis="tp"), axis="tp")
+    got = run_codebook_ar_batch(alms(3, shared2), tp_bb, prompts, ods,
+                                max_steps=5, decode=False)
+    for s in range(3):
+        np.testing.assert_array_equal(got[s].codes, ref[s].codes)
+        assert got[s].n_steps == ref[s].n_steps
