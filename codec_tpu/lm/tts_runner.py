@@ -514,6 +514,8 @@ def run_codebook_ar_batch(
     decode: bool = True,
     n_q: int = 0,
     pi=None,
+    mesh=None,
+    dp_axis: str = "dp",
 ) -> List[SynthesisResult]:
     """B concurrent Type C/D generations on SHARED weights with the whole
     frame loop batched on device (lm/fused_gen.build_gen_chunk_batched):
@@ -529,6 +531,13 @@ def run_codebook_ar_batch(
     this is an explicit batched API, not a fast path with fallback).
     Grammar constraints are unsupported; the cb0 RangeConstraint applies
     in-graph via `pi` as in run_codebook_ar.
+
+    `mesh`: shard the B streams' carried state (KV caches, hiddens, PRNG
+    keys) over `mesh[dp_axis]` — data-parallel serving. On a 2-D mesh
+    this composes with a TP-sharded backbone (`bb.set_mesh(mesh2d,
+    axis="tp")` + `mesh=mesh2d`): streams split over `dp`, every GEMM
+    splits over `tp` — the scale-out multi-stream TTS configuration.
+    Requires B divisible by the dp mesh size.
 
     Reference contrast: the reference serializes generations — one
     codec_lm_state per stream but a host loop per frame each
@@ -584,6 +593,17 @@ def run_codebook_ar_batch(
     pos = np.asarray(poss, np.int32)
     keys = jax.vmap(jax.random.PRNGKey)(
         jnp.arange(on_device.seed, on_device.seed + b, dtype=jnp.uint32))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndp = int(mesh.shape[dp_axis])
+        if b % ndp:
+            raise ValueError(f"batched generation DP: {b} streams not "
+                             f"divisible by mesh size {ndp}")
+        def _dp(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(dp_axis, *([None] * (x.ndim - 1)))))
+        kv, hd, keys = _dp(kv), _dp(hd), _dp(keys)
     for alm in audio_lms:
         alm.reset()
     states = [alm.state for alm in audio_lms]

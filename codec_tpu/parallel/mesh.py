@@ -24,6 +24,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(n_first: int, n_second: int,
+                 axes: Sequence[str] = ("dp", "tp")) -> Mesh:
+    """2-D mesh for composed parallelism, e.g. ("dp", "tp"): streams split
+    over the first axis, the model over the second (batched TTS serving —
+    `run_codebook_ar_batch(mesh=...)` + `LlamaBackbone.set_mesh(mesh,
+    axis="tp")`). The second axis is the fast (innermost) one, so on real
+    hardware the per-layer TP all-reduces ride adjacent ICI links."""
+    devs = jax.devices()[: n_first * n_second]
+    if len(devs) < n_first * n_second:
+        raise ValueError(f"need {n_first * n_second} devices, "
+                         f"have {len(devs)}")
+    return Mesh(np.array(devs).reshape(n_first, n_second), tuple(axes))
+
+
 def shard_batch(mesh: Mesh, x: jax.Array, axis: str = "dp") -> jax.Array:
     """Place `x` with its leading (batch) dim split over the mesh."""
     spec = P(axis, *([None] * (x.ndim - 1)))

@@ -797,3 +797,48 @@ def test_tp_batched_gen_matches_unsharded(tp_backbone_gguf,
     for s in range(3):
         np.testing.assert_array_equal(got[s].codes, ref[s].codes)
         assert got[s].n_steps == ref[s].n_steps
+
+
+def test_dp_tp_batched_gen_2d_mesh(tp_backbone_gguf, tmp_path_factory):
+    """DP x TP on one 2-D mesh: 4 streams' KV/hidden/PRNG state split over
+    `dp` while every backbone GEMM splits over `tp` — codes match the
+    unsharded batched run stream-for-stream, and the carried KV really
+    lands sharded over all 8 devices."""
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_codebook_ar_batch
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.ops.sample import OnDeviceSampling
+    from codec_tpu.parallel.mesh import make_mesh_2d
+
+    p = tmp_path_factory.mktemp("dptp") / "rda.gguf"
+    write_rda_gguf(p, h=32, dh=32, n_cb=4, vocab=64, layers=2, heads=2,
+                   kv=1, hdim=16, inter=64)
+    rng = np.random.default_rng(14)
+    prompts = [[(rng.standard_normal(32) * 0.3).astype(np.float32)]
+               for _ in range(4)]
+    ods = OnDeviceSampling(temperature=0.7, top_k=4, seed=6, chunk_frames=3)
+
+    def alms(shared):
+        return [AudioLM(GGUFReader(p), lm=shared) for _ in range(4)]
+
+    ref_bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    ref = run_codebook_ar_batch(alms(create_lm(GGUFReader(p))), ref_bb,
+                                prompts, ods, max_steps=5, decode=False)
+
+    mesh = make_mesh_2d(4, 2)                      # dp=4 x tp=2
+    bb = create_backbone(tp_backbone_gguf, max_ctx=32)
+    bb.set_mesh(mesh, axis="tp")
+    got = run_codebook_ar_batch(alms(create_lm(GGUFReader(p))), bb,
+                                prompts, ods, max_steps=5, decode=False,
+                                mesh=mesh)
+    for s in range(4):
+        np.testing.assert_array_equal(got[s].codes, ref[s].codes)
+        assert got[s].n_steps == ref[s].n_steps
+
+    with pytest.raises(ValueError, match="not divisible"):
+        run_codebook_ar_batch(
+            alms(create_lm(GGUFReader(p)))[:3], bb, prompts[:3], ods,
+            max_steps=2, decode=False, mesh=mesh)
