@@ -279,6 +279,58 @@ def _bench_tts_cfm(fast: bool = False):
     out["cfm_step_ms"] = round(wall * 1e3, 2)
     out["cfm_rtf"] = round(wall / 0.160, 4)         # 160 ms audio per step
     out["cfm_vs_ref_625ms"] = round(625.4 / (wall * 1e3), 1)
+
+    # transport-independent graph wall: the per-step number above is one
+    # device dispatch per step, so on the relay it floats with the ~35 ms
+    # per-op floor (PERF.md "Environment effects"). Chain K whole steps
+    # (each 9 Euler x 2 CFG LocDiT passes + RALM KV step + feedbacks,
+    # patch fed back as the next step's conditioning) inside ONE jitted
+    # fori_loop with a single readback — the wall a directly-attached
+    # chip would see per step.
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from codec_tpu.runtime.jit_weights import jit_weighted
+
+        k_chain = 2 if fast else 8
+        tsin, dtsin, dts = lm._sched_cache[10]
+        ks = st.kind_state
+        pd = lm.patch_size * lm.latent_dim
+        packed_len = pd + 2 + int(np.asarray(ks["fb_tslm"]).shape[0])
+        le0 = jnp.zeros((lm.patch_size, lm.latent_dim), jnp.float32)
+
+        def chained(kcs, vcs, h, pfb, prim_lm, prim_res, cond, z, pos0,
+                    cfgv):
+            def body(i, c):
+                kcs, vcs, pfb, cond, _ = c
+                k2, v2, patch, fb, packed = lm._step_fn(
+                    kcs, vcs, h, pfb, prim_lm, prim_res, cond, z,
+                    tsin, dtsin, dts, pos0 + i, False, cfgv, le0,
+                    jnp.asarray(False))
+                return (k2, v2, fb, patch, packed)
+
+            c0 = (kcs, vcs, pfb, cond, jnp.zeros((packed_len,), jnp.float32))
+            c = jax.lax.fori_loop(0, k_chain, body, c0)
+            return c[-1]
+
+        cfn = jit_weighted(lm, chained, ("w",))
+        args = (ks["k"], ks["v"], jnp.asarray(h_in), ks["prev_fb_lm"],
+                ks["prefill_lm"], ks["prefill_res"],
+                jnp.asarray(np.asarray(ks["prev_patch"], np.float32)),
+                jnp.asarray(noise), jnp.asarray(ks["kv_pos"], jnp.int32),
+                jnp.asarray(2.0, jnp.float32))
+        np.asarray(cfn(*args))                       # compile + warm
+        rtt = _readback_rtt()
+        iters = 2 if fast else 3
+        t0 = time.monotonic()
+        for _ in range(iters):
+            np.asarray(cfn(*args))
+        gwall = max(1e-9, (time.monotonic() - t0) / iters - rtt) / k_chain
+        out["cfm_graph_ms"] = round(gwall * 1e3, 2)
+        out["cfm_graph_rtf"] = round(gwall / 0.160, 4)
+    except Exception as e:                           # never fail the bench
+        out["cfm_graph_error"] = f"{type(e).__name__}: {e}"[:120]
     return out
 
 
