@@ -82,16 +82,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _apply_backbone_mesh(bb, args) -> None:
     """Wire --tp/--pp/--ep onto a loaded backbone (mutually exclusive)."""
-    from ..parallel.mesh import make_mesh
+    from ..lm.backbone import apply_backbone_mesh
 
     if sum(1 for n in (args.tp, args.pp, args.ep) if n > 1) > 1:
         raise ValueError("--tp, --pp and --ep are mutually exclusive")
-    if args.tp > 1:
-        bb.set_mesh(make_mesh(args.tp, axis="tp"), axis="tp")
-    elif args.pp > 1:
-        bb.set_mesh_pp(make_mesh(args.pp, axis="pp"), axis="pp")
-    elif args.ep > 1:
-        bb.set_mesh_ep(make_mesh(args.ep, axis="ep"))
+    for kind, n in (("tp", args.tp), ("pp", args.pp), ("ep", args.ep)):
+        if n > 1:
+            apply_backbone_mesh(bb, kind, n)
+            return
 
 
 def flow_prepare_text(text: str):

@@ -320,8 +320,13 @@ class LlamaBackbone:
 
         c = self.cfg
         ntp = int(mesh.shape[axis])
-        for name, dim in (("n_heads", c.n_heads), ("n_kv_heads", c.n_kv_heads),
-                          ("ffn_dim", c.ffn_dim)):
+        checks = [("n_heads", c.n_heads), ("n_kv_heads", c.n_kv_heads)]
+        # only the ffn dims that exist as tensors constrain the split:
+        # MoE backbones carry no dense gate/up/down (ffn_dim records the
+        # HF config's unused intermediate_size)
+        checks.append(("moe_ffn_dim", c.moe_ffn_dim) if c.n_experts
+                      else ("ffn_dim", c.ffn_dim))
+        for name, dim in checks:
             if dim % ntp:
                 raise ValueError(f"backbone TP: {name}={dim} not divisible "
                                  f"by mesh size {ntp}")
@@ -344,22 +349,7 @@ class LlamaBackbone:
                  "gate_exps": sh(None, None, axis),
                  "up_exps": sh(None, None, axis),
                  "down_exps": sh(None, None, None, axis)}
-        if c.n_experts and c.moe_ffn_dim % ntp:
-            raise ValueError(f"backbone TP: moe_ffn_dim={c.moe_ffn_dim} "
-                             f"not divisible by mesh size {ntp}")
-        repl = sh()
-        layers = {k: jax.device_put(v, specs.get(k, repl))
-                  for k, v in self.params["layers"].items()}
-        self.params = {
-            **{k: (v if v is None or k == "layers"
-                   else jax.device_put(v, repl))
-               for k, v in self.params.items()},
-            "layers": layers,
-        }
-        self._kv_sharding = sh(None, None, axis, None, None)
-        self.kv = jax.device_put(self.kv, self._kv_sharding)
-        self._pp = None                   # TP replaces any PP placement
-        self._fns.clear()                 # recompile against new shardings
+        self._place(specs, sh(), sh(None, None, axis, None, None))
 
     # -- expert parallelism ---------------------------------------------------
     def set_mesh_ep(self, mesh, axis: str = "ep") -> None:
@@ -390,20 +380,8 @@ class LlamaBackbone:
             return NamedSharding(mesh, P(*spec))
 
         exp = sh(None, axis)          # [L, E, ...] leaves split on E
-        specs = {"gate_exps": exp, "up_exps": exp, "down_exps": exp}
-        repl = sh()
-        layers = {k: jax.device_put(v, specs.get(k, repl))
-                  for k, v in self.params["layers"].items()}
-        self.params = {
-            **{k: (v if v is None or k == "layers"
-                   else jax.device_put(v, repl))
-               for k, v in self.params.items()},
-            "layers": layers,
-        }
-        self._kv_sharding = repl
-        self.kv = jax.device_put(self.kv, self._kv_sharding)
-        self._pp = None
-        self._fns.clear()
+        self._place({"gate_exps": exp, "up_exps": exp, "down_exps": exp},
+                    sh(), sh())
 
     # -- pipeline parallelism -------------------------------------------------
     def set_mesh_pp(self, mesh, axis: str = "pp",
@@ -432,19 +410,28 @@ class LlamaBackbone:
                              f"divisible by mesh size {S}")
 
         stage = NamedSharding(mesh, P(axis))
-        repl = NamedSharding(mesh, P())
-        layers = {k: jax.device_put(v, stage)       # dict-valued (packed-
-                  for k, v in self.params["layers"].items()}  # quant) leaves
-                                                    # shard on L too
+        # dict-valued (packed-quant) leaves shard on their L axis too
+        self._place({}, NamedSharding(mesh, P()), stage, default=stage,
+                    pp=(mesh, axis, int(microbatches)))
+
+    def _place(self, layer_specs, repl, kv_sharding, default=None,
+               pp=None) -> None:
+        """Shared mesh-placement epilogue: re-place layer weights by spec
+        (`default` for unlisted keys, else replicated), replicate
+        everything else, move the KV cache, record the PP schedule (or
+        clear it), and drop compiled fns so the next call re-traces
+        against the new shardings."""
+        layers = {k: jax.device_put(v, layer_specs.get(k, default or repl))
+                  for k, v in self.params["layers"].items()}
         self.params = {
             **{k: (v if v is None or k == "layers"
                    else jax.device_put(v, repl))
                for k, v in self.params.items()},
             "layers": layers,
         }
-        self._kv_sharding = stage
+        self._kv_sharding = kv_sharding
         self.kv = jax.device_put(self.kv, self._kv_sharding)
-        self._pp = (mesh, axis, int(microbatches))
+        self._pp = pp
         self._fns.clear()
 
     def _fwd(self, t: int):
@@ -495,3 +482,18 @@ def create_backbone(path, dtype=jnp.float32, max_ctx: int = 0,
                     quantized: bool | None = None) -> LlamaBackbone:
     return LlamaBackbone(path, dtype=dtype, max_ctx=max_ctx,
                          quantized=quantized)
+
+
+def apply_backbone_mesh(bb, kind: str, n: int) -> None:
+    """Shared --tp/--pp/--ep dispatch for the CLI and serving surfaces:
+    shard `bb` over an n-device mesh of the given kind."""
+    from ..parallel.mesh import make_mesh
+
+    if kind == "tp":
+        bb.set_mesh(make_mesh(n, axis="tp"), axis="tp")
+    elif kind == "pp":
+        bb.set_mesh_pp(make_mesh(n, axis="pp"), axis="pp")
+    elif kind == "ep":
+        bb.set_mesh_ep(make_mesh(n, axis="ep"))
+    else:
+        raise ValueError(f"unknown backbone mesh kind {kind!r}")

@@ -562,6 +562,10 @@ def run_codebook_ar_batch(
                          "chunk-capable LM kind (pipeline-staged backbones "
                          "generate per-stream via run_codebook_ar; TP/EP "
                          "sharding composes)")
+    if mesh is not None and b % int(mesh.shape[dp_axis]):
+        raise ValueError(f"batched generation DP: {b} streams not "
+                         f"divisible by mesh size "
+                         f"{int(mesh.shape[dp_axis])}")
     chunk_n = max(2, int(on_device.chunk_frames))
 
     cb0_range = None
@@ -596,10 +600,6 @@ def run_codebook_ar_batch(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ndp = int(mesh.shape[dp_axis])
-        if b % ndp:
-            raise ValueError(f"batched generation DP: {b} streams not "
-                             f"divisible by mesh size {ndp}")
         def _dp(x):
             return jax.device_put(
                 x, NamedSharding(mesh, P(dp_axis, *([None] * (x.ndim - 1)))))

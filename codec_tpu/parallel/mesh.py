@@ -20,6 +20,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(f"need {n_devices} devices for a {axis!r} "
+                             f"mesh, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -64,6 +64,15 @@ def build_pp_forward(cfg, mesh, axis: str = "pp", microbatches: int = 4):
         n_mb = -(-t_total // mb)          # actual count after rounding
         pad = n_mb * mb - t_total
         xp = jnp.pad(x, ((0, pad), (0, 0)))
+        # pad rows write KV at positions pos0+T .. pos0+n_mb*mb-1, which
+        # can spill past max_ctx when the caller prefils right up to the
+        # cache end (dynamic_update_slice would CLAMP the start and shift
+        # the whole microbatch's keys one slot early — silent corruption).
+        # Give the cache `pad` scratch slots for the duration of the call;
+        # the junk lands there and is sliced off on the way out.
+        if pad:
+            kv = jnp.pad(kv, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+        ctx_eff = cfg.max_ctx + pad
         pos0_a = jnp.asarray(pos0, jnp.int32)
         layers = params["layers"]
         ff = params["freq_factors"]
@@ -75,7 +84,7 @@ def build_pp_forward(cfg, mesh, axis: str = "pp", microbatches: int = 4):
         def body(layers_l, ff_l, kv_l, pos0_, xp_):
             s = jax.lax.axis_index(axis)
             hid = xp_.shape[-1]
-            key_pos = jnp.arange(cfg.max_ctx)
+            key_pos = jnp.arange(ctx_eff)
             out0 = jnp.zeros_like(xp_)
             buf0 = jnp.zeros((mb, hid), xp_.dtype)
 
@@ -124,6 +133,8 @@ def build_pp_forward(cfg, mesh, axis: str = "pp", microbatches: int = 4):
             out_specs=(P(), kv_spec), check_vma=False,
         )(layers, ff, kv, pos0_a, xp)
         out = out[:t_total]
+        if pad:
+            kv = kv[:, :, :, : cfg.max_ctx, :]       # drop scratch slots
         return norms.rms_norm(out, params["out_norm"], cfg.rms_eps), kv
 
     return fwd

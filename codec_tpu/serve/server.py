@@ -102,19 +102,9 @@ class CodecHTTPServer:
             if backbone_mesh:
                 # ("tp"|"pp"|"ep", N): shard the preloaded backbone once;
                 # every /synthesize(_batch) then runs multi-chip
-                from ..parallel.mesh import make_mesh
+                from ..lm.backbone import apply_backbone_mesh
 
-                kind, n = backbone_mesh
-                if kind == "tp":
-                    self.backbone.set_mesh(make_mesh(n, axis="tp"),
-                                           axis="tp")
-                elif kind == "pp":
-                    self.backbone.set_mesh_pp(make_mesh(n, axis="pp"),
-                                              axis="pp")
-                elif kind == "ep":
-                    self.backbone.set_mesh_ep(make_mesh(n, axis="ep"))
-                else:
-                    raise ValueError(f"unknown backbone mesh kind {kind!r}")
+                apply_backbone_mesh(self.backbone, *backbone_mesh)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):

@@ -842,3 +842,25 @@ def test_dp_tp_batched_gen_2d_mesh(tp_backbone_gguf, tmp_path_factory):
         run_codebook_ar_batch(
             alms(create_lm(GGUFReader(p)))[:3], bb, prompts[:3], ods,
             max_steps=2, decode=False, mesh=mesh)
+
+
+def test_pp_prefill_to_cache_end(pp_backbone_gguf):
+    """Regression: a PP prefill whose padded microbatches would spill past
+    max_ctx (pos0 + n_mb*mb > max_ctx) must not clamp-shift KV writes.
+    Prefill 1 token then 15 more into a 16-slot cache (mb rounds 15 up);
+    every step output must match the dense backbone."""
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(15)
+    embeds = rng.standard_normal((16, 32)).astype(np.float32) * 0.3
+
+    ref = create_backbone(pp_backbone_gguf, max_ctx=16)
+    ref.prefill(embeds[:1])
+    want = ref.prefill(embeds[1:])
+
+    pp = create_backbone(pp_backbone_gguf, max_ctx=16)
+    pp.set_mesh_pp(make_mesh(2, axis="pp"), axis="pp", microbatches=4)
+    pp.prefill(embeds[:1])                 # pos0=1, then T=15 → mb=4, pad=1
+    got = pp.prefill(embeds[1:])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
