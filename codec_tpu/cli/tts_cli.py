@@ -359,7 +359,8 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
 
 def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                                   seed: int = 0, max_frames: int = 0,
-                                  bb=None, chunk_frames: int = 8, lm=None):
+                                  bb=None, chunk_frames: int = 8, lm=None,
+                                  mesh=None):
     """Batched codebook-AR synthesize: B texts through ONE vmapped
     on-device generation loop (lm/tts_runner.run_codebook_ar_batch) on
     shared codec + LM + backbone weights — the multi-stream TTS serving
@@ -415,7 +416,7 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                            chunk_frames=max(2, chunk_frames))
     results = run_codebook_ar_batch(
         alms, bb, prompts, ods,
-        max_steps=max_frames if max_frames > 0 else 512, pi=pi)
+        max_steps=max_frames if max_frames > 0 else 512, pi=pi, mesh=mesh)
     return [(r.pcm, int(r.codes.shape[0]),
              "eos" if r.stopped_by_eos else "max_frames") for r in results]
 

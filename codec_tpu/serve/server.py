@@ -78,7 +78,7 @@ def _pcm16(x: np.ndarray) -> bytes:
 class CodecHTTPServer:
     def __init__(self, model_path: str, host: str = "127.0.0.1",
                  port: int = 8765, backbone_path: str = None,
-                 backbone_mesh: tuple = None):
+                 backbone_mesh: tuple = None, dp: int = 0):
         import threading as _threading
 
         import codec_tpu
@@ -93,13 +93,28 @@ class CodecHTTPServer:
         # (the codec decode + FlowLM paths stay fully concurrent).
         self.backbone = None
         self.backbone_path = backbone_path
+        self.batch_mesh = None          # dp mesh for /synthesize_batch
         self._bb_lock = _threading.Lock()
         self._shared_lm = None          # lazy CodecLM for /synthesize_batch
         if backbone_path:
             from ..lm.backbone import create_backbone
 
             self.backbone = create_backbone(backbone_path)
-            if backbone_mesh:
+            if dp > 1 and backbone_mesh and backbone_mesh[0] == "tp":
+                # --dp N --tp M: one 2-D mesh — /synthesize_batch streams
+                # split over dp, every backbone GEMM over tp
+                from ..parallel.mesh import make_mesh_2d
+
+                self.batch_mesh = make_mesh_2d(dp, backbone_mesh[1])
+                self.backbone.set_mesh(self.batch_mesh, axis="tp")
+            elif dp > 1 and backbone_mesh:
+                raise ValueError("--dp composes with --tp only "
+                                 "(pp/ep backbones run per-stream)")
+            elif dp > 1:
+                from ..parallel.mesh import make_mesh
+
+                self.batch_mesh = make_mesh(dp, axis="dp")
+            elif backbone_mesh:
                 # ("tp"|"pp"|"ep", N): shard the preloaded backbone once;
                 # every /synthesize(_batch) then runs multi-chip
                 from ..lm.backbone import apply_backbone_mesh
@@ -337,7 +352,8 @@ class CodecHTTPServer:
                         texts, seed=int(req.get("seed", 0)),
                         max_frames=int(req.get("max_frames", 0)),
                         bb=outer.backbone, lm=outer._shared_lm,
-                        chunk_frames=int(req.get("chunk_frames", 8)))
+                        chunk_frames=int(req.get("chunk_frames", 8)),
+                        mesh=outer.batch_mesh)
                 sr = outer.model.sample_rate
                 wavs = []
                 frames = []
@@ -424,6 +440,9 @@ def main(argv=None) -> int:
                     help="shard the backbone pipeline-parallel over N stages")
     ap.add_argument("--ep", type=int, default=0,
                     help="shard a MoE backbone expert-parallel over N chips")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard /synthesize_batch streams data-parallel "
+                         "over N chips (composes with --tp on a 2-D mesh)")
     args = ap.parse_args(argv)
     if sum(1 for n in (args.tp, args.pp, args.ep) if n > 1) > 1:
         print("error: --tp, --pp and --ep are mutually exclusive",
@@ -435,7 +454,7 @@ def main(argv=None) -> int:
     try:
         srv = CodecHTTPServer(args.model, args.host, args.port,
                               backbone_path=args.backbone,
-                              backbone_mesh=mesh)
+                              backbone_mesh=mesh, dp=args.dp)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -315,3 +315,35 @@ def test_backbone_tp_server_matches(ar_server, tmp_path_factory):
         assert len(sh.device_set) == 2 and not sh.is_fully_replicated
     finally:
         srv.shutdown()
+
+
+def test_synthesize_batch_dp_tp_server(ar_server, tmp_path_factory):
+    """A server on a 2-D (dp=2, tp=2) mesh answers /synthesize_batch with
+    the same WAVs as the unsharded server (streams split over dp,
+    backbone GEMMs over tp)."""
+    import test_cli_tts as tc
+    from codec_tpu.serve import CodecHTTPServer
+
+    req = {"texts": ["hello there", "more words"], "seed": 5,
+           "max_frames": 4}
+    status, body = _req(ar_server, "POST", "/synthesize_batch",
+                        json.dumps(req))
+    assert status == 200
+    want = json.loads(body)["wavs"]
+
+    model_path, bb_path = tc.mimi_rda_and_backbone.__wrapped__(
+        tmp_path_factory)
+    srv = CodecHTTPServer(str(model_path), port=0,
+                          backbone_path=str(bb_path),
+                          backbone_mesh=("tp", 2), dp=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert srv.batch_mesh is not None
+        assert dict(srv.batch_mesh.shape) == {"dp": 2, "tp": 2}
+        status, body = _req(srv, "POST", "/synthesize_batch",
+                            json.dumps(req))
+        assert status == 200
+        assert json.loads(body)["wavs"] == want
+    finally:
+        srv.shutdown()
