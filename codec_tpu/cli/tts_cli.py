@@ -281,7 +281,8 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         from ..lm.tts_runner import run_continuous
 
         res = run_continuous(audio_lm, bb, list(bb.embed_tokens(ids)),
-                             max_steps=max_steps)
+                             max_steps=max_steps,
+                             chunk_steps=chunk_frames if on_device else 1)
         print(f"continuous AR done: {res.n_steps} steps, "
               f"eos={res.stopped_by_eos}, latents {res.codes.shape}")
         if res.pcm is None:

@@ -245,6 +245,92 @@ def build_stream_chunk(lm, bb_cfg, chain: Tuple[float, int, float, float],
     return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
 
 
+def build_continuous_chunk(lm, bb_cfg, n_steps: int,
+                           n_timesteps: int = 10) -> Callable:
+    """K steps of the continuous-latent (CFM) flow in ONE device call:
+    CFM step (9 Euler × 2 CFG LocDiT passes + RALM KV step + feedbacks)
+    → in-graph stop gate (stop-head argmax + min_len guard, matching
+    step_generate's host gate) → backbone step on the fb_tslm feedback
+    embed. The host loop (run_continuous) otherwise pays one relay
+    dispatch per step (~35 ms floor vs a ~21 ms graph, docs/PERF.md);
+    this is the continuous-kind analog of build_gen_chunk.
+
+    Returns fn(bb_params, bb_kv, bb_pos0, h, kcs, vcs, pfb_lm, prim_lm,
+    prim_res, cond, noises [K,P,D], kv_pos0, base_idx, min_len, tsin,
+    dtsin, dts, cfgv) → (packed f32 [K·P·D + h_barbet + 3], h', kcs',
+    vcs', pfb_lm', prev_patch', bb_kv') with packed = patches.ravel() ++
+    last fb_tslm ++ [n_emitted, stopped, bb_pos_after]. Emitted patches
+    and the stop decision are bit-identical to K step_generate calls
+    with the same noise sequence (primed=False steady state — the host
+    runs the first post-prefill step per-step). `bb_kv`, `kcs`, `vcs`
+    are donated."""
+    from ..runtime.jit_weights import jit_weighted
+    from .backbone import backbone_forward
+
+    K = int(n_steps)
+    pd = lm.patch_size * lm.latent_dim
+
+    def chunk(bb_params, bb_kv, bb_pos0, h, kcs, vcs, pfb_lm, prim_lm,
+              prim_res, cond, noises, kv_pos0, base_idx, min_len, tsin,
+              dtsin, dts, cfgv):
+        kv_dtype = jax.tree_util.tree_leaves(bb_kv)[0].dtype
+        buf0 = jnp.zeros((K, pd), jnp.float32)
+        fb0 = jnp.zeros((lm.h_barbet,), jnp.float32)
+        le0 = jnp.zeros((lm.patch_size, lm.latent_dim), jnp.float32)
+
+        def cond_fn(s):
+            return jnp.logical_and(s[0] < K, jnp.logical_not(s[1]))
+
+        def body(s):
+            i, _done, h, kcs, vcs, pfb, cnd, bb_kv, pos, buf, _fb = s
+            k2, v2, patch, fb_lm, packed = lm._step_fn(
+                kcs, vcs, h, pfb, prim_lm, prim_res, cnd, noises[i],
+                tsin, dtsin, dts, kv_pos0 + i, False, cfgv, le0,
+                jnp.asarray(False))
+            buf = jax.lax.dynamic_update_slice(buf, packed[None, :pd],
+                                               (i, 0))
+            fb_tslm = packed[pd + 2:]
+            # step_generate's gate: stop only after patch_index > min_len
+            stop = jnp.logical_and(packed[pd + 1] > packed[pd],
+                                   base_idx + i > min_len)
+
+            def advance(op):
+                bb_kv_in, h_in, pos_in = op
+                h2, kv2 = backbone_forward(bb_params, bb_kv_in, pos_in,
+                                           fb_tslm.astype(kv_dtype)[None],
+                                           bb_cfg)
+                return kv2, h2[0].astype(jnp.float32), pos_in + 1
+
+            bb_kv, h, pos = jax.lax.cond(stop, lambda op: op, advance,
+                                         (bb_kv, h, pos))
+            return (i + 1, stop, h, k2, v2, fb_lm, patch, bb_kv, pos,
+                    buf, fb_tslm)
+
+        s = jax.lax.while_loop(
+            cond_fn, body,
+            (jnp.int32(0), jnp.bool_(False), h, kcs, vcs, pfb_lm, cond,
+             bb_kv, jnp.asarray(bb_pos0, jnp.int32), buf0, fb0))
+        i, done, h, kcs, vcs, pfb, cnd, bb_kv, pos, buf, fb_last = s
+        meta = jnp.stack([i.astype(jnp.float32), done.astype(jnp.float32),
+                          pos.astype(jnp.float32)])
+        packed_out = jnp.concatenate([buf.reshape(-1), fb_last, meta])
+        return packed_out, h, kcs, vcs, pfb, cnd, bb_kv
+
+    return jit_weighted(lm, chunk, ("w",), donate_argnums=(1, 4, 5))
+
+
+def continuous_chunk_cached(lm, backbone, n_steps: int) -> Callable:
+    cache = getattr(lm, "_cont_chunk_cache", None)
+    if cache is None:
+        cache = lm._cont_chunk_cache = {}
+    key = (int(n_steps), repr(backbone.cfg))
+    fn = cache.get(key)
+    if fn is None:
+        fn = build_continuous_chunk(lm, backbone.cfg, n_steps)
+        cache[key] = fn
+    return fn
+
+
 def init_rep_hist(lm, window: int):
     """Fresh repetition-penalty history for build_stream_chunk's carry:
     a (−1-filled ring [n_cb, window], slot pointer) for window > 0, or a

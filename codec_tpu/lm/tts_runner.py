@@ -69,10 +69,17 @@ def run_continuous(
     max_steps: int = 1024,
     prefill_hiddens=None,
     decode: bool = True,
+    chunk_steps: int = 1,
 ) -> SynthesisResult:
     """Continuous-latent flow (reference: run_continuous, tts_runner.cpp:450):
     optional RALM text-prefill over prompt hiddens, then per step: backbone
-    hidden → step_generate (patch + stop + feedback embed)."""
+    hidden → step_generate (patch + stop + feedback embed).
+
+    `chunk_steps > 1` with a JAX backbone chains K whole steps — CFM step
+    + in-graph stop gate + backbone step — per device call
+    (lm/fused_gen.build_continuous_chunk): the first post-prefill step
+    runs per-step (it may be primed), the rest chunk; emitted latents are
+    identical to the per-step loop (same host-RNG noise sequence)."""
     if audio_lm.lm is None or not audio_lm.is_continuous:
         raise ValueError("run_continuous requires a continuous-latent codec_lm")
     audio_lm.reset()
@@ -85,15 +92,75 @@ def run_continuous(
     if h is None:
         raise ValueError("prompt_embeds must contain at least one embedding")
 
+    lm = audio_lm.lm
+    use_chunk = (chunk_steps > 1 and hasattr(backbone, "params")
+                 and hasattr(backbone, "kv") and hasattr(backbone, "cfg")
+                 and hasattr(lm, "_step_fn")
+                 and getattr(backbone, "_pp", None) is None)
+
     stopped = False
     steps = 0
-    for _ in range(max_steps):
-        action = audio_lm.observe_hidden(h)
-        steps += 1
-        if action is ObserveAction.STOP:
-            stopped = True
-            break
-        h = backbone.step(audio_lm.next_embed)
+    # first step per-step (handles the primed-after-prefill case and
+    # populates the timestep-schedule cache the chunk reuses)
+    action = audio_lm.observe_hidden(h)
+    steps += 1
+    if action is ObserveAction.STOP:
+        stopped = True
+    elif use_chunk:
+        import jax.numpy as jnp
+
+        from .fused_gen import continuous_chunk_cached
+
+        chunk_fn = continuous_chunk_cached(lm, backbone, int(chunk_steps))
+        ks = audio_lm.state.kind_state
+        tsin, dtsin, dts = lm._sched_cache[
+            getattr(audio_lm, "_n_timesteps", 10)]
+        cfgv = np.float32(getattr(audio_lm, "_cfg_value", 2.0))
+        min_len = int(ks["min_len"] if ks["min_len"] >= 0 else lm.min_len)
+        K = int(chunk_steps)
+        P, D = lm.patch_size, lm.latent_dim
+        pd = P * D
+        h_dev = jnp.asarray(np.asarray(
+            backbone.step(audio_lm.next_embed), np.float32))
+        while steps < max_steps and not stopped:
+            noises = np.stack(
+                [ks["rng"].standard_normal((P, D)) for _ in range(K)]
+            ).astype(np.float32)
+            (packed, h_dev, ks["k"], ks["v"], ks["prev_fb_lm"],
+             ks["prev_patch"], backbone.kv) = chunk_fn(
+                backbone.params, backbone.kv, np.int32(backbone.pos),
+                h_dev, ks["k"], ks["v"], ks["prev_fb_lm"],
+                ks["prefill_lm"], ks["prefill_res"], ks["prev_patch"],
+                jnp.asarray(noises), np.int32(ks["kv_pos"]),
+                np.int32(ks["patch_index"]), np.int32(min_len),
+                tsin, dtsin, dts, cfgv)
+            arr = np.asarray(packed)
+            n_emit = int(arr[-3])
+            done = bool(arr[-2])
+            backbone.pos = int(arr[-1])
+            if n_emit == 0:
+                break
+            patches = arr[: K * pd].reshape(K, P, D)
+            take = min(n_emit, max_steps - steps)
+            for i in range(take):
+                audio_lm.latents.append(
+                    np.asarray(patches[i], np.float32))
+            steps += take
+            ks["kv_pos"] += n_emit
+            ks["patch_index"] += n_emit
+            ks["fb_tslm"] = arr[K * pd: K * pd + lm.h_barbet].astype(
+                np.float32)
+            audio_lm.next_embed = ks["fb_tslm"]
+            if done and take == n_emit:
+                stopped = True
+    if not stopped and not use_chunk:
+        while steps < max_steps:
+            h = backbone.step(audio_lm.next_embed)
+            action = audio_lm.observe_hidden(h)
+            steps += 1
+            if action is ObserveAction.STOP:
+                stopped = True
+                break
 
     latents = (np.concatenate(audio_lm.latents, axis=0)
                if audio_lm.latents else np.zeros((0, audio_lm.lm.info.latent_dim)))

@@ -141,3 +141,91 @@ def test_run_continuous_flow():
     assert res.n_steps <= 4
     assert res.codes.shape[1] == tc.D
     assert res.codes.shape[0] == res.n_steps * tc.P
+
+
+def _cfm_gguf_path():
+    """Tiny continuous-CFM adaptor GGUF (shared fixture recipe with
+    test_run_continuous_flow)."""
+    import pathlib
+    import tempfile
+
+    import test_continuous_cfm as tc
+    from codec_tpu.io.gguf import GGUFWriter
+
+    ref = tc.TorchCFM()
+    path = pathlib.Path(tempfile.mkdtemp()) / "cfm.gguf"
+    w = GGUFWriter(path, "bluemagpie_audiovae")
+    w.add_uint32("codec.sample_rate", 48000)
+    w.add_bool("codec.has_decoder", True)
+    w.add_bool("codec.lm.has_adaptor", True)
+    w.add_string("codec.lm.kind", "continuous_latent_cfm")
+    w.add_uint32("codec.lm.hidden_dim", tc.HB)
+    w.add_uint32("codec.lm.h_vox", tc.HV)
+    w.add_uint32("codec.lm.h_enc", tc.HE)
+    w.add_uint32("codec.lm.h_dit", tc.HD)
+    w.add_uint32("codec.lm.latent_dim", tc.D)
+    w.add_uint32("codec.lm.patch_size", tc.P)
+    w.add_uint32("codec.lm.n_locenc", tc.NL_ENC)
+    w.add_uint32("codec.lm.n_locdit", tc.NL_DIT)
+    w.add_uint32("codec.lm.n_ralm", tc.NL_RALM)
+    w.add_uint32("codec.lm.n_heads", tc.NH)
+    w.add_uint32("codec.lm.n_kv", tc.NKV)
+    w.add_uint32("codec.lm.head_dim", tc.HDIM)
+    w.add_uint32("codec.lm.fsq_scale", tc.FSQ)
+    w.add_uint32("codec.lm.min_len", 0)
+    for name, tensor in ref.t.items():
+        w.add_tensor(name, tensor.numpy())
+    w.write()
+    return path
+
+
+def test_run_continuous_chunked_matches_per_step(tmp_path):
+    """chunk_steps > 1 chains K CFM steps + backbone steps in one device
+    call (lm/fused_gen.build_continuous_chunk); the emitted latents,
+    step count, and stop state equal the per-step loop's (same host-RNG
+    noise sequence)."""
+    import torch
+    from transformers import LlamaConfig, LlamaModel
+
+    import test_continuous_cfm as tc
+    from codec_tpu.convert import get_converter
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_continuous
+
+    path = _cfm_gguf_path()
+
+    torch.manual_seed(3)
+    bb_cfg = LlamaConfig(
+        hidden_size=tc.HB, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=8,
+        vocab_size=32, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64)
+    hf = LlamaModel(bb_cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()},
+        bb_cfg.to_dict())
+    bb_path = tmp_path / "bb.gguf"
+    conv.convert_and_save(bb_path)
+
+    rng = np.random.default_rng(0)
+    prefill = rng.standard_normal((2, tc.HB)).astype(np.float32)
+    prompt = [rng.standard_normal(tc.HB).astype(np.float32)]
+
+    def run(chunk_steps):
+        alm = AudioLM(GGUFReader(path))
+        alm.set_continuous_params(cfg_value=2.0, n_timesteps=4)
+        bb = create_backbone(bb_path, max_ctx=32)
+        return run_continuous(alm, bb, prompt, max_steps=7,
+                              prefill_hiddens=prefill, decode=False,
+                              chunk_steps=chunk_steps)
+
+    ref = run(1)
+    assert ref.n_steps >= 2                     # chunk path must engage
+    for k in (2, 3):
+        got = run(k)
+        assert got.n_steps == ref.n_steps
+        assert got.stopped_by_eos == ref.stopped_by_eos
+        np.testing.assert_allclose(got.codes, ref.codes, atol=2e-5,
+                                   rtol=2e-4)
