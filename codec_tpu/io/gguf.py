@@ -367,45 +367,88 @@ class GGUFReader:
         self._cache: Dict[str, np.ndarray] = {}
 
     # -- header parsing ---------------------------------------------------
+    # Fail-closed discipline (reference: src/codec.cpp:374-401 — the loader
+    # rejects any short read / size overflow rather than carrying on with
+    # partial data): every read is exact-length-checked, counts and string
+    # lengths are bounded by the file size, and tensor extents are
+    # validated against the data section before any bytes are served.
+
+    def _read_exact(self, f: BinaryIO, n: int, what: str) -> bytes:
+        b = f.read(n)
+        if len(b) != n:
+            raise ValueError(
+                f"truncated GGUF file {self.path}: short read of {what} "
+                f"(wanted {n} bytes, got {len(b)})")
+        return b
+
     def _read_str(self, f: BinaryIO) -> str:
-        (n,) = struct.unpack("<Q", f.read(8))
-        return f.read(n).decode("utf-8")
+        (n,) = struct.unpack("<Q", self._read_exact(f, 8, "string length"))
+        if n > self._file_size:
+            raise ValueError(
+                f"corrupt GGUF file {self.path}: string length {n} exceeds "
+                f"file size {self._file_size}")
+        return self._read_exact(f, n, "string").decode("utf-8")
 
     def _read_value(self, f: BinaryIO, vtype: int) -> Any:
         if vtype in _SCALAR_FMT:
             fmt, sz = _SCALAR_FMT[vtype]
-            return struct.unpack(fmt, f.read(sz))[0]
+            return struct.unpack(fmt, self._read_exact(f, sz, "KV scalar"))[0]
         if vtype == GGUF_TYPE_BOOL:
-            return f.read(1)[0] != 0
+            return self._read_exact(f, 1, "KV bool")[0] != 0
         if vtype == GGUF_TYPE_STRING:
             return self._read_str(f)
         if vtype == GGUF_TYPE_ARRAY:
-            (elem_type,) = struct.unpack("<i", f.read(4))
-            (count,) = struct.unpack("<Q", f.read(8))
+            (elem_type,) = struct.unpack("<i", self._read_exact(f, 4, "array type"))
+            (count,) = struct.unpack("<Q", self._read_exact(f, 8, "array count"))
+            if count > self._file_size:          # each element is >= 1 byte
+                raise ValueError(
+                    f"corrupt GGUF file {self.path}: array count {count} "
+                    f"exceeds file size {self._file_size}")
             return [self._read_value(f, elem_type) for _ in range(count)]
         raise ValueError(f"unknown GGUF KV type {vtype}")
 
     def _parse_header(self, f: BinaryIO) -> None:
-        if f.read(4) != GGUF_MAGIC:
+        f.seek(0, 2)
+        self._file_size = f.tell()
+        f.seek(0)
+        if self._read_exact(f, 4, "magic") != GGUF_MAGIC:
             raise ValueError(f"not a GGUF file: {self.path}")
-        (self.version,) = struct.unpack("<I", f.read(4))
+        (self.version,) = struct.unpack("<I", self._read_exact(f, 4, "version"))
         if self.version not in (2, 3):
             raise ValueError(f"unsupported GGUF version {self.version}")
-        n_tensors, n_kv = struct.unpack("<qq", f.read(16))
+        n_tensors, n_kv = struct.unpack("<qq", self._read_exact(f, 16, "counts"))
+        # each KV / tensor record occupies >= 12 bytes in the header
+        if not (0 <= n_tensors <= self._file_size // 12):
+            raise ValueError(
+                f"corrupt GGUF file {self.path}: tensor count {n_tensors}")
+        if not (0 <= n_kv <= self._file_size // 12):
+            raise ValueError(f"corrupt GGUF file {self.path}: KV count {n_kv}")
         for _ in range(n_kv):
             key = self._read_str(f)
-            (vtype,) = struct.unpack("<i", f.read(4))
+            (vtype,) = struct.unpack("<i", self._read_exact(f, 4, "KV type"))
             self.kv[key] = self._read_value(f, vtype)
         for _ in range(n_tensors):
             name = self._read_str(f)
-            (n_dims,) = struct.unpack("<I", f.read(4))
-            ne = struct.unpack(f"<{n_dims}q", f.read(8 * n_dims))
-            ggml_type, = struct.unpack("<i", f.read(4))
-            offset, = struct.unpack("<Q", f.read(8))
+            (n_dims,) = struct.unpack("<I", self._read_exact(f, 4, "n_dims"))
+            if n_dims > 4:                       # GGUF spec: ne has <= 4 dims
+                raise ValueError(
+                    f"corrupt GGUF file {self.path}: tensor {name!r} has "
+                    f"{n_dims} dims")
+            ne = struct.unpack(f"<{n_dims}q",
+                               self._read_exact(f, 8 * n_dims, "tensor dims"))
+            if any(d <= 0 for d in ne):
+                raise ValueError(
+                    f"corrupt GGUF file {self.path}: tensor {name!r} has "
+                    f"non-positive dim in {ne}")
+            ggml_type, = struct.unpack("<i", self._read_exact(f, 4, "tensor type"))
+            offset, = struct.unpack("<Q", self._read_exact(f, 8, "tensor offset"))
             info = GGUFTensorInfo(name, tuple(int(d) for d in ne), ggml_type, offset)
             self.tensors[name] = info
             self._order.append(name)
         alignment = int(self.kv.get(ALIGNMENT_KEY, DEFAULT_ALIGNMENT))
+        if alignment <= 0:
+            raise ValueError(
+                f"corrupt GGUF file {self.path}: alignment {alignment}")
         self.data_offset = _align_up(f.tell(), alignment)
 
     # -- KV accessors (typed, with fallback; reference: src/runtime/gguf_kv.cpp)
@@ -441,7 +484,12 @@ class GGUFReader:
     # -- tensor materialization -------------------------------------------
     def _raw(self, info: GGUFTensorInfo) -> np.ndarray:
         start = self.data_offset + info.offset
-        return self._mmap[start:start + info.n_bytes]
+        end = start + info.n_bytes
+        if end > self._mmap.size:
+            raise ValueError(
+                f"truncated GGUF file {self.path}: tensor {info.name!r} "
+                f"needs bytes [{start}, {end}) but file has {self._mmap.size}")
+        return self._mmap[start:end]
 
     #: When True, F16/BF16 tensors materialize in their NATIVE 16-bit dtype
     #: (np.float16 / ml_dtypes.bfloat16) instead of upcasting to float32 —
