@@ -501,13 +501,14 @@ def _bench_tts_rda_chunked(fast: bool = False):
     keysb = jax.vmap(jr.PRNGKey)(jnp.arange(n_streams, dtype=jnp.uint32))
     posb = jnp.zeros((n_streams,), jnp.int32)
     tcb = jnp.zeros((n_streams,), jnp.int32)
+    doneb = np.zeros(n_streams, bool)
     packed, hb, kvb, keysb = bchunk(bb_params, kvb, posb, np.int32(0),
-                                    hb, keysb, tcb)
+                                    hb, keysb, tcb, doneb)
     np.asarray(packed)                               # compile + warm
     t0 = time.monotonic()
     for _ in range(iters):
         packed, hb, kvb, keysb = bchunk(bb_params, kvb, posb, np.int32(0),
-                                        hb, keysb, tcb)
+                                        hb, keysb, tcb, doneb)
         np.asarray(packed)
     bwall = max(1e-9, (time.monotonic() - t0) - iters * rtt) \
         / (iters * k_frames * n_streams)

@@ -111,11 +111,20 @@ def build_gen_chunk_batched(lm, bb_cfg,
     post-EOS host flush (or nothing) overwrites — per-stream code streams
     are EXACTLY the single-stream chunk's (same per-stream PRNG splits).
 
-    Returns fn(bb_params, kv [B,L,2,nkv,ctx,D], pos [B], base_frame,
-    h [B,hidden], keys [B PRNG keys], text_ctx [B]) →
+    Returns fn(bb_params, kv [B,L,2,nkv,ctx,D], pos [B], base_frame
+    (scalar or [B] — per-stream frame counters, so streams admitted at
+    different times can share one chunk), h [B,hidden],
+    keys [B PRNG keys], text_ctx [B], done0 [B] bool) →
     (packed int32 [K*B*n_cb + 1 + 2B], h', kv', keys') with packed =
     codes[K,B,n_cb].flatten() ++ [n_iter] ++ done[B] ++ pos_after[B].
     `kv` is donated.
+
+    `done0` carries per-stream done flags INTO the chunk: a stream that
+    already stopped (or an empty continuous-batching slot) stays frozen —
+    its hidden and position never advance, so the delay-tail flush later
+    reads the KV state from the frame it actually stopped at instead of
+    junk frames appended while other streams kept generating. Its rows in
+    `packed` are junk the host must ignore.
 
     Reference contrast: the reference is strictly single-stream per
     codec_lm_state and steps the host LLM per frame
@@ -133,8 +142,11 @@ def build_gen_chunk_batched(lm, bb_cfg,
     k_frames = int(n_frames)
     max_pos = int(bb_cfg.max_ctx) - 1
 
-    def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx):
+    def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx, done0):
         b = h.shape[0]
+        base_frame = jnp.broadcast_to(
+            jnp.asarray(base_frame, jnp.int32), (b,))
+        done0 = jnp.broadcast_to(jnp.asarray(done0, bool), (b,))
         buf0 = jnp.zeros((k_frames, b, n_cb), jnp.int32)
         kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
 
@@ -169,7 +181,7 @@ def build_gen_chunk_batched(lm, bb_cfg,
 
         i, done, h, kv, pos, keys, buf = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.zeros((b,), bool), h, kv,
+            (jnp.int32(0), done0, h, kv,
              jnp.asarray(pos, jnp.int32), keys, buf0))
         packed = jnp.concatenate([buf.reshape(-1), i[None],
                                   done.astype(jnp.int32), pos])

@@ -682,9 +682,14 @@ def run_codebook_ar_batch(
     steps = [0] * b
     base = states[0].frame_counter
     while any(not stopped[s] and steps[s] < max_steps for s in range(b)):
+        # done0 = the streams that already stopped (or hit max_steps):
+        # frozen in-graph so their KV/pos stay at the frame they stopped
+        # at — the delay-tail flush below reads that state
         packed, hd, kv, keys = chunk_fn(
             backbone.params, kv, jnp.asarray(pos), np.int32(base), hd,
-            keys, jnp.asarray(tc))
+            keys, jnp.asarray(tc),
+            jnp.asarray([stopped[s] or steps[s] >= max_steps
+                         for s in range(b)]))
         arr = np.asarray(packed)
         n_emit = int(arr[chunk_n * b * n_cb])
         pos = arr[-b:].astype(np.int32)
@@ -705,51 +710,70 @@ def run_codebook_ar_batch(
     # through the host step machine off each stream's KV slice
     results: List[SynthesisResult] = []
     for s in range(b):
-        alm, st = audio_lms[s], states[s]
-        tr = alm.decode_transform
-        max_delay = tr.max_delay(alm.n_codebook)
-        eos_c0 = lm.info.eos_code_c0
-        n_speech = None
-        if stopped[s] and max_delay > 0 and eos_c0 >= 0:
-            backbone.kv = kv[s]
-            backbone.pos = int(pos[s])
-            flush_key = jax.random.fold_in(keys[s], 0x0F1D)
-            from ..ops.sample import sample_logits as _sl
-
-            n_speech = len(alm.frames) - 1
-            last_codes = list(alm.frames[-1])
-            for _ in range(max_delay):
-                emb = lm.compose_next_embd(last_codes, alm._embed_step)
-                alm._embed_step += 1
-                h = backbone.step(emb)
-                st.step_begin(np.asarray(h, np.float32))
-                for _k in range(alm.n_codebook):
-                    logits, cb_idx = st.step_logits()
-                    if cb_idx == 0:
-                        code = eos_c0
-                    else:
-                        flush_key, sub = jax.random.split(flush_key)
-                        code = int(np.asarray(_sl(
-                            jnp.asarray(np.asarray(logits, np.float32)), sub,
-                            temperature=on_device.temperature,
-                            top_k=on_device.top_k, top_p=on_device.top_p,
-                            min_p=on_device.min_p)))
-                    st.step_push_code(code)
-                last_codes = list(st.step_finish())
-                alm.frames.append(last_codes)
-                steps[s] += 1
-
-        codes = alm.codes_matrix()
-        if stopped[s] and eos_c0 >= 0 and max_delay == 0 and len(codes):
-            codes = codes[:-1]
-        pcm = None
-        if decode and alm.codec is not None and len(codes):
-            pcm = _decode_transformed(alm, codes, n_q=n_q,
-                                      n_speech_frames=n_speech)
-        results.append(SynthesisResult(codes=codes, pcm=pcm,
-                                       n_steps=steps[s],
-                                       stopped_by_eos=stopped[s]))
+        results.append(finalize_batch_stream(
+            audio_lms[s], backbone, kv[s], int(pos[s]), keys[s],
+            on_device, stopped=stopped[s], steps=steps[s],
+            decode=decode, n_q=n_q))
     return results
+
+
+def finalize_batch_stream(alm: AudioLM, backbone, kv_s, pos_s: int, key_s,
+                          on_device: OnDeviceSampling, *, stopped: bool,
+                          steps: int, decode: bool = True,
+                          n_q: int = 0) -> SynthesisResult:
+    """Finish ONE stream of a batched generation: run the post-EOS
+    `max(delay_pattern)` flush through the host step machine off the
+    stream's KV slice (contract: include/codec_lm.h:387-401), then decode
+    the transformed code matrix. Shared by run_codebook_ar_batch and the
+    continuous batcher (serve/cont_batch.py), which retires streams at
+    chunk boundaries while the rest of the batch keeps generating."""
+    import jax
+    import jax.numpy as jnp
+
+    lm = alm.lm
+    st = alm.state
+    tr = alm.decode_transform
+    max_delay = tr.max_delay(alm.n_codebook)
+    eos_c0 = lm.info.eos_code_c0
+    n_speech = None
+    if stopped and max_delay > 0 and eos_c0 >= 0:
+        backbone.kv = kv_s
+        backbone.pos = int(pos_s)
+        flush_key = jax.random.fold_in(key_s, 0x0F1D)
+        from ..ops.sample import sample_logits as _sl
+
+        n_speech = len(alm.frames) - 1
+        last_codes = list(alm.frames[-1])
+        for _ in range(max_delay):
+            emb = lm.compose_next_embd(last_codes, alm._embed_step)
+            alm._embed_step += 1
+            h = backbone.step(emb)
+            st.step_begin(np.asarray(h, np.float32))
+            for _k in range(alm.n_codebook):
+                logits, cb_idx = st.step_logits()
+                if cb_idx == 0:
+                    code = eos_c0
+                else:
+                    flush_key, sub = jax.random.split(flush_key)
+                    code = int(np.asarray(_sl(
+                        jnp.asarray(np.asarray(logits, np.float32)), sub,
+                        temperature=on_device.temperature,
+                        top_k=on_device.top_k, top_p=on_device.top_p,
+                        min_p=on_device.min_p)))
+                st.step_push_code(code)
+            last_codes = list(st.step_finish())
+            alm.frames.append(last_codes)
+            steps += 1
+
+    codes = alm.codes_matrix()
+    if stopped and eos_c0 >= 0 and max_delay == 0 and len(codes):
+        codes = codes[:-1]
+    pcm = None
+    if decode and alm.codec is not None and len(codes):
+        pcm = _decode_transformed(alm, codes, n_q=n_q,
+                                  n_speech_frames=n_speech)
+    return SynthesisResult(codes=codes, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
 
 
 class RangeConstraint:

@@ -1,0 +1,306 @@
+"""Continuous-batching TTS engine over the batched on-device chunk.
+
+Static batching (`lm/tts_runner.run_codebook_ar_batch`) fixes the request
+set at launch: a stream that finishes rides inert — its slot keeps
+computing junk — until the whole batch drains, and a request arriving
+mid-flight waits for the next batch. This engine keeps the SAME compiled
+B-slot chunk (`lm/fused_gen.build_gen_chunk_batched`: every active
+stream's fused LM frame + feedback compose + backbone step as batched
+GEMMs on shared weights) but treats the batch dimension as B *slots*:
+
+  - a slot is retired the moment its stream stops (EOS observed by the
+    host state machine, or the request's max_steps), its delay-tail is
+    flushed and its result delivered immediately;
+  - the next queued request is admitted into the free slot at the chunk
+    boundary (prompt prefill on the host, then one batched scatter of
+    its KV/hidden/PRNG state into the device-resident slot arrays);
+  - empty slots ride into the chunk with `done0=True`, so their carried
+    state is frozen in-graph rather than advanced on junk frames.
+
+Per-request code streams are bit-identical to the single-stream chunked
+run (`run_codebook_ar(on_device=...)`) with the same seed: each slot owns
+its PRNG key (seeded at admission), KV slice, hidden, and AudioLM state,
+and the compiled frame fn + `jax.random.split` sequence are exactly the
+single-stream path's.
+
+Reference contrast: the reference serializes generations — one
+codec_lm_state per stream but a full host loop per frame each
+(/root/reference/src/lm/lm_internal.h:63-68,
+/root/reference/common/tts_runner.cpp:707). Continuous batching has no
+reference counterpart; it is the TPU-native serving upgrade that keeps
+the MXU fed with B streams' GEMMs while requests arrive and finish
+asynchronously.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..lm.audio_lm import AudioLM, ObserveAction
+from ..ops.sample import OnDeviceSampling
+
+
+class TtsRequest:
+    """Handle for one queued synthesis. `wait()` blocks for the result
+    (a `lm.tts_runner.SynthesisResult`) or re-raises the engine-side
+    error for this request."""
+
+    def __init__(self, audio_lm: AudioLM, prompt_embeds: Sequence,
+                 seed: int, max_steps: int):
+        self.audio_lm = audio_lm
+        self.prompt_embeds = list(prompt_embeds)
+        self.seed = int(seed)
+        self.max_steps = int(max_steps)
+        self.result = None
+        self.error: Optional[BaseException] = None
+        self._done = threading.Event()
+
+    def wait(self, timeout: Optional[float] = None):
+        if not self._done.wait(timeout):
+            raise TimeoutError("synthesis not finished")
+        if self.error is not None:
+            raise self.error
+        return self.result
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def _finish(self, result=None, error=None) -> None:
+        self.result, self.error = result, error
+        self._done.set()
+
+
+class ContinuousBatcher:
+    """B-slot continuous-batching engine for plain codebook-AR kinds
+    (CSM / Qwen3-TTS / MOSS-TTSD families).
+
+    One `ContinuousBatcher` owns the backbone's device state between
+    chunk calls; drive `step()` from a single engine thread (serve's
+    `--cont-batch` starts one) or call `drain()` inline for batch jobs.
+    `submit()` is thread-safe. The sampler chain (temperature/top-k/...)
+    is baked into the compiled chunk and therefore shared engine-wide;
+    the PRNG seed is per request.
+    """
+
+    def __init__(self, backbone, shared_lm, *, n_slots: int = 4,
+                 on_device: OnDeviceSampling, pi=None, decode: bool = True,
+                 n_q: int = 0):
+        from ..lm.fused_gen import gen_chunk_cached, supports_gen_chunk
+
+        if n_slots < 1:
+            raise ValueError("need at least one slot")
+        if not supports_gen_chunk(shared_lm, backbone):
+            raise ValueError("continuous batching needs a JAX backbone and "
+                             "a chunk-capable LM kind")
+        self.backbone = backbone
+        self.lm = shared_lm
+        self.B = int(n_slots)
+        self.K = max(2, int(on_device.chunk_frames))
+        self.ods = on_device
+        self.decode = decode
+        self.n_q = int(n_q)
+        self.n_cb = int(shared_lm.info.n_codebook)
+
+        cb0_range = None
+        if pi is not None and pi.cb0_speech_range_start >= 0 \
+                and pi.cb0_speech_range_end > pi.cb0_speech_range_start:
+            cb0_range = (int(pi.cb0_speech_range_start),
+                         int(pi.cb0_speech_range_end),
+                         int(pi.eos_code_c0) if pi.eos_code_c0 is not None
+                         else -1)
+        self._chunk_fn = gen_chunk_cached(
+            shared_lm, backbone, n_frames=self.K, batched=True,
+            cb0_range=cb0_range, temperature=on_device.temperature,
+            top_k=on_device.top_k, top_p=on_device.top_p,
+            min_p=on_device.min_p)
+
+        self._queue: deque = deque()
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self.slots: List[Optional[TtsRequest]] = [None] * self.B
+        self._steps = [0] * self.B
+        self._stopped = [False] * self.B
+        # device-resident slot state, allocated at first admission
+        self._kv = None                 # [B, L, 2, nkv, ctx, D]
+        self._h = None                  # [B, hidden] f32
+        self._keys = None               # [B] PRNG keys
+        self._pos = np.zeros(self.B, np.int32)
+        self._tc = np.zeros(self.B, np.int32)
+        self._base = np.zeros(self.B, np.int32)
+
+    # -- request side -------------------------------------------------------
+    def submit(self, audio_lm: AudioLM, prompt_embeds: Sequence,
+               seed: int = 0, max_steps: int = 512) -> TtsRequest:
+        """Queue one synthesis. `audio_lm` must share this engine's
+        CodecLM (`AudioLM(reader, codec, lm=engine.lm)`); `prompt_embeds`
+        is the prompt's embedding rows (composed for merged-cb0 models)."""
+        if audio_lm.lm is not self.lm:
+            raise ValueError("request must share the engine CodecLM "
+                             "(AudioLM(reader, codec, lm=engine.lm))")
+        if not prompt_embeds:
+            raise ValueError("every request needs >= 1 prompt embedding")
+        req = TtsRequest(audio_lm, prompt_embeds, seed, max_steps)
+        with self._work:
+            self._queue.append(req)
+            self._work.notify()
+        return req
+
+    def wait_for_work(self, timeout: Optional[float] = None) -> bool:
+        """Block until a request is queued (engine-thread idle wait)."""
+        with self._work:
+            if self._queue or any(r is not None for r in self.slots):
+                return True
+            return self._work.wait(timeout)
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self.slots)
+
+    @property
+    def n_queued(self) -> int:
+        with self._lock:
+            return len(self._queue)
+
+    # -- engine side ----------------------------------------------------
+    def _admit(self) -> None:
+        """Fill free slots from the queue: prompt prefill on the host
+        backbone, then ONE batched scatter of all admitted streams'
+        state into the device-resident slot arrays."""
+        import jax
+        import jax.numpy as jnp
+
+        newly = []
+        for s in range(self.B):
+            if self.slots[s] is not None:
+                continue
+            req = None
+            with self._lock:
+                if self._queue:
+                    req = self._queue.popleft()
+            if req is None:
+                break
+            try:
+                self.backbone.reset()
+                h = None
+                for e in req.prompt_embeds:
+                    h = self.backbone.step(np.asarray(e, np.float32))
+                req.audio_lm.reset()
+                st = req.audio_lm.state
+            except BaseException as e:               # noqa: BLE001
+                req._finish(error=e)
+                continue
+            self.slots[s] = req
+            self._steps[s] = 0
+            self._stopped[s] = False
+            self._pos[s] = int(self.backbone.pos)
+            self._tc[s] = int(st.text_context or 0)
+            self._base[s] = int(st.frame_counter)
+            newly.append((s, self.backbone.kv, np.asarray(h, np.float32),
+                          jax.random.PRNGKey(req.seed)))
+
+        if not newly:
+            return
+        if self._kv is None:
+            kv0 = newly[0][1]
+            self._kv = jnp.zeros((self.B,) + kv0.shape, kv0.dtype)
+            self._h = jnp.zeros((self.B, int(newly[0][2].shape[0])),
+                                jnp.float32)
+            self._keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.zeros(self.B, jnp.uint32))
+        idx = jnp.asarray([s for s, *_ in newly])
+        self._kv = self._kv.at[idx].set(jnp.stack([kv for _, kv, _, _ in newly]))
+        self._h = self._h.at[idx].set(np.stack([h for _, _, h, _ in newly]))
+        self._keys = self._keys.at[idx].set(
+            jnp.stack([k for _, _, _, k in newly]))
+
+    def step(self) -> int:
+        """Admissions + ONE K-frame chunk + retirements. Returns the
+        number of active slots after retirement (0 = engine idle)."""
+        import jax.numpy as jnp
+
+        from ..lm.tts_runner import finalize_batch_stream
+
+        self._admit()
+        active = [s for s in range(self.B) if self.slots[s] is not None]
+        if not active:
+            return 0
+
+        done0 = np.asarray([self.slots[s] is None for s in range(self.B)])
+        packed, self._h, self._kv, self._keys = self._chunk_fn(
+            self.backbone.params, self._kv, jnp.asarray(self._pos),
+            jnp.asarray(self._base), self._h, self._keys,
+            jnp.asarray(self._tc), done0)
+        arr = np.asarray(packed)
+        n_emit = int(arr[self.K * self.B * self.n_cb])
+        pos_after = arr[-self.B:].astype(np.int32)
+        rows = arr[: self.K * self.B * self.n_cb].reshape(
+            self.K, self.B, self.n_cb)
+
+        for s in active:
+            self._pos[s] = pos_after[s]
+        for i in range(n_emit):
+            for s in active:
+                req = self.slots[s]
+                if self._stopped[s] or self._steps[s] >= req.max_steps:
+                    continue
+                codes = req.audio_lm.state.push_frame(rows[i, s])
+                self._steps[s] += 1
+                if req.audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                    self._stopped[s] = True
+        for s in active:
+            self._base[s] += n_emit
+
+        n_left = 0
+        for s in active:
+            req = self.slots[s]
+            if not self._stopped[s] and self._steps[s] < req.max_steps:
+                n_left += 1
+                continue
+            try:
+                result = finalize_batch_stream(
+                    req.audio_lm, self.backbone, self._kv[s],
+                    int(self._pos[s]), self._keys[s], self.ods,
+                    stopped=self._stopped[s], steps=self._steps[s],
+                    decode=self.decode, n_q=self.n_q)
+                req._finish(result=result)
+            except BaseException as e:               # noqa: BLE001
+                req._finish(error=e)
+            self.slots[s] = None
+        return n_left
+
+    def drain(self) -> None:
+        """Step until every queued and active request has finished
+        (inline driving for batch jobs and tests)."""
+        while True:
+            n = self.step()
+            if n == 0:
+                with self._lock:
+                    if not self._queue:
+                        return
+
+
+class EngineThread(threading.Thread):
+    """Owns a ContinuousBatcher: steps while there is work, sleeps on the
+    submit condition otherwise. `stop()` finishes in-flight work first."""
+
+    def __init__(self, batcher: ContinuousBatcher):
+        super().__init__(name="tts-cont-batch", daemon=True)
+        self.batcher = batcher
+        # NB: not `_stop` — that would shadow threading.Thread._stop()
+        self._stop_flag = threading.Event()
+
+    def run(self) -> None:
+        while not self._stop_flag.is_set():
+            if self.batcher.step() == 0 and self.batcher.n_queued == 0:
+                self.batcher.wait_for_work(timeout=0.1)
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop_flag.set()
+        with self.batcher._work:
+            self.batcher._work.notify_all()
+        self.join(timeout)

@@ -78,7 +78,8 @@ def _pcm16(x: np.ndarray) -> bytes:
 class CodecHTTPServer:
     def __init__(self, model_path: str, host: str = "127.0.0.1",
                  port: int = 8765, backbone_path: str = None,
-                 backbone_mesh: tuple = None, dp: int = 0):
+                 backbone_mesh: tuple = None, dp: int = 0,
+                 cont_batch: int = 0, chunk_frames: int = 8):
         import threading as _threading
 
         import codec_tpu
@@ -120,6 +121,47 @@ class CodecHTTPServer:
                 from ..lm.backbone import apply_backbone_mesh
 
                 apply_backbone_mesh(self.backbone, *backbone_mesh)
+
+        # Continuous batching (--cont-batch N): /synthesize requests for
+        # codebook-AR kinds run through one N-slot engine — admitted the
+        # moment a slot frees up, retired the moment their stream stops —
+        # instead of serializing on the backbone lock (serve/cont_batch.py).
+        self.cont_engine = None
+        self._cont_batcher = None
+        self._cont_pi = None
+        self._cont_tok = None
+        if cont_batch > 0:
+            if self.backbone is None:
+                raise ValueError("--cont-batch needs --backbone")
+            if self.lm is None:
+                raise ValueError("--cont-batch needs a codec_lm adaptor "
+                                 "in the model GGUF")
+            from ..lm.prompt_info import build_prompt_info
+            from ..lm.spm import SpmUnigram
+            from ..ops.sample import OnDeviceSampling
+            from .cont_batch import ContinuousBatcher, EngineThread
+
+            pi = build_prompt_info(self.reader)
+            if pi.is_continuous or pi.sequential_text_audio \
+                    or pi.streaming_interleave:
+                raise ValueError(f"--cont-batch supports plain codebook-AR "
+                                 f"kinds only (family: {pi.host_arch})")
+            spm_b64 = GGUFReader(backbone_path).get_str(
+                "backbone.tokenizer.spm_b64", "")
+            if not spm_b64:
+                raise ValueError("--cont-batch backbone GGUF has no baked "
+                                 "tokenizer (backbone.tokenizer.spm_b64)")
+            self._cont_pi = pi
+            self._cont_tok = SpmUnigram.from_b64(spm_b64)
+            self._cont_batcher = ContinuousBatcher(
+                self.backbone, self.lm, n_slots=cont_batch,
+                on_device=OnDeviceSampling(
+                    temperature=pi.default_temperature,
+                    top_k=pi.default_top_k,
+                    chunk_frames=max(2, chunk_frames)),
+                pi=pi)
+            self.cont_engine = EngineThread(self._cont_batcher)
+            self.cont_engine.start()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -302,6 +344,11 @@ class CodecHTTPServer:
                         outer.model, outer.lm, text,
                         seed=int(req.get("seed", 0)),
                         max_frames=int(req.get("max_frames", 0)))
+                elif outer.cont_engine is not None:
+                    # continuous batching: enqueue into the N-slot engine;
+                    # concurrent requests generate TOGETHER (batched GEMMs)
+                    # and each returns the moment its own stream stops
+                    pcm, n_frames, stop = self._synthesize_cont(req, text)
                 elif outer.backbone is not None:
                     # codebook-AR kinds: the shared backbone's KV state is
                     # reset per request, generations serialize on a lock
@@ -326,6 +373,34 @@ class CodecHTTPServer:
                 self.send_header("X-Stop", stop)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _synthesize_cont(self, req, text):
+                """Build the prompt on this handler thread, submit to the
+                continuous-batching engine, block for this request's
+                result. The handler-side work (tokenize + prompt embeds)
+                overlaps other streams' generation."""
+                import numpy as _np
+
+                from ..lm.audio_lm import AudioLM
+
+                pi = outer._cont_pi
+                ids = outer._cont_tok.encode(
+                    pi.prompt_prefix + text + pi.prompt_suffix)
+                alm = AudioLM(outer.reader, codec=outer.model, lm=outer.lm)
+                if alm.prompt_needs_composed:
+                    embeds = [alm.compose_prompt_embd(t) for t in ids]
+                else:
+                    embeds = list(outer.backbone.embed_tokens(
+                        _np.asarray(ids)))
+                mf = int(req.get("max_frames", 0))
+                handle = outer._cont_batcher.submit(
+                    alm, embeds, seed=int(req.get("seed", 0)),
+                    max_steps=mf if mf > 0 else 512)
+                res = handle.wait(timeout=600.0)
+                if res.pcm is None:
+                    raise ValueError("no audio frames generated")
+                return res.pcm, int(res.codes.shape[0]), \
+                    "eos" if res.stopped_by_eos else "max_frames"
 
             def _synthesize_batch(self):
                 """B texts through ONE vmapped on-device generation loop
@@ -423,6 +498,8 @@ class CodecHTTPServer:
         self.httpd.serve_forever()
 
     def shutdown(self):
+        if self.cont_engine is not None:
+            self.cont_engine.stop()
         self.httpd.shutdown()
 
 
@@ -431,6 +508,14 @@ def main(argv=None) -> int:
     ap.add_argument("--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--cont-batch", type=int, default=0,
+                    help="continuous batching: N engine slots for "
+                         "/synthesize on codebook-AR kinds (needs "
+                         "--backbone); requests join/leave the running "
+                         "batch at chunk boundaries")
+    ap.add_argument("--chunk-frames", type=int, default=8,
+                    help="frames per device call in the --cont-batch "
+                         "engine")
     ap.add_argument("--backbone", default=None,
                     help="backbone GGUF for codebook-AR /synthesize "
                          "(same artifact as tts-cli --backbone)")
@@ -454,7 +539,9 @@ def main(argv=None) -> int:
     try:
         srv = CodecHTTPServer(args.model, args.host, args.port,
                               backbone_path=args.backbone,
-                              backbone_mesh=mesh, dp=args.dp)
+                              backbone_mesh=mesh, dp=args.dp,
+                              cont_batch=args.cont_batch,
+                              chunk_frames=args.chunk_frames)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

@@ -347,3 +347,63 @@ def test_synthesize_batch_dp_tp_server(ar_server, tmp_path_factory):
         assert json.loads(body)["wavs"] == want
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# continuous batching (--cont-batch; serve/cont_batch.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cont_server(tmp_path_factory):
+    """Same mimi+rda+backbone artifacts as ar_server (identical fixed
+    torch seeds → identical weights), served through a 2-slot
+    continuous-batching engine."""
+    import test_cli_tts as tc
+    from codec_tpu.serve import CodecHTTPServer
+
+    model_path, bb_path = tc.mimi_rda_and_backbone.__wrapped__(
+        tmp_path_factory)
+    srv = CodecHTTPServer(str(model_path), port=0,
+                          backbone_path=str(bb_path),
+                          cont_batch=2, chunk_frames=8)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_cont_batch_matches_serialized_path(ar_server, cont_server):
+    """A continuous-batching /synthesize answers byte-identically to the
+    serialized on-device chunked path on the same weights/seed — the
+    engine is a pure scheduling upgrade."""
+    req = {"text": "hello there", "seed": 3, "max_frames": 6}
+    status_ref, wav_ref = _req(
+        ar_server, "POST", "/synthesize",
+        json.dumps(dict(req, on_device=True, chunk_frames=8)))
+    status, wav = _req(cont_server, "POST", "/synthesize", json.dumps(req))
+    assert status_ref == 200 and status == 200
+    assert wav == wav_ref
+
+
+def test_cont_batch_concurrent_requests(cont_server):
+    """More concurrent requests than engine slots: all succeed, each is
+    per-seed deterministic (re-requesting returns identical bytes even
+    though slot assignment/batch composition differ run to run)."""
+    out = {}
+
+    def worker(i):
+        out[i] = _req(cont_server, "POST", "/synthesize",
+                      json.dumps({"text": f"words {i}", "seed": 40 + i,
+                                  "max_frames": 5}))
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(v[0] == 200 for v in out.values())
+    for i in (0, 3):                    # replay alone == concurrent run
+        status, wav = _req(cont_server, "POST", "/synthesize",
+                           json.dumps({"text": f"words {i}",
+                                       "seed": 40 + i, "max_frames": 5}))
+        assert status == 200 and wav == out[i][1]
