@@ -183,6 +183,8 @@ class CodecHTTPServer:
                 self._json(code, {"error": msg})
 
             def do_GET(self):
+                if self.path == "/stats":
+                    return self._stats()
                 if self.path != "/health":
                     return self._err(404, f"no route {self.path}")
                 m = outer.model
@@ -192,6 +194,21 @@ class CodecHTTPServer:
                     "n_q": m.n_q, "has_encoder": m.has_encoder,
                     "has_decoder": m.has_decoder,
                     "lm_kind": outer.lm.info.kind if outer.lm else None,
+                })
+
+            def _stats(self):
+                """Serving observability: continuous-batching engine
+                occupancy (slots/active/queued) when --cont-batch is on."""
+                cb = None
+                if outer._cont_batcher is not None:
+                    b = outer._cont_batcher
+                    cb = {"slots": b.B, "chunk_frames": b.K,
+                          "active": b.n_active, "queued": b.n_queued}
+                self._json(200, {
+                    "cont_batch": cb,
+                    "backbone": outer.backbone_path is not None,
+                    "dp_mesh": dict(outer.batch_mesh.shape)
+                    if outer.batch_mesh is not None else None,
                 })
 
             def _body(self) -> bytes:

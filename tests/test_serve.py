@@ -407,3 +407,14 @@ def test_cont_batch_concurrent_requests(cont_server):
                            json.dumps({"text": f"words {i}",
                                        "seed": 40 + i, "max_frames": 5}))
         assert status == 200 and wav == out[i][1]
+
+
+def test_stats_endpoint(cont_server, server):
+    status, data = _req(cont_server, "GET", "/stats")
+    assert status == 200
+    info = json.loads(data)
+    assert info["backbone"] is True
+    assert info["cont_batch"]["slots"] == 2
+    assert info["cont_batch"]["active"] == 0          # idle engine
+    status, data = _req(server, "GET", "/stats")      # plain codec server
+    assert status == 200 and json.loads(data)["cont_batch"] is None
