@@ -288,6 +288,21 @@ class LlamaBackbone:
         self._fns: Dict[int, Any] = {}
         self.reset()
 
+    @classmethod
+    def from_params(cls, cfg: BackboneConfig, params,
+                    dtype=jnp.float32) -> "LlamaBackbone":
+        """Build a backbone from an in-memory parameter tree (the
+        `load_backbone_params` layout) instead of a GGUF file — for
+        serving from checkpoints already resident in host/device memory
+        and for bench fixtures. `dtype` is the KV-cache dtype."""
+        bb = cls.__new__(cls)
+        bb.cfg = cfg
+        bb.params = params
+        bb.dtype = dtype
+        bb._fns = {}
+        bb.reset()
+        return bb
+
     # -- state -------------------------------------------------------------
     def reset(self) -> None:
         c = self.cfg

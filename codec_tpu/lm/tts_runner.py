@@ -711,10 +711,31 @@ def run_codebook_ar_batch(
     results: List[SynthesisResult] = []
     for s in range(b):
         results.append(finalize_batch_stream(
-            audio_lms[s], backbone, kv[s], int(pos[s]), keys[s],
+            audio_lms[s], backbone,
+            (lambda s=s: slice_slot(kv, s)), int(pos[s]),
+            (lambda s=s: slice_slot(keys, s)),
             on_device, stopped=stopped[s], steps=steps[s],
             decode=decode, n_q=n_q))
     return results
+
+
+_SLOT_SLICE_CACHE: dict = {}
+
+
+def slice_slot(arr, s: int):
+    """`arr[s]` through ONE compiled dynamic-slice per (shape, dtype):
+    eager integer indexing bakes the index into the executable, so a
+    B-slot finalize loop would compile B distinct slices — each paying
+    the remote-compile relay's per-compile seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _SLOT_SLICE_CACHE.get("fn")
+    if fn is None:
+        fn = _SLOT_SLICE_CACHE["fn"] = jax.jit(
+            lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0,
+                                                      keepdims=False))
+    return fn(arr, jnp.int32(s))
 
 
 def finalize_batch_stream(alm: AudioLM, backbone, kv_s, pos_s: int, key_s,
@@ -726,7 +747,11 @@ def finalize_batch_stream(alm: AudioLM, backbone, kv_s, pos_s: int, key_s,
     stream's KV slice (contract: include/codec_lm.h:387-401), then decode
     the transformed code matrix. Shared by run_codebook_ar_batch and the
     continuous batcher (serve/cont_batch.py), which retires streams at
-    chunk boundaries while the rest of the batch keeps generating."""
+    chunk boundaries while the rest of the batch keeps generating.
+
+    `kv_s` / `key_s` may be zero-arg callables: they are only evaluated
+    when the delay flush actually runs, so non-delay models pay no
+    device work here at all."""
     import jax
     import jax.numpy as jnp
 
@@ -737,8 +762,9 @@ def finalize_batch_stream(alm: AudioLM, backbone, kv_s, pos_s: int, key_s,
     eos_c0 = lm.info.eos_code_c0
     n_speech = None
     if stopped and max_delay > 0 and eos_c0 >= 0:
-        backbone.kv = kv_s
+        backbone.kv = kv_s() if callable(kv_s) else kv_s
         backbone.pos = int(pos_s)
+        key_s = key_s() if callable(key_s) else key_s
         flush_key = jax.random.fold_in(key_s, 0x0F1D)
         from ..ops.sample import sample_logits as _sl
 

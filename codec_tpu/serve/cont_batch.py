@@ -89,7 +89,7 @@ class ContinuousBatcher:
 
     def __init__(self, backbone, shared_lm, *, n_slots: int = 4,
                  on_device: OnDeviceSampling, pi=None, decode: bool = True,
-                 n_q: int = 0):
+                 n_q: int = 0, mesh=None, dp_axis: str = "dp"):
         from ..lm.fused_gen import gen_chunk_cached, supports_gen_chunk
 
         if n_slots < 1:
@@ -97,6 +97,16 @@ class ContinuousBatcher:
         if not supports_gen_chunk(shared_lm, backbone):
             raise ValueError("continuous batching needs a JAX backbone and "
                              "a chunk-capable LM kind")
+        if mesh is not None and n_slots % int(mesh.shape[dp_axis]):
+            raise ValueError(f"continuous batching DP: {n_slots} slots not "
+                             f"divisible by mesh size "
+                             f"{int(mesh.shape[dp_axis])}")
+        # mesh: shard the slot state (KV caches, hiddens, PRNG keys) over
+        # mesh[dp_axis] — data-parallel serving; composes with a
+        # TP-sharded backbone on a 2-D mesh exactly like
+        # run_codebook_ar_batch(mesh=...). Admission scatters preserve
+        # the sharding (jit follows the argument placements).
+        self._mesh, self._dp_axis = mesh, dp_axis
         self.backbone = backbone
         self.lm = shared_lm
         self.B = int(n_slots)
@@ -126,6 +136,7 @@ class ContinuousBatcher:
         self._steps = [0] * self.B
         self._stopped = [False] * self.B
         # device-resident slot state, allocated at first admission
+        self._admit_fn = None           # jitted single-slot scatter
         self._kv = None                 # [B, L, 2, nkv, ctx, D]
         self._h = None                  # [B, hidden] f32
         self._keys = None               # [B] PRNG keys
@@ -167,14 +178,44 @@ class ContinuousBatcher:
             return len(self._queue)
 
     # -- engine side ----------------------------------------------------
-    def _admit(self) -> None:
-        """Fill free slots from the queue: prompt prefill on the host
-        backbone, then ONE batched scatter of all admitted streams'
-        state into the device-resident slot arrays."""
+    def _admit_one(self, s: int, kv_s, h_s, key_s) -> None:
+        """Write one admitted stream's state into slot `s` with ONE
+        compiled donated-buffer scatter. The slot index is a traced
+        scalar, so a single executable serves every admission — a
+        varying-length batched `at[idx].set` would compile a fresh
+        scatter per admission-count (measured: tens of seconds each
+        through the remote-compile relay)."""
         import jax
         import jax.numpy as jnp
 
-        newly = []
+        if self._kv is None:
+            self._kv = jnp.zeros((self.B,) + kv_s.shape, kv_s.dtype)
+            self._h = jnp.zeros((self.B, int(h_s.shape[0])), jnp.float32)
+            self._keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.zeros(self.B, jnp.uint32))
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def _dp(x):
+                    return jax.device_put(x, NamedSharding(
+                        self._mesh,
+                        P(self._dp_axis, *([None] * (x.ndim - 1)))))
+                self._kv, self._h, self._keys = (
+                    _dp(self._kv), _dp(self._h), _dp(self._keys))
+        if self._admit_fn is None:
+            self._admit_fn = jax.jit(
+                lambda kv, h, keys, nkv, nh, nk, s: (
+                    kv.at[s].set(nkv), h.at[s].set(nh), keys.at[s].set(nk)),
+                donate_argnums=(0, 1, 2))
+        self._kv, self._h, self._keys = self._admit_fn(
+            self._kv, self._h, self._keys, kv_s,
+            jnp.asarray(h_s, jnp.float32), key_s, jnp.int32(s))
+
+    def _admit(self) -> None:
+        """Fill free slots from the queue: prompt prefill on the host
+        backbone, then one single-slot scatter per admitted stream."""
+        import jax
+
         for s in range(self.B):
             if self.slots[s] is not None:
                 continue
@@ -200,23 +241,8 @@ class ContinuousBatcher:
             self._pos[s] = int(self.backbone.pos)
             self._tc[s] = int(st.text_context or 0)
             self._base[s] = int(st.frame_counter)
-            newly.append((s, self.backbone.kv, np.asarray(h, np.float32),
-                          jax.random.PRNGKey(req.seed)))
-
-        if not newly:
-            return
-        if self._kv is None:
-            kv0 = newly[0][1]
-            self._kv = jnp.zeros((self.B,) + kv0.shape, kv0.dtype)
-            self._h = jnp.zeros((self.B, int(newly[0][2].shape[0])),
-                                jnp.float32)
-            self._keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.zeros(self.B, jnp.uint32))
-        idx = jnp.asarray([s for s, *_ in newly])
-        self._kv = self._kv.at[idx].set(jnp.stack([kv for _, kv, _, _ in newly]))
-        self._h = self._h.at[idx].set(np.stack([h for _, _, h, _ in newly]))
-        self._keys = self._keys.at[idx].set(
-            jnp.stack([k for _, _, _, k in newly]))
+            self._admit_one(s, self.backbone.kv, np.asarray(h, np.float32),
+                            jax.random.PRNGKey(req.seed))
 
     def step(self) -> int:
         """Admissions + ONE K-frame chunk + retirements. Returns the
@@ -262,9 +288,13 @@ class ContinuousBatcher:
                 n_left += 1
                 continue
             try:
+                from ..lm.tts_runner import slice_slot
+
                 result = finalize_batch_stream(
-                    req.audio_lm, self.backbone, self._kv[s],
-                    int(self._pos[s]), self._keys[s], self.ods,
+                    req.audio_lm, self.backbone,
+                    (lambda s=s: slice_slot(self._kv, s)),
+                    int(self._pos[s]),
+                    (lambda s=s: slice_slot(self._keys, s)), self.ods,
                     stopped=self._stopped[s], steps=self._steps[s],
                     decode=self.decode, n_q=self.n_q)
                 req._finish(result=result)

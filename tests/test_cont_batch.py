@@ -165,3 +165,43 @@ def test_submit_validation(rda_gguf, tiny_backbone_gguf):
         batcher.submit(AudioLM(GGUFReader(path), lm=other_lm), _prompts(1)[0])
     with pytest.raises(ValueError, match="prompt embedding"):
         batcher.submit(AudioLM(GGUFReader(path), lm=shared), [])
+
+
+def test_dp_sharded_engine_matches(rda_gguf, tiny_backbone_gguf):
+    """Slot state sharded over a 2-device dp mesh: results still match the
+    single-stream runs, and the KV batch is really device-sharded
+    (composes with a TP backbone exactly like run_codebook_ar_batch)."""
+    import jax
+
+    from codec_tpu.parallel.mesh import make_mesh
+
+    path, _ = rda_gguf
+    shared = create_lm(GGUFReader(path))
+    bb = _fresh_backbone(tiny_backbone_gguf)
+    batcher = ContinuousBatcher(bb, shared, n_slots=2, on_device=ODS,
+                                decode=False, mesh=make_mesh(2, axis="dp"))
+    prompts = _prompts(3, seed=17)
+    handles = [batcher.submit(AudioLM(GGUFReader(path), lm=shared),
+                              prompts[i], seed=50 + i, max_steps=5)
+               for i in range(3)]
+    batcher.step()
+    assert len(batcher._kv.sharding.device_set) == 2, \
+        "slot KV state is not device-sharded"
+    batcher.drain()
+    for i, hd in enumerate(handles):
+        got = hd.wait(timeout=0)
+        ref = _single_stream(path, tiny_backbone_gguf, prompts[i],
+                             seed=50 + i, max_steps=5)
+        np.testing.assert_array_equal(got.codes, ref.codes)
+        assert got.n_steps == ref.n_steps
+
+
+def test_dp_slots_divisibility(rda_gguf, tiny_backbone_gguf):
+    from codec_tpu.parallel.mesh import make_mesh
+
+    path, _ = rda_gguf
+    shared = create_lm(GGUFReader(path))
+    with pytest.raises(ValueError, match="not\\s+divisible"):
+        ContinuousBatcher(_fresh_backbone(tiny_backbone_gguf), shared,
+                          n_slots=3, on_device=ODS,
+                          mesh=make_mesh(2, axis="dp"))

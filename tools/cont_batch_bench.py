@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Live-mix throughput of the continuous-batching TTS engine on the
+attached device (serve/cont_batch.py).
+
+Shape: CSM-1B — the bench rda_csm1b.gguf LM fixture (2048-hidden depth-AR
+adaptor) + a random Llama-1B-shaped bf16 backbone built in memory
+(`LlamaBackbone.from_params`). 8 requests with STAGGERED lengths run
+through a 4-slot engine, so slots retire and admit mid-flight — the
+scheduling pattern a serving deployment actually sees, vs the
+simultaneous-arrival static batch bench.py measures (rda_batched_*).
+
+Prints one JSON line: total frames, wall, ms/frame/stream, and the
+per-admission overhead actually paid.
+
+Usage: python tools/cont_batch_bench.py [--slots 4] [--chunk 16]
+       [--requests 8] [--base-steps 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+import codec_tpu  # noqa: F401  (persistent compile cache)
+from codec_tpu.io.gguf import GGUFReader
+from codec_tpu.lm import create_lm
+from codec_tpu.lm.audio_lm import AudioLM
+from codec_tpu.lm.backbone import BackboneConfig, LlamaBackbone
+from codec_tpu.models.bench_lm_init import write_rda_gguf
+from codec_tpu.ops.sample import OnDeviceSampling
+from codec_tpu.serve.cont_batch import ContinuousBatcher
+
+FIXTURES = __import__("pathlib").Path(__file__).parent.parent / ".bench_fixtures"
+
+
+def make_backbone(dtype=jnp.bfloat16) -> LlamaBackbone:
+    cfg = BackboneConfig(hidden=2048, n_layers=16, n_heads=32,
+                         n_kv_heads=8, head_dim=64, ffn_dim=8192,
+                         vocab_size=8, max_ctx=1024)
+    kbox = [jr.PRNGKey(0)]
+
+    def W(*s, off=0.0):
+        kbox[0], sub = jr.split(kbox[0])
+        return (jr.normal(sub, s, jnp.float32) * 0.02 + off).astype(dtype)
+
+    L, nh, nkv, hd, ffn, hid = (cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+                                cfg.head_dim, cfg.ffn_dim, cfg.hidden)
+    params = {
+        "tok_embd": W(cfg.vocab_size, hid),
+        "freq_factors": None,
+        "out_norm": W(hid, off=1.0),
+        "layers": {
+            "attn_norm": W(L, hid, off=1.0), "ffn_norm": W(L, hid, off=1.0),
+            "q": W(L, nh * hd, hid), "k": W(L, nkv * hd, hid),
+            "v": W(L, nkv * hd, hid), "o": W(L, hid, nh * hd),
+            "gate": W(L, ffn, hid), "up": W(L, ffn, hid),
+            "down": W(L, hid, ffn),
+        },
+    }
+    return LlamaBackbone.from_params(cfg, params, dtype=dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--base-steps", type=int, default=32)
+    args = ap.parse_args()
+
+    FIXTURES.mkdir(exist_ok=True)
+    lm_path = FIXTURES / "rda_csm1b.gguf"
+    if not lm_path.exists():
+        write_rda_gguf(lm_path)
+    reader = GGUFReader(lm_path)
+    lm = create_lm(reader)
+    bb = make_backbone()
+    engine = ContinuousBatcher(
+        bb, lm, n_slots=args.slots,
+        on_device=OnDeviceSampling(temperature=0.8, top_k=50,
+                                   chunk_frames=args.chunk),
+        decode=False)
+
+    rng = np.random.default_rng(0)
+    prompts = [[(rng.standard_normal(lm.info.hidden_dim) * 0.3
+                 ).astype(np.float32)] for _ in range(args.requests)]
+    # staggered lengths -> slots retire and admit mid-flight
+    steps = [args.base_steps + 8 * (i % args.slots)
+             for i in range(args.requests)]
+
+    # warm: compile the chunk + prefill fns with one throwaway request
+    warm = engine.submit(AudioLM(reader, lm=lm), prompts[0], seed=999,
+                         max_steps=2)
+    engine.drain()
+    warm.wait(timeout=0)
+
+    t0 = time.monotonic()
+    handles = [engine.submit(AudioLM(reader, lm=lm), prompts[i],
+                             seed=i, max_steps=steps[i])
+               for i in range(args.requests)]
+    engine.drain()
+    wall = time.monotonic() - t0
+    results = [h.wait(timeout=0) for h in handles]
+    frames = sum(r.n_steps for r in results)
+    assert [r.n_steps for r in results] == steps, \
+        ([r.n_steps for r in results], steps)
+
+    print(json.dumps({
+        "device": str(jax.devices()[0]),
+        "slots": args.slots, "chunk_frames": args.chunk,
+        "requests": args.requests, "steps_per_request": steps,
+        "total_frames": frames,
+        "wall_s": round(wall, 2),
+        "ms_per_emitted_frame": round(wall / frames * 1e3, 2),
+        "aggregate_frames_per_s": round(frames / wall, 1),
+        # 12.5 Hz frames: seconds of audio produced per wall second
+        "aggregate_audio_xrt": round(frames * 0.080 / wall, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
