@@ -126,6 +126,12 @@ def build_gen_chunk_batched(lm, bb_cfg,
     junk frames appended while other streams kept generating. Its rows in
     `packed` are junk the host must ignore.
 
+    `chain=None` builds the TRACED-chain variant: the chunk takes one more
+    argument, `chains` f32 [B, 4] (`[temperature, top_k, top_p, min_p]`
+    per slot, `ops.sample.sample_logits_dyn`) — per-request sampling
+    parameters in the continuous-batching engine, one executable for any
+    parameter mix.
+
     Reference contrast: the reference is strictly single-stream per
     codec_lm_state and steps the host LLM per frame
     (src/lm/lm_internal.h:63-68, common/tts_runner.cpp:707).
@@ -134,6 +140,7 @@ def build_gen_chunk_batched(lm, bb_cfg,
     from .backbone import backbone_forward
 
     frame = lm._build_frame(chain, cb0_range=cb0_range)
+    traced_chain = chain is None
     compose = lm.compose_embd_fn()
     info = lm.info
     eos_code = int(info.eos_code_c0)
@@ -142,7 +149,8 @@ def build_gen_chunk_batched(lm, bb_cfg,
     k_frames = int(n_frames)
     max_pos = int(bb_cfg.max_ctx) - 1
 
-    def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx, done0):
+    def chunk_impl(bb_params, kv, pos, base_frame, h, keys, text_ctx,
+                   done0, chains):
         b = h.shape[0]
         base_frame = jnp.broadcast_to(
             jnp.asarray(base_frame, jnp.int32), (b,))
@@ -165,7 +173,10 @@ def build_gen_chunk_batched(lm, bb_cfg,
             i, done, h, kv, pos, keys, buf = s
             nk = jax.vmap(jax.random.split)(keys)
             keys, subs = nk[:, 0], nk[:, 1]
-            codes = vframe(h, subs, text_ctx)              # [B, n_cb]
+            if traced_chain:
+                codes = vframe(h, subs, text_ctx, chains)  # [B, n_cb]
+            else:
+                codes = vframe(h, subs, text_ctx)          # [B, n_cb]
             if eos_code >= 0:
                 is_eos = jnp.logical_and(codes[:, 0] == eos_code,
                                          base_frame + i >= eos_min)
@@ -186,6 +197,17 @@ def build_gen_chunk_batched(lm, bb_cfg,
         packed = jnp.concatenate([buf.reshape(-1), i[None],
                                   done.astype(jnp.int32), pos])
         return packed, h, kv, keys
+
+    if traced_chain:
+        def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx,
+                  done0, chains):
+            return chunk_impl(bb_params, kv, pos, base_frame, h, keys,
+                              text_ctx, done0, chains)
+    else:
+        def chunk(bb_params, kv, pos, base_frame, h, keys, text_ctx,
+                  done0):
+            return chunk_impl(bb_params, kv, pos, base_frame, h, keys,
+                              text_ctx, done0, None)
 
     return jit_weighted(lm, chunk, array_attrs(lm), donate_argnums=(1,))
 
@@ -358,12 +380,21 @@ def gen_chunk_cached(lm, backbone, *, n_frames: int,
                      top_p: float = 1.0, min_p: float = 0.0,
                      rep: Tuple[float, int] | None = None,
                      stream: bool = False, cb0_range=None,
-                     batched: bool = False) -> Callable:
+                     batched: bool = False,
+                     traced_chain: bool = False) -> Callable:
     """Per-LM cache over build_gen_chunk / build_stream_chunk, keyed by
     (sampler chain, rep, K, flavor, backbone shape). Backbone weights ride
     as explicit jit arguments, so one compiled chunk serves any checkpoint
-    of the same config."""
-    chain = (float(temperature), int(top_k), float(top_p), float(min_p))
+    of the same config.
+
+    `traced_chain=True` (batched only) ignores the temperature/top_k/
+    top_p/min_p statics and builds the chunk that takes per-slot sampler
+    parameters as a traced [B, 4] input — the continuous-batching engine's
+    per-request-sampling mode."""
+    if traced_chain and not batched:
+        raise ValueError("traced_chain is a batched-chunk mode")
+    chain = None if traced_chain else (
+        float(temperature), int(top_k), float(top_p), float(min_p))
     cache = getattr(lm, "_gen_chunk_cache", None)
     if cache is None:
         cache = lm._gen_chunk_cache = {}

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.gguf import GGUFReader
-from ..ops.sample import mask_outside_range, sample_logits
+from ..ops.sample import (mask_outside_range, sample_logits,
+                          sample_logits_dyn)
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -73,12 +74,24 @@ class ParallelHeadsDelayLM(CodecLM):
         """Un-jitted frame for the fused/chunked paths: all N heads + one
         sample each. `cb0_range=(start, end, *extra)` applies the
         RangeConstraint mask to head 0 in-graph (MOSS-TTSD's merged text
-        vocab — reference auto-grammar, common/audio_lm.cpp:1164)."""
+        vocab — reference auto-grammar, common/audio_lm.cpp:1164).
+        `chain=None` builds the traced-chain variant
+        frame(h, key, text_ctx, chain_vec) — contract in
+        residual_depth_ar._build_frame."""
         if rep is not None:
             raise LmError(
                 "parallel_heads_delay has no repetition-penalty frame")
 
-        def frame(h, key, text_ctx):
+        if chain is None:
+            def sample(lg, key, cv):
+                return sample_logits_dyn(lg, key, cv)
+        else:
+            def sample(lg, key, cv):
+                return sample_logits(lg, key, temperature=chain[0],
+                                     top_k=chain[1], top_p=chain[2],
+                                     min_p=chain[3])
+
+        def frame_core(h, key, text_ctx, cv):
             keys = jax.random.split(key, len(self.heads))
             outs = []
             for i, head in enumerate(self.heads):
@@ -86,12 +99,12 @@ class ParallelHeadsDelayLM(CodecLM):
                 if i == 0 and cb0_range is not None:
                     lg = mask_outside_range(lg, cb0_range[0], cb0_range[1],
                                             cb0_range[2:])
-                outs.append(sample_logits(
-                    lg, keys[i], temperature=chain[0], top_k=chain[1],
-                    top_p=chain[2], min_p=chain[3]))
+                outs.append(sample(lg, keys[i], cv))
             return jnp.stack(outs)
 
-        return frame
+        if chain is None:
+            return frame_core
+        return lambda h, key, text_ctx: frame_core(h, key, text_ctx, None)
 
     def compose_embd_fn(self):
         """Traceable feedback compose for the fused generation chunk

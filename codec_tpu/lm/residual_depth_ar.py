@@ -32,7 +32,8 @@ import numpy as np
 from ..io.gguf import GGUFReader
 from ..ops import attn, norms, rope
 from ..ops.sample import (apply_repetition_penalty, mask_outside_range,
-                          sample_logits, seen_mask_from_ring)
+                          sample_logits, sample_logits_dyn,
+                          seen_mask_from_ring)
 from .base import CodecLM, LmError, LmInfo, LmState, read_common_info, register_kind
 
 
@@ -346,7 +347,12 @@ class ResidualDepthArLM(CodecLM):
         temperature chain and is skipped entirely at temperature <= 0 —
         both matching the host SamplerChain (lm/tts_runner.py:126-138);
         history still advances so greedy and sampled runs carry the same
-        state shape."""
+        state shape.
+
+        `chain=None` builds the TRACED-chain variant: the returned fn is
+        frame(h, key, text_ctx, chain_vec) with chain_vec the f32[4]
+        `[temperature, top_k, top_p, min_p]` row (`sample_logits_dyn`) —
+        per-slot sampling parameters in the batched generation chunk."""
         n, off, n_dh, heads, sizes, pre_w, pre_m, tabs_s = self._fused_consts()
         info = self.info
         row_dim = info.audio_embed_dim
@@ -354,11 +360,16 @@ class ResidualDepthArLM(CodecLM):
         if rep is not None:
             return self._build_frame_rp(chain, rep)
 
-        def sample(lg, key):
-            return sample_logits(lg, key, temperature=chain[0], top_k=chain[1],
-                                 top_p=chain[2], min_p=chain[3])
+        if chain is None:
+            def sample(lg, key, cv):
+                return sample_logits_dyn(lg, key, cv)
+        else:
+            def sample(lg, key, cv):
+                return sample_logits(lg, key, temperature=chain[0],
+                                     top_k=chain[1], top_p=chain[2],
+                                     min_p=chain[3])
 
-        def frame(h, key, text_ctx):
+        def frame_core(h, key, text_ctx, cv):
             # re-read the stacked tables from the attribute so jit_weighted
             # can swap traced leaves in (weights ride as jit ARGUMENTS — a
             # CSM-1B frame otherwise bakes GBs of constants into the MLIR)
@@ -377,7 +388,7 @@ class ResidualDepthArLM(CodecLM):
                 if cb0_range is not None:
                     lg0 = mask_outside_range(lg0, cb0_range[0], cb0_range[1],
                                              cb0_range[2:])
-                c0 = sample(lg0, keys[0])
+                c0 = sample(lg0, keys[0], cv)
                 codes = codes.at[0].set(c0)
                 if n > 1:
                     buf = buf.at[1].set(self.audio_embds[0][c0])
@@ -394,7 +405,7 @@ class ResidualDepthArLM(CodecLM):
                                     row)
                 lg = heads[i] @ row
                 lg = jnp.where(jnp.arange(lg.shape[0]) < sizes[i], lg, -jnp.inf)
-                c = sample(lg, keys[i + off])
+                c = sample(lg, keys[i + off], cv)
                 if tabs_s is not None:
                     emb = tabs_s[jnp.minimum(i, tabs_s.shape[0] - 1)][c]
                     nxt = jax.lax.dynamic_update_slice(buf, emb[None],
@@ -404,7 +415,9 @@ class ResidualDepthArLM(CodecLM):
             _, depth_codes = jax.lax.scan(body, buf, jnp.arange(n_dh))
             return codes.at[off:].set(depth_codes) if off else depth_codes
 
-        return frame
+        if chain is None:
+            return frame_core
+        return lambda h, key, text_ctx: frame_core(h, key, text_ctx, None)
 
     def _build_frame_rp(self, chain, rep):
         """Repetition-penalized frame variant (contract in _build_frame)."""

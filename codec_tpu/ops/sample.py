@@ -110,6 +110,48 @@ def sample_logits(logits: jax.Array, key: jax.Array, *,
     return jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
 
 
+def sample_logits_dyn(logits: jax.Array, key: jax.Array,
+                      chain: jax.Array) -> jax.Array:
+    """`sample_logits` with the chain as a TRACED f32[4] vector
+    `[temperature, top_k, top_p, min_p]`.
+
+    Per-element semantics match the static path exactly: temperature <= 0
+    means greedy argmax over the raw logits; top_k outside [1, V) / top_p
+    >= 1 / min_p <= 0 each disable that filter. Used by the batched
+    generation chunk so per-slot sampling parameters ride as data — ONE
+    compiled executable serves any parameter mix across the continuous-
+    batching slots (a static chain would compile per combination and force
+    every concurrent request onto the same settings).
+
+    Reference contrast: the reference's sampler chain lives on the host
+    per stream (common/tts_runner.cpp:242-246), so per-request parameters
+    are free there; on-device batched sampling has to thread them as
+    traced values instead.
+    """
+    v = logits.shape[-1]
+    temp, top_k, top_p, min_p = chain[0], chain[1], chain[2], chain[3]
+    lg = logits.astype(jnp.float32) / jnp.where(temp > 0.0, temp, 1.0)
+    # top_k: threshold at the k-th largest (ties at the threshold all
+    # survive, exactly like _apply_top_k's lax.top_k form)
+    ki = top_k.astype(jnp.int32)
+    kth = jnp.sort(lg, axis=-1)[..., ::-1][jnp.clip(ki, 1, v) - 1]
+    k_on = jnp.logical_and(ki >= 1, ki < v)
+    lg = jnp.where(jnp.logical_and(k_on, lg < kth), _NEG, lg)
+    # min_p: keep logit >= max_logit + log(min_p)  (_apply_min_p)
+    cut = jnp.max(lg, axis=-1) + jnp.log(jnp.maximum(min_p, 1e-30))
+    lg = jnp.where(jnp.logical_and(min_p > 0.0, lg < cut), _NEG, lg)
+    # top_p: smallest descending-prob prefix reaching top_p (_apply_top_p)
+    sorted_lg = jnp.sort(lg, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_lg, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p
+    kth_p = jnp.min(jnp.where(keep, sorted_lg, jnp.inf), axis=-1)
+    lg = jnp.where(jnp.logical_and(top_p < 1.0, lg < kth_p), _NEG, lg)
+    sampled = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(temp > 0.0, sampled, greedy)
+
+
 @dataclass(frozen=True)
 class OnDeviceSampling:
     """Marker config for AR runners: requests the fused on-device frame
@@ -130,3 +172,11 @@ class OnDeviceSampling:
     # the last N frames per codebook, <0 = unbounded, 0 = no penalty
     repetition_penalty: float = 1.0
     repetition_window: int = 0
+
+    def chain_vec(self):
+        """This config's sampler chain as the f32[4] row `sample_logits_dyn`
+        consumes (per-slot traced sampling in the batched chunk)."""
+        import numpy as np
+
+        return np.asarray([self.temperature, self.top_k, self.top_p,
+                           self.min_p], np.float32)

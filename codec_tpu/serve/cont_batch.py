@@ -50,11 +50,13 @@ class TtsRequest:
     error for this request."""
 
     def __init__(self, audio_lm: AudioLM, prompt_embeds: Sequence,
-                 seed: int, max_steps: int):
+                 seed: int, max_steps: int,
+                 sampling: Optional[OnDeviceSampling] = None):
         self.audio_lm = audio_lm
         self.prompt_embeds = list(prompt_embeds)
         self.seed = int(seed)
         self.max_steps = int(max_steps)
+        self.sampling = sampling
         self.result = None
         self.error: Optional[BaseException] = None
         self._done = threading.Event()
@@ -82,9 +84,11 @@ class ContinuousBatcher:
     One `ContinuousBatcher` owns the backbone's device state between
     chunk calls; drive `step()` from a single engine thread (serve's
     `--cont-batch` starts one) or call `drain()` inline for batch jobs.
-    `submit()` is thread-safe. The sampler chain (temperature/top-k/...)
-    is baked into the compiled chunk and therefore shared engine-wide;
-    the PRNG seed is per request.
+    `submit()` is thread-safe. The sampler chain (temperature/top_k/
+    top_p/min_p) rides as a traced per-slot [B, 4] chunk input
+    (`ops.sample.sample_logits_dyn`), so each request may carry its own
+    chain (`submit(sampling=...)`, engine `on_device` as the default) —
+    any mix shares one compiled executable. The PRNG seed is per request.
     """
 
     def __init__(self, backbone, shared_lm, *, n_slots: int = 4,
@@ -123,11 +127,14 @@ class ContinuousBatcher:
                          int(pi.cb0_speech_range_end),
                          int(pi.eos_code_c0) if pi.eos_code_c0 is not None
                          else -1)
+        # traced_chain: the sampler chain rides as a per-slot [B, 4] input
+        # instead of compiled-in statics, so each request brings its own
+        # temperature/top_k/top_p/min_p (engine `on_device` = the default
+        # for requests that don't) and any mix shares ONE executable.
         self._chunk_fn = gen_chunk_cached(
             shared_lm, backbone, n_frames=self.K, batched=True,
-            cb0_range=cb0_range, temperature=on_device.temperature,
-            top_k=on_device.top_k, top_p=on_device.top_p,
-            min_p=on_device.min_p)
+            cb0_range=cb0_range, traced_chain=True)
+        self._chains = np.tile(on_device.chain_vec(), (self.B, 1))
 
         self._queue: deque = deque()
         self._lock = threading.Lock()
@@ -146,16 +153,23 @@ class ContinuousBatcher:
 
     # -- request side -------------------------------------------------------
     def submit(self, audio_lm: AudioLM, prompt_embeds: Sequence,
-               seed: int = 0, max_steps: int = 512) -> TtsRequest:
+               seed: int = 0, max_steps: int = 512,
+               sampling: Optional[OnDeviceSampling] = None) -> TtsRequest:
         """Queue one synthesis. `audio_lm` must share this engine's
         CodecLM (`AudioLM(reader, codec, lm=engine.lm)`); `prompt_embeds`
-        is the prompt's embedding rows (composed for merged-cb0 models)."""
+        is the prompt's embedding rows (composed for merged-cb0 models).
+
+        `sampling` overrides the engine default chain (temperature/top_k/
+        top_p/min_p) for THIS request only — the chain is a traced
+        per-slot input, so no recompile. Its `seed`/`chunk_frames` fields
+        are ignored (`seed` arg and the engine-wide K apply)."""
         if audio_lm.lm is not self.lm:
             raise ValueError("request must share the engine CodecLM "
                              "(AudioLM(reader, codec, lm=engine.lm))")
         if not prompt_embeds:
             raise ValueError("every request needs >= 1 prompt embedding")
-        req = TtsRequest(audio_lm, prompt_embeds, seed, max_steps)
+        req = TtsRequest(audio_lm, prompt_embeds, seed, max_steps,
+                         sampling=sampling)
         with self._work:
             self._queue.append(req)
             self._work.notify()
@@ -241,6 +255,7 @@ class ContinuousBatcher:
             self._pos[s] = int(self.backbone.pos)
             self._tc[s] = int(st.text_context or 0)
             self._base[s] = int(st.frame_counter)
+            self._chains[s] = (req.sampling or self.ods).chain_vec()
             self._admit_one(s, self.backbone.kv, np.asarray(h, np.float32),
                             jax.random.PRNGKey(req.seed))
 
@@ -260,7 +275,7 @@ class ContinuousBatcher:
         packed, self._h, self._kv, self._keys = self._chunk_fn(
             self.backbone.params, self._kv, jnp.asarray(self._pos),
             jnp.asarray(self._base), self._h, self._keys,
-            jnp.asarray(self._tc), done0)
+            jnp.asarray(self._tc), done0, jnp.asarray(self._chains))
         arr = np.asarray(packed)
         n_emit = int(arr[self.K * self.B * self.n_cb])
         pos_after = arr[-self.B:].astype(np.int32)
@@ -294,7 +309,8 @@ class ContinuousBatcher:
                     req.audio_lm, self.backbone,
                     (lambda s=s: slice_slot(self._kv, s)),
                     int(self._pos[s]),
-                    (lambda s=s: slice_slot(self._keys, s)), self.ods,
+                    (lambda s=s: slice_slot(self._keys, s)),
+                    req.sampling or self.ods,   # delay-tail flush samples
                     stopped=self._stopped[s], steps=self._steps[s],
                     decode=self.decode, n_q=self.n_q)
                 req._finish(result=result)

@@ -395,7 +395,12 @@ class CodecHTTPServer:
                 """Build the prompt on this handler thread, submit to the
                 continuous-batching engine, block for this request's
                 result. The handler-side work (tokenize + prompt embeds)
-                overlaps other streams' generation."""
+                overlaps other streams' generation. Optional body fields
+                temperature/top_k/top_p/min_p override the engine default
+                chain for this request only (the chain is a traced
+                per-slot input — no recompile, any mix batches together)."""
+                import dataclasses as _dc
+
                 import numpy as _np
 
                 from ..lm.audio_lm import AudioLM
@@ -410,9 +415,20 @@ class CodecHTTPServer:
                     embeds = list(outer.backbone.embed_tokens(
                         _np.asarray(ids)))
                 mf = int(req.get("max_frames", 0))
+                sampling = None
+                if any(k in req for k in ("temperature", "top_k", "top_p",
+                                          "min_p")):
+                    base = outer._cont_batcher.ods
+                    sampling = _dc.replace(
+                        base,
+                        temperature=float(req.get("temperature",
+                                                  base.temperature)),
+                        top_k=int(req.get("top_k", base.top_k)),
+                        top_p=float(req.get("top_p", base.top_p)),
+                        min_p=float(req.get("min_p", base.min_p)))
                 handle = outer._cont_batcher.submit(
                     alm, embeds, seed=int(req.get("seed", 0)),
-                    max_steps=mf if mf > 0 else 512)
+                    max_steps=mf if mf > 0 else 512, sampling=sampling)
                 res = handle.wait(timeout=600.0)
                 if res.pcm is None:
                     raise ValueError("no audio frames generated")

@@ -157,6 +157,32 @@ def test_engine_thread_concurrent_submissions(rda_gguf,
         np.testing.assert_array_equal(out[i].codes, ref.codes)
 
 
+def test_per_request_sampling_params(rda_gguf, tiny_backbone_gguf):
+    """Requests with DIFFERENT sampler chains batch together in one
+    engine — the chain is a traced per-slot input (sample_logits_dyn), so
+    no recompile per combination — and each request's codes still match
+    the single-stream run with that chain baked statically (greedy,
+    temperature-only, top_k, top_p, min_p mixes)."""
+    path, _ = rda_gguf
+    batcher, shared = _engine(path, tiny_backbone_gguf)
+    chains = [OnDeviceSampling(temperature=0.8, top_k=5, chunk_frames=3),
+              OnDeviceSampling(chunk_frames=3),               # greedy
+              OnDeviceSampling(temperature=1.3, top_p=0.7, chunk_frames=3),
+              OnDeviceSampling(temperature=0.5, min_p=0.2, chunk_frames=3)]
+    prompts = _prompts(4, seed=23)
+    handles = [batcher.submit(AudioLM(GGUFReader(path), lm=shared),
+                              prompts[i], seed=40 + i, max_steps=5,
+                              sampling=chains[i])
+               for i in range(4)]
+    batcher.drain()
+    for i, hd in enumerate(handles):
+        got = hd.wait(timeout=0)
+        ref = _single_stream(path, tiny_backbone_gguf, prompts[i],
+                             seed=40 + i, max_steps=5, ods=chains[i])
+        np.testing.assert_array_equal(got.codes, ref.codes)
+        assert got.n_steps == ref.n_steps
+
+
 def test_submit_validation(rda_gguf, tiny_backbone_gguf):
     path, _ = rda_gguf
     batcher, shared = _engine(path, tiny_backbone_gguf)
