@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-frames", type=int, default=8,
                    help="frames per device call with --on-device (1 = one "
                         "fused frame per call)")
+    p.add_argument("--prefill-bucket", type=int, default=0,
+                   help="codebook-AR kinds: prefill the whole prompt in "
+                        "one forward padded to a multiple of N tokens "
+                        "(one device dispatch instead of one per token; "
+                        "0 = per-token prefill)")
     p.add_argument("--tp", type=int, default=0,
                    help="shard the backbone tensor-parallel over N chips "
                         "(Megatron column/row split; composes with "
@@ -231,14 +236,19 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
 
 def run_backbone_synthesize(model, reader, backbone_path, text: str,
                             seed: int = 0, max_frames: int = 0, bb=None,
-                            on_device: bool = False, chunk_frames: int = 8):
+                            on_device: bool = False, chunk_frames: int = 8,
+                            prefill_bucket: int = 0):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
     tts-cli over tts_runner_synthesize → run_codebook_ar,
     tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113).
 
     `bb`: a preloaded LlamaBackbone to reuse across calls (the serving
     layer loads once and serializes generations); its KV state is reset
-    here. Default loads fresh from backbone_path (one-shot CLI)."""
+    here. Default loads fresh from backbone_path (one-shot CLI).
+
+    `prefill_bucket > 0`: whole-prompt bucketed prefill on the plain
+    codebook-AR path (lm/tts_runner.prefill_prompt) — one device
+    dispatch per prompt instead of one per token."""
     from ..io.gguf import GGUFReader
     from ..lm.audio_lm import AudioLM
     from ..lm.backbone import create_backbone
@@ -349,7 +359,7 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
                                    chunk_frames=max(1, chunk_frames))
         res = run_codebook_ar(audio_lm, bb, prompt_embeds,
                               max_steps=max_steps, sampler=sampler, pi=pi,
-                              on_device=ods)
+                              on_device=ods, prefill_bucket=prefill_bucket)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
     if res.pcm is None:
@@ -361,7 +371,7 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
 def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                                   seed: int = 0, max_frames: int = 0,
                                   bb=None, chunk_frames: int = 8, lm=None,
-                                  mesh=None):
+                                  mesh=None, prefill_bucket: int = 0):
     """Batched codebook-AR synthesize: B texts through ONE vmapped
     on-device generation loop (lm/tts_runner.run_codebook_ar_batch) on
     shared codec + LM + backbone weights — the multi-stream TTS serving
@@ -417,7 +427,8 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                            chunk_frames=max(2, chunk_frames))
     results = run_codebook_ar_batch(
         alms, bb, prompts, ods,
-        max_steps=max_frames if max_frames > 0 else 512, pi=pi, mesh=mesh)
+        max_steps=max_frames if max_frames > 0 else 512, pi=pi, mesh=mesh,
+        prefill_bucket=prefill_bucket)
     return [(r.pcm, int(r.codes.shape[0]),
              "eos" if r.stopped_by_eos else "max_frames") for r in results]
 
@@ -483,7 +494,7 @@ def _run(args) -> int:
                 model, reader, args.backbone, args.text,
                 seed=args.seed, max_frames=args.max_frames,
                 on_device=args.on_device, chunk_frames=args.chunk_frames,
-                bb=bb)
+                bb=bb, prefill_bucket=args.prefill_bucket)
             write_wav(args.out, pcm, model.sample_rate)
             print(f"wrote {args.out}: {pcm.shape[0]} samples "
                   f"({n_frames} frames, stop={stop})")

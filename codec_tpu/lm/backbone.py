@@ -474,13 +474,31 @@ class LlamaBackbone:
         self.pos += 1
         return np.asarray(h[0], np.float32)
 
-    def prefill(self, embeds: np.ndarray) -> np.ndarray:
-        """Feed [T, hidden] prompt embeddings; returns the LAST hidden."""
+    def prefill(self, embeds: np.ndarray, bucket: int = 0) -> np.ndarray:
+        """Feed [T, hidden] prompt embeddings; returns the LAST hidden.
+
+        `bucket > 0` right-pads the rows to the next multiple of `bucket`
+        before the forward, so prompts of any length share ceil(T/bucket)
+        compiled graphs instead of one per exact length — the serving
+        admission path's recompile trap (docs/SERVING.md). The padding is
+        harmless by construction: the causal mask is strictly
+        position-based (backbone_forward: key_pos <= query position), so
+        real rows never attend the junk tail, `pos` advances by the TRUE
+        length only, and later writes land on the junk slots before they
+        ever become attendable. The pad is clamped so the write stays
+        inside max_ctx (dynamic_update_slice would otherwise shift the
+        write window backwards over real cache rows)."""
         embeds = jnp.asarray(embeds, self.dtype)
-        h, self.kv = self._fwd(embeds.shape[0])(self.params, self.kv,
-                                                self.pos, embeds)
-        self.pos += embeds.shape[0]
-        return np.asarray(h[-1], np.float32)
+        t = int(embeds.shape[0])
+        if bucket > 0:
+            pad = min(-t % int(bucket), self.cfg.max_ctx - self.pos - t)
+            if pad > 0:
+                embeds = jnp.concatenate(
+                    [embeds, jnp.zeros((pad, embeds.shape[1]), self.dtype)])
+        h, self.kv = self._fwd(int(embeds.shape[0]))(self.params, self.kv,
+                                                     self.pos, embeds)
+        self.pos += t
+        return np.asarray(h[t - 1], np.float32)
 
     def embed_tokens(self, ids) -> np.ndarray:
         ids = np.asarray(ids, np.int64)

@@ -583,6 +583,7 @@ def run_codebook_ar_batch(
     pi=None,
     mesh=None,
     dp_axis: str = "dp",
+    prefill_bucket: int = 0,
 ) -> List[SynthesisResult]:
     """B concurrent Type C/D generations on SHARED weights with the whole
     frame loop batched on device (lm/fused_gen.build_gen_chunk_batched):
@@ -651,11 +652,9 @@ def run_codebook_ar_batch(
     kvs, hs, poss = [], [], []
     for embeds in prompt_embeds_list:
         backbone.reset()
-        h = None
-        for e in embeds:
-            h = backbone.step(np.asarray(e, np.float32))
-        if h is None:
+        if not embeds:
             raise ValueError("every stream needs >= 1 prompt embedding")
+        h = prefill_prompt(backbone, embeds, bucket=prefill_bucket)
         kvs.append(backbone.kv)
         hs.append(np.asarray(h, np.float32))
         poss.append(backbone.pos)
@@ -736,6 +735,33 @@ def slice_slot(arr, s: int):
             lambda a, i: jax.lax.dynamic_index_in_dim(a, i, 0,
                                                       keepdims=False))
     return fn(arr, jnp.int32(s))
+
+
+def prefill_prompt(backbone, prompt_embeds: Sequence[np.ndarray],
+                   bucket: int = 0) -> np.ndarray:
+    """Prompt prefill → last backbone hidden.
+
+    `bucket > 0` runs ONE whole-prompt forward padded to a bucket
+    multiple (LlamaBackbone.prefill) — ceil(T/bucket) compiled graphs
+    total and one device dispatch instead of T (the dispatch floor
+    dominates admission cost on relay-attached TPUs, docs/PERF.md).
+    `bucket == 0` (default) keeps the per-token Backbone-protocol loop:
+    exact today's semantics, and the only option for opaque host LLMs.
+
+    The batched forward is mathematically identical to the step loop but
+    NOT bit-identical (different contraction shapes reassociate floats),
+    so equivalence contracts must compare like with like — the tests pass
+    the same `bucket` to both sides."""
+    if not prompt_embeds:
+        raise ValueError("prompt_embeds must contain at least one embedding")
+    if bucket > 0 and len(prompt_embeds) > 1 and hasattr(backbone, "prefill"):
+        return backbone.prefill(
+            np.stack([np.asarray(e, np.float32) for e in prompt_embeds]),
+            bucket=int(bucket))
+    h = None
+    for e in prompt_embeds:
+        h = backbone.step(np.asarray(e, np.float32))
+    return h
 
 
 def finalize_batch_stream(alm: AudioLM, backbone, kv_s, pos_s: int, key_s,
@@ -835,8 +861,12 @@ def run_codebook_ar(
     on_device: "OnDeviceSampling | None" = None,
     grammar: str = "",
     token_pieces: Optional[Sequence[str]] = None,
+    prefill_bucket: int = 0,
 ) -> SynthesisResult:
     """Type C/D AR loop (reference: run_codebook_ar, tts_runner.cpp:707).
+
+    `prefill_bucket > 0`: whole-prompt bucketed prefill instead of the
+    per-token loop (see `prefill_prompt`).
 
     Per frame: backbone step → codec_lm step machine (begin → logits/sample/
     push × n_cb → finish) → EOS check → compose next backbone input.
@@ -914,11 +944,7 @@ def run_codebook_ar(
             cb0_range=cb0_range)
         fused_key = jax.random.PRNGKey(on_device.seed)
 
-    h = None
-    for e in prompt_embeds:
-        h = backbone.step(np.asarray(e, np.float32))
-    if h is None:
-        raise ValueError("prompt_embeds must contain at least one embedding")
+    h = prefill_prompt(backbone, prompt_embeds, bucket=prefill_bucket)
 
     stopped = False
     steps = 0

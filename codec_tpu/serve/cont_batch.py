@@ -93,7 +93,8 @@ class ContinuousBatcher:
 
     def __init__(self, backbone, shared_lm, *, n_slots: int = 4,
                  on_device: OnDeviceSampling, pi=None, decode: bool = True,
-                 n_q: int = 0, mesh=None, dp_axis: str = "dp"):
+                 n_q: int = 0, mesh=None, dp_axis: str = "dp",
+                 prefill_bucket: int = 0):
         from ..lm.fused_gen import gen_chunk_cached, supports_gen_chunk
 
         if n_slots < 1:
@@ -119,6 +120,11 @@ class ContinuousBatcher:
         self.decode = decode
         self.n_q = int(n_q)
         self.n_cb = int(shared_lm.info.n_codebook)
+        # prefill_bucket > 0: admission prefills the whole prompt in ONE
+        # bucketed-length forward (lm/tts_runner.prefill_prompt) instead
+        # of T per-token dispatches — admission cost stops scaling with
+        # prompt length on dispatch-bound transports (docs/PERF.md).
+        self.prefill_bucket = int(prefill_bucket)
 
         cb0_range = None
         if pi is not None and pi.cb0_speech_range_start >= 0 \
@@ -240,10 +246,11 @@ class ContinuousBatcher:
             if req is None:
                 break
             try:
+                from ..lm.tts_runner import prefill_prompt
+
                 self.backbone.reset()
-                h = None
-                for e in req.prompt_embeds:
-                    h = self.backbone.step(np.asarray(e, np.float32))
+                h = prefill_prompt(self.backbone, req.prompt_embeds,
+                                   bucket=self.prefill_bucket)
                 req.audio_lm.reset()
                 st = req.audio_lm.state
             except BaseException as e:               # noqa: BLE001

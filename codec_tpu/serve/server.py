@@ -79,7 +79,8 @@ class CodecHTTPServer:
     def __init__(self, model_path: str, host: str = "127.0.0.1",
                  port: int = 8765, backbone_path: str = None,
                  backbone_mesh: tuple = None, dp: int = 0,
-                 cont_batch: int = 0, chunk_frames: int = 8):
+                 cont_batch: int = 0, chunk_frames: int = 8,
+                 prefill_bucket: int = 0):
         import threading as _threading
 
         import codec_tpu
@@ -159,9 +160,10 @@ class CodecHTTPServer:
                     temperature=pi.default_temperature,
                     top_k=pi.default_top_k,
                     chunk_frames=max(2, chunk_frames)),
-                pi=pi)
+                pi=pi, prefill_bucket=prefill_bucket)
             self.cont_engine = EngineThread(self._cont_batcher)
             self.cont_engine.start()
+        self.prefill_bucket = int(prefill_bucket)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -376,7 +378,8 @@ class CodecHTTPServer:
                             max_frames=int(req.get("max_frames", 0)),
                             bb=outer.backbone,
                             on_device=bool(req.get("on_device", False)),
-                            chunk_frames=int(req.get("chunk_frames", 8)))
+                            chunk_frames=int(req.get("chunk_frames", 8)),
+                            prefill_bucket=outer.prefill_bucket)
                 else:
                     raise ValueError(
                         "synthesize needs a flow_lm model GGUF (self-"
@@ -461,7 +464,8 @@ class CodecHTTPServer:
                         max_frames=int(req.get("max_frames", 0)),
                         bb=outer.backbone, lm=outer._shared_lm,
                         chunk_frames=int(req.get("chunk_frames", 8)),
-                        mesh=outer.batch_mesh)
+                        mesh=outer.batch_mesh,
+                        prefill_bucket=outer.prefill_bucket)
                 sr = outer.model.sample_rate
                 wavs = []
                 frames = []
@@ -549,6 +553,10 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk-frames", type=int, default=8,
                     help="frames per device call in the --cont-batch "
                          "engine")
+    ap.add_argument("--prefill-bucket", type=int, default=0,
+                    help="prefill whole prompts in one forward padded to "
+                         "a multiple of N tokens (one dispatch per prompt "
+                         "instead of one per token; 0 = per-token)")
     ap.add_argument("--backbone", default=None,
                     help="backbone GGUF for codebook-AR /synthesize "
                          "(same artifact as tts-cli --backbone)")
@@ -574,7 +582,8 @@ def main(argv=None) -> int:
                               backbone_path=args.backbone,
                               backbone_mesh=mesh, dp=args.dp,
                               cont_batch=args.cont_batch,
-                              chunk_frames=args.chunk_frames)
+                              chunk_frames=args.chunk_frames,
+                              prefill_bucket=args.prefill_bucket)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

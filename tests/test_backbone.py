@@ -85,6 +85,34 @@ def test_prefill_then_steps(llama3):
     np.testing.assert_allclose(np.stack(got), want[5:], atol=3e-5, rtol=1e-4)
 
 
+def test_prefill_bucketed(llama3):
+    """Bucketed prefill (pad to a length-bucket multiple, one forward):
+    the HF oracle still holds for the prompt AND for steps continuing
+    after it — the padded tail's junk KV rows are never attendable (the
+    mask is strictly position-based) and get overwritten by the next
+    writes before the position pointer reaches them."""
+    hf, ours, cfg = llama3
+    rng = np.random.default_rng(3)
+    emb = (rng.standard_normal((11, 64)) * 0.3).astype(np.float32)
+    want = _hf_normed(hf, emb)
+    ours.reset()
+    last = ours.prefill(emb[:7], bucket=8)     # pads 7 -> 8
+    assert ours.pos == 7                        # true length only
+    np.testing.assert_allclose(last, want[6], atol=3e-5, rtol=1e-4)
+    got = [ours.step(emb[i]) for i in range(7, 11)]
+    np.testing.assert_allclose(np.stack(got), want[7:], atol=3e-5, rtol=1e-4)
+    # exact-multiple prompts pad nothing; bucket larger than max_ctx
+    # headroom clamps instead of shifting the write window
+    ours.reset()
+    np.testing.assert_allclose(ours.prefill(emb[:8], bucket=4), want[7],
+                               atol=3e-5, rtol=1e-4)
+    ours.reset()
+    for _ in range(14):                         # pos near max_ctx=64? no -
+        ours.step(emb[0])                       # just exercise clamp math
+    last = ours.prefill(emb[:3], bucket=64)    # pad clamped to fit ctx
+    assert ours.pos == 17
+
+
 def test_embed_and_text_logits(llama3):
     hf, ours, cfg = llama3
     ids = np.array([3, 17, 95])

@@ -183,6 +183,35 @@ def test_per_request_sampling_params(rda_gguf, tiny_backbone_gguf):
         assert got.n_steps == ref.n_steps
 
 
+def test_bucketed_prefill_admission_matches(rda_gguf, tiny_backbone_gguf):
+    """Engine with prefill_bucket: admissions prefill the whole prompt in
+    one bucket-padded forward. Codes match the single-stream run using
+    the SAME bucketed prefill (the batched forward is not bit-identical
+    to the per-token loop, so like compares with like)."""
+    from codec_tpu.lm.tts_runner import run_codebook_ar
+
+    path, _ = rda_gguf
+    shared = create_lm(GGUFReader(path))
+    bb = _fresh_backbone(tiny_backbone_gguf)
+    batcher = ContinuousBatcher(bb, shared, n_slots=2, on_device=ODS,
+                                decode=False, prefill_bucket=4)
+    rng = np.random.default_rng(31)
+    prompts = [[(rng.standard_normal(H) * 0.3).astype(np.float32)
+                for _ in range(n)] for n in (3, 5, 7)]   # pad 3->4, 5->8, 7->8
+    handles = [batcher.submit(AudioLM(GGUFReader(path), lm=shared),
+                              prompts[i], seed=60 + i, max_steps=5)
+               for i in range(3)]
+    batcher.drain()
+    for i, hd in enumerate(handles):
+        got = hd.wait(timeout=0)
+        ref = run_codebook_ar(
+            AudioLM(GGUFReader(path)), _fresh_backbone(tiny_backbone_gguf),
+            prompts[i], max_steps=5, decode=False, prefill_bucket=4,
+            on_device=dataclasses.replace(ODS, seed=60 + i))
+        np.testing.assert_array_equal(got.codes, ref.codes)
+        assert got.n_steps == ref.n_steps
+
+
 def test_submit_validation(rda_gguf, tiny_backbone_gguf):
     path, _ = rda_gguf
     batcher, shared = _engine(path, tiny_backbone_gguf)
