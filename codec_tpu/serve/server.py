@@ -154,13 +154,18 @@ class CodecHTTPServer:
                                  "tokenizer (backbone.tokenizer.spm_b64)")
             self._cont_pi = pi
             self._cont_tok = SpmUnigram.from_b64(spm_b64)
+            # --dp composes: the engine's slot state (KV/hidden/PRNG)
+            # shards over the same dp mesh /synthesize_batch uses (and
+            # over the dp axis of a --dp x --tp 2-D mesh). Requires
+            # slots divisible by dp (the batcher validates).
             self._cont_batcher = ContinuousBatcher(
                 self.backbone, self.lm, n_slots=cont_batch,
                 on_device=OnDeviceSampling(
                     temperature=pi.default_temperature,
                     top_k=pi.default_top_k,
                     chunk_frames=max(2, chunk_frames)),
-                pi=pi, prefill_bucket=prefill_bucket)
+                pi=pi, prefill_bucket=prefill_bucket,
+                mesh=self.batch_mesh)
             self.cont_engine = EngineThread(self._cont_batcher)
             self.cont_engine.start()
         self.prefill_bucket = int(prefill_bucket)

@@ -409,6 +409,34 @@ def test_cont_batch_concurrent_requests(cont_server):
         assert status == 200 and wav == out[i][1]
 
 
+def test_cont_batch_dp_server_matches(cont_server, tmp_path_factory):
+    """--dp 2 --cont-batch 2: the engine's slot state shards over the dp
+    mesh and /synthesize answers byte-identically to the unsharded
+    continuous-batching server (and per-request sampling still applies)."""
+    import test_cli_tts as tc
+    from codec_tpu.serve import CodecHTTPServer
+
+    model_path, bb_path = tc.mimi_rda_and_backbone.__wrapped__(
+        tmp_path_factory)
+    srv = CodecHTTPServer(str(model_path), port=0,
+                          backbone_path=str(bb_path),
+                          cont_batch=2, chunk_frames=8, dp=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert len(srv._cont_batcher._mesh.devices.ravel()) == 2
+        for req in ({"text": "hello there", "seed": 3, "max_frames": 6},
+                    {"text": "hello there", "seed": 3, "max_frames": 6,
+                     "temperature": 1.3, "top_k": 4}):
+            s_ref, wav_ref = _req(cont_server, "POST", "/synthesize",
+                                  json.dumps(req))
+            s_dp, wav_dp = _req(srv, "POST", "/synthesize", json.dumps(req))
+            assert s_ref == 200 and s_dp == 200
+            assert wav_dp == wav_ref
+    finally:
+        srv.shutdown()
+
+
 def test_stats_endpoint(cont_server, server):
     status, data = _req(cont_server, "GET", "/stats")
     assert status == 200
