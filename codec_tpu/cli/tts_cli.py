@@ -371,7 +371,8 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
 def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                                   seed: int = 0, max_frames: int = 0,
                                   bb=None, chunk_frames: int = 8, lm=None,
-                                  mesh=None, prefill_bucket: int = 0):
+                                  mesh=None, prefill_bucket: int = 0,
+                                  sampling=None):
     """Batched codebook-AR synthesize: B texts through ONE vmapped
     on-device generation loop (lm/tts_runner.run_codebook_ar_batch) on
     shared codec + LM + backbone weights — the multi-stream TTS serving
@@ -381,6 +382,9 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     Plain codebook-AR families only (CSM / Qwen3-TTS / MOSS-TTSD);
     continuous, LFM2-sequential, streaming-interleave and Chatterbox
     kinds raise. `lm`: a preloaded CodecLM to share across calls.
+    `sampling`: one dict per text ({"temperature", "top_k", "top_p",
+    "min_p"}, missing keys = the PromptInfo defaults) — per-stream
+    chains ride as a traced chunk input (run_codebook_ar_batch).
     Returns [(pcm, n_frames, stop), ...] per text."""
     import numpy as _np
 
@@ -425,10 +429,24 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     ods = OnDeviceSampling(temperature=pi.default_temperature,
                            top_k=pi.default_top_k, seed=seed,
                            chunk_frames=max(2, chunk_frames))
+    per_stream = None
+    if sampling is not None:
+        import dataclasses as _dc
+
+        if len(sampling) != len(texts):
+            raise ValueError("sampling needs one entry per text")
+        per_stream = [
+            _dc.replace(ods,
+                        temperature=float(s.get("temperature",
+                                                ods.temperature)),
+                        top_k=int(s.get("top_k", ods.top_k)),
+                        top_p=float(s.get("top_p", ods.top_p)),
+                        min_p=float(s.get("min_p", ods.min_p)))
+            for s in sampling]
     results = run_codebook_ar_batch(
         alms, bb, prompts, ods,
         max_steps=max_frames if max_frames > 0 else 512, pi=pi, mesh=mesh,
-        prefill_bucket=prefill_bucket)
+        prefill_bucket=prefill_bucket, sampling=per_stream)
     return [(r.pcm, int(r.codes.shape[0]),
              "eos" if r.stopped_by_eos else "max_frames") for r in results]
 

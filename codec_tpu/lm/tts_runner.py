@@ -584,6 +584,7 @@ def run_codebook_ar_batch(
     mesh=None,
     dp_axis: str = "dp",
     prefill_bucket: int = 0,
+    sampling: Optional[Sequence[OnDeviceSampling]] = None,
 ) -> List[SynthesisResult]:
     """B concurrent Type C/D generations on SHARED weights with the whole
     frame loop batched on device (lm/fused_gen.build_gen_chunk_batched):
@@ -607,6 +608,12 @@ def run_codebook_ar_batch(
     splits over `tp` — the scale-out multi-stream TTS configuration.
     Requires B divisible by the dp mesh size.
 
+    `sampling`: one OnDeviceSampling per stream — per-stream sampler
+    chains ride as a traced [B, 4] chunk input (one executable for any
+    mix, `ops.sample.sample_logits_dyn`); `on_device` then contributes
+    only seed/chunk_frames. None (default) bakes `on_device`'s chain
+    statically for every stream.
+
     Reference contrast: the reference serializes generations — one
     codec_lm_state per stream but a host loop per frame each
     (lm_internal.h:63-68, tts_runner.cpp:707)."""
@@ -618,6 +625,8 @@ def run_codebook_ar_batch(
     b = len(audio_lms)
     if b == 0 or b != len(prompt_embeds_list):
         raise ValueError("need one prompt per stream")
+    if sampling is not None and len(sampling) != b:
+        raise ValueError("sampling needs one OnDeviceSampling per stream")
     lm = audio_lms[0].lm
     if lm is None:
         raise ValueError("model has no codec_lm adaptor")
@@ -643,10 +652,18 @@ def run_codebook_ar_batch(
                      int(pi.cb0_speech_range_end),
                      int(pi.eos_code_c0) if pi.eos_code_c0 is not None
                      else -1)
-    chunk_fn = gen_chunk_cached(
-        lm, backbone, n_frames=chunk_n, batched=True, cb0_range=cb0_range,
-        temperature=on_device.temperature, top_k=on_device.top_k,
-        top_p=on_device.top_p, min_p=on_device.min_p)
+    chains = None
+    if sampling is not None:
+        chunk_fn = gen_chunk_cached(
+            lm, backbone, n_frames=chunk_n, batched=True,
+            cb0_range=cb0_range, traced_chain=True)
+        chains = jnp.asarray(np.stack([s.chain_vec() for s in sampling]))
+    else:
+        chunk_fn = gen_chunk_cached(
+            lm, backbone, n_frames=chunk_n, batched=True,
+            cb0_range=cb0_range,
+            temperature=on_device.temperature, top_k=on_device.top_k,
+            top_p=on_device.top_p, min_p=on_device.min_p)
 
     # per-stream prompt prefill into per-stream KV slices
     kvs, hs, poss = [], [], []
@@ -684,11 +701,16 @@ def run_codebook_ar_batch(
         # done0 = the streams that already stopped (or hit max_steps):
         # frozen in-graph so their KV/pos stay at the frame they stopped
         # at — the delay-tail flush below reads that state
-        packed, hd, kv, keys = chunk_fn(
-            backbone.params, kv, jnp.asarray(pos), np.int32(base), hd,
-            keys, jnp.asarray(tc),
-            jnp.asarray([stopped[s] or steps[s] >= max_steps
-                         for s in range(b)]))
+        done0 = jnp.asarray([stopped[s] or steps[s] >= max_steps
+                             for s in range(b)])
+        if chains is not None:
+            packed, hd, kv, keys = chunk_fn(
+                backbone.params, kv, jnp.asarray(pos), np.int32(base), hd,
+                keys, jnp.asarray(tc), done0, chains)
+        else:
+            packed, hd, kv, keys = chunk_fn(
+                backbone.params, kv, jnp.asarray(pos), np.int32(base), hd,
+                keys, jnp.asarray(tc), done0)
         arr = np.asarray(packed)
         n_emit = int(arr[chunk_n * b * n_cb])
         pos = arr[-b:].astype(np.int32)
@@ -713,7 +735,8 @@ def run_codebook_ar_batch(
             audio_lms[s], backbone,
             (lambda s=s: slice_slot(kv, s)), int(pos[s]),
             (lambda s=s: slice_slot(keys, s)),
-            on_device, stopped=stopped[s], steps=steps[s],
+            sampling[s] if sampling is not None else on_device,
+            stopped=stopped[s], steps=steps[s],
             decode=decode, n_q=n_q))
     return results
 

@@ -448,7 +448,10 @@ class CodecHTTPServer:
                 (run_codebook_ar_batch): batched GEMMs on the shared
                 backbone instead of B serialized /synthesize calls.
                 Body: {"texts": [...], "seed", "max_frames",
-                "chunk_frames"}; response: one base64 WAV per text."""
+                "chunk_frames", "sampling": [{"temperature", "top_k",
+                "top_p", "min_p"}, ...] (optional, one per text — chains
+                ride as a traced per-stream input, no recompile)};
+                response: one base64 WAV per text."""
                 import base64
 
                 from ..cli.tts_cli import run_backbone_synthesize_batch
@@ -470,7 +473,8 @@ class CodecHTTPServer:
                         bb=outer.backbone, lm=outer._shared_lm,
                         chunk_frames=int(req.get("chunk_frames", 8)),
                         mesh=outer.batch_mesh,
-                        prefill_bucket=outer.prefill_bucket)
+                        prefill_bucket=outer.prefill_bucket,
+                        sampling=req.get("sampling"))
                 sr = outer.model.sample_rate
                 wavs = []
                 frames = []

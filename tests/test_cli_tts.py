@@ -181,6 +181,16 @@ def mimi_rda_and_backbone(tmp_path_factory):
         upsample_groups=64, upsampling_ratios=[8, 6, 5, 4],
         use_causal_conv=True)
     hf_mimi = MimiModel(mimi_cfg).eval()
+    # HF random init leaves the RVQ codebooks EMPTY (embed_sum == 0 until
+    # k-means priming), which made decode(codes) code-INDEPENDENT — every
+    # synthesize WAV was byte-identical no matter the codes, silently
+    # robbing the serve/CLI byte-equality tests of discriminating power.
+    # Randomize the buffers so decoded audio actually varies with codes.
+    gq = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for name, buf in hf_mimi.named_buffers():
+            if name.endswith("codebook.embed_sum"):
+                buf.copy_(torch.randn(buf.shape, generator=gq))
     conv = get_converter("mimi")(quantization="F32")
     conv.load_from_state_dict(
         {k: v.numpy() for k, v in hf_mimi.state_dict().items()},

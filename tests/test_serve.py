@@ -290,6 +290,20 @@ def test_synthesize_batch_endpoint(ar_server):
                           json.dumps(req))
     assert status2 == 200 and json.loads(body2)["wavs"] == out["wavs"]
 
+    # per-text sampling: stream 0 keeps the defaults (same WAV as the
+    # plain batch), stream 1's hotter chain changes its codes/audio;
+    # deterministic on replay. Chains ride as a traced per-stream input.
+    sreq = dict(req, sampling=[{}, {"temperature": 1.5, "top_k": 3}])
+    status3, body3 = _req(ar_server, "POST", "/synthesize_batch",
+                          json.dumps(sreq))
+    assert status3 == 200, body3
+    out3 = json.loads(body3)
+    assert out3["wavs"][0] == out["wavs"][0]
+    assert out3["wavs"][1] != out["wavs"][1]
+    status4, body4 = _req(ar_server, "POST", "/synthesize_batch",
+                          json.dumps(sreq))
+    assert status4 == 200 and json.loads(body4)["wavs"] == out3["wavs"]
+
 
 def test_backbone_tp_server_matches(ar_server, tmp_path_factory):
     """A server started with a TP-sharded backbone (--tp analog) answers
