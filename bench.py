@@ -515,6 +515,40 @@ def _bench_tts_rda_chunked(fast: bool = False):
     out["rda_batched_streams"] = n_streams
     out["rda_batched_frame_ms_per_stream"] = round(bwall * 1e3, 2)
     out["rda_batched_rtf_per_stream"] = round(bwall / 0.080, 4)
+
+    # prompt prefill on the same 1B-shaped backbone: T per-token
+    # dispatches (the default admission path) vs ONE bucket-padded
+    # forward (tts-cli/serve --prefill-bucket; tts_runner.prefill_prompt)
+    from codec_tpu.lm.backbone import backbone_forward
+    n_tok = 8 if fast else 32
+    step1 = jax.jit(lambda pr, kv_, pos, x: backbone_forward(pr, kv_, pos,
+                                                             x, cfg),
+                    donate_argnums=(1,))
+    stepN = jax.jit(lambda pr, kv_, pos, x: backbone_forward(pr, kv_, pos,
+                                                             x, cfg),
+                    donate_argnums=(1,))
+    emb = (jr.normal(jr.PRNGKey(5), (n_tok, hid), jnp.float32) * 0.3) \
+        .astype(dtype)
+    kvp = jnp.zeros((L, 2, nkv, cfg.max_ctx, hd), dtype)
+    hp, kvp = step1(bb_params, kvp, np.int32(0), emb[:1])     # warm t=1
+    np.asarray(hp)
+    hp, kvp = stepN(bb_params, kvp, np.int32(0), emb)         # warm t=N
+    np.asarray(hp)
+    t0 = time.monotonic()
+    for _ in range(iters):
+        for i in range(n_tok):
+            hp, kvp = step1(bb_params, kvp, np.int32(i), emb[i: i + 1])
+        np.asarray(hp)
+    tok_wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) / iters
+    t0 = time.monotonic()
+    for _ in range(iters):
+        hp, kvp = stepN(bb_params, kvp, np.int32(0), emb)
+        np.asarray(hp)
+    buck_wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) / iters
+    out["prefill_tokens"] = n_tok
+    out["prefill_per_token_ms"] = round(tok_wall * 1e3, 2)
+    out["prefill_bucketed_ms"] = round(buck_wall * 1e3, 2)
+    out["prefill_speedup"] = round(tok_wall / buck_wall, 2)
     return out
 
 
