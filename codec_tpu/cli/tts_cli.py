@@ -201,12 +201,20 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
 
 def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
                               seed: int = 0, max_frames: int = 0,
-                              cfg_weight: float = 0.5):
+                              cfg_weight: float = 0.5,
+                              on_device: bool = False,
+                              chunk_frames: int = 8,
+                              prefill_bucket: int = 0):
     """Chatterbox T3 flow: dual CFG lanes over two backbone instances
     (reference: run_chatterbox, tts_runner.cpp:876 — the reference
     multiplexes lanes through llama seq-ids; here each lane owns a
     backbone with its own KV state). Requires baked tokenizer + builtin
-    conds in the GGUF (codec.lm.chatterbox.*)."""
+    conds in the GGUF (codec.lm.chatterbox.*).
+
+    `on_device`: run the loop as K-frame device chunks (both CFG lanes
+    batched, the T3 sampler chain in-graph — T3Sampler's preset:
+    temperature 0.8, min_p 0.05, repetition penalty 1.2 over the full
+    history)."""
     from ..lm.audio_lm import AudioLM
     from ..lm.backbone import create_backbone
     from ..lm.chatterbox_t3 import ChatterboxT3
@@ -223,9 +231,19 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
                          f"t3 hidden {t3.info.hidden_dim}")
     audio_lm = AudioLM(reader, codec=model)
     sampler = T3Sampler(seed=seed, seed_token=t3.info.start_speech_token)
+    ods = None
+    if on_device:
+        from ..ops.sample import OnDeviceSampling
+
+        # T3Sampler preset as the in-graph chain
+        ods = OnDeviceSampling(temperature=0.8, min_p=0.05,
+                               repetition_penalty=1.2,
+                               repetition_window=-1, seed=seed,
+                               chunk_frames=max(2, chunk_frames))
     res = run_chatterbox(audio_lm, t3, backbones, text,
                          max_frames=max_frames if max_frames > 0 else 512,
-                         cfg_weight=cfg_weight, sampler=sampler)
+                         cfg_weight=cfg_weight, sampler=sampler,
+                         on_device=ods, prefill_bucket=prefill_bucket)
     print(f"chatterbox AR done: {res.n_steps} steps, eos={res.stopped_by_eos}, "
           f"codes {res.codes.shape}")
     if res.pcm is None:
@@ -261,7 +279,10 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     if is_chatterbox(reader):
         return run_chatterbox_synthesize(model, reader, backbone_path,
                                          text, seed=seed,
-                                         max_frames=max_frames)
+                                         max_frames=max_frames,
+                                         on_device=on_device,
+                                         chunk_frames=chunk_frames,
+                                         prefill_bucket=prefill_bucket)
 
     if bb is None:
         bb = create_backbone(backbone_path)

@@ -365,6 +365,92 @@ def continuous_chunk_cached(lm, backbone, n_steps: int) -> Callable:
     return fn
 
 
+def build_chatterbox_chunk(bb_cfg, chain: Tuple[float, int, float, float],
+                           rep_pen: float, n_frames: int, *, n_seq: int,
+                           cfg_weight: float, stop_token: int,
+                           n_pos: int) -> Callable:
+    """K frames of the Chatterbox T3 dual-lane CFG loop in ONE device
+    call (reference host loop: run_chatterbox, tts_runner.cpp:876; host
+    analog lm/tts_runner.run_chatterbox). Per frame: speech-head logits
+    for both lanes → CFG combine cond + w·(cond − uncond) → T3 sampler
+    chain in-graph (unbounded-history repetition penalty over a [V] seen
+    mask → temperature → top_k → min_p → top_p; greedy at temperature
+    <= 0, mirroring the host SamplerChain) → stop on `stop_token` →
+    speech-embed + per-step pos-emb compose → one backbone step per lane
+    (vmapped: the two CFG lanes ride as a batch dim through shared
+    weights). The host loop pays 2·n_seq dispatches per frame; this pays
+    2/K per frame.
+
+    Returns fn(bb_params, head [V, hidden], speech_emb [V, hidden],
+    pos_emb [P, hidden], kv [S, L, 2, nkv, ctx, D] (donated), pos0,
+    step0, h [S, hidden] f32, key, seen [V] bool) →
+    (packed int32 [K + 4], h', kv', key', seen') with packed =
+    codes ++ [n_emit, stopped, pos_after, step_after]. `seen` carries
+    the sampler's repetition history (seed it with the BOS speech token,
+    matching T3Sampler's seed_token); `step0` is the global frame index
+    (pos-emb row = step + 1, reference: compose_speech_embd)."""
+    from ..ops.sample import apply_repetition_penalty, sample_logits
+    from .backbone import backbone_forward
+
+    k_frames = int(n_frames)
+    cfg_w = float(cfg_weight)
+    stop = int(stop_token)
+    greedy = chain[0] <= 0.0
+    use_pen = (not greedy) and rep_pen != 1.0
+
+    def chunk(bb_params, head, speech_emb, pos_emb, kv, pos0, step0, h,
+              key, seen):
+        kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
+        buf0 = jnp.zeros((k_frames,), jnp.int32)
+
+        def cond_fn(s):
+            return jnp.logical_and(s[0] < k_frames, jnp.logical_not(s[1]))
+
+        def body(s):
+            i, _done, h, kv, pos, step, key, seen, buf = s
+            lg = h @ head.T                                  # [S, V]
+            logits = lg[0] + cfg_w * (lg[0] - lg[1]) if n_seq == 2 \
+                else lg[0]
+            key, sub = jax.random.split(key)
+            if greedy:
+                code = jnp.argmax(logits).astype(jnp.int32)
+            else:
+                pl = apply_repetition_penalty(logits, seen, rep_pen) \
+                    if use_pen else logits
+                code = sample_logits(pl, sub, temperature=chain[0],
+                                     top_k=chain[1], top_p=chain[2],
+                                     min_p=chain[3])
+            seen = seen.at[code].set(True)
+            buf = jax.lax.dynamic_update_slice(buf, code[None], (i,))
+            is_stop = code == stop
+
+            def advance(op):
+                h_in, kv_in = op
+                prow = jnp.clip(step + 1, 0, n_pos - 1)
+                emb = (speech_emb[code]
+                       + jnp.where(step + 1 < n_pos, pos_emb[prow], 0.0)
+                       ).astype(kv_dtype)
+                h2, kv2 = jax.vmap(
+                    lambda kv_l: backbone_forward(bb_params, kv_l, pos,
+                                                  emb[None], bb_cfg))(kv_in)
+                return h2[:, 0].astype(jnp.float32), kv2
+
+            h, kv = jax.lax.cond(is_stop, lambda op: op, advance, (h, kv))
+            pos = pos + jnp.where(is_stop, 0, 1)
+            step = step + jnp.where(is_stop, 0, 1)
+            return (i + 1, is_stop, h, kv, pos, step, key, seen, buf)
+
+        i, done, h, kv, pos, step, key, seen, buf = jax.lax.while_loop(
+            cond_fn, body,
+            (jnp.int32(0), jnp.bool_(False), h, kv,
+             jnp.asarray(pos0, jnp.int32), jnp.asarray(step0, jnp.int32),
+             key, seen, buf0))
+        meta = jnp.stack([i, done.astype(jnp.int32), pos, step])
+        return jnp.concatenate([buf, meta]), h, kv, key, seen
+
+    return jax.jit(chunk, donate_argnums=(4,))
+
+
 def init_rep_hist(lm, window: int):
     """Fresh repetition-penalty history for build_stream_chunk's carry:
     a (−1-filled ring [n_cb, window], slot pointer) for window > 0, or a

@@ -507,6 +507,8 @@ def run_chatterbox(
     ref_pcm=None,
     emotion: Optional[float] = None,
     decode: bool = True,
+    on_device: "OnDeviceSampling | None" = None,
+    prefill_bucket: int = 0,
 ) -> SynthesisResult:
     """Chatterbox T3 flow (reference: run_chatterbox, tts_runner.cpp:876).
 
@@ -516,7 +518,14 @@ def run_chatterbox(
     logits per lane via the codec_lm step machine → CFG combine
     cond + w·(cond − uncond) → sample → stop on stop_speech_token →
     compose next speech embedding fed to every lane.
-    """
+
+    `on_device` (with JAX backbones): the whole loop runs as K-frame
+    device chunks (lm/fused_gen.build_chatterbox_chunk) — both CFG lanes
+    batched through shared weights, the T3 sampler chain (repetition
+    penalty/temperature/top_k/min_p/top_p from `on_device`, greedy at
+    temperature <= 0) in-graph; `sampler` is then unused. The host path
+    pays 2·n_seq dispatches per frame, the chunked path 2/K.
+    `prefill_bucket` buckets the per-lane prompt prefill either way."""
     text_ids = t3.tokenize(text)
     prompt = t3.build_prompt(text_ids, cfg_weight=cfg_weight,
                              speaker_emb=speaker_emb,
@@ -529,12 +538,19 @@ def run_chatterbox(
     if sampler is None:
         sampler = T3Sampler(seed_token=t3.info.start_speech_token)
 
-    hiddens = []
-    for s in range(n_seq):
-        h = None
-        for row in prompt[s]:
-            h = backbones[s].step(row)
-        hiddens.append(h)
+    hiddens = [prefill_prompt(backbones[s], list(prompt[s]),
+                              bucket=prefill_bucket) for s in range(n_seq)]
+
+    if on_device is not None:
+        jax_ok = all(hasattr(b, "params") and hasattr(b, "kv")
+                     and hasattr(b, "cfg")
+                     and getattr(b, "_pp", None) is None
+                     for b in backbones[:n_seq])
+        if jax_ok:
+            return _run_chatterbox_chunked(
+                audio_lm, t3, backbones[:n_seq], hiddens, on_device,
+                max_frames=max_frames, cfg_weight=cfg_weight,
+                decode=decode)
 
     def speech_logits(h):
         st = audio_lm.state
@@ -563,6 +579,77 @@ def run_chatterbox(
             codes.append(code)
         nb = t3.compose_speech_embd(code, step + 1)
         hiddens = [backbones[s].step(nb) for s in range(n_seq)]
+
+    codes_arr = np.asarray(codes, np.int32).reshape(-1, 1)
+    pcm = None
+    if decode and audio_lm.codec is not None and len(codes_arr):
+        pcm = _decode_transformed(audio_lm, codes_arr)
+    return SynthesisResult(codes=codes_arr, pcm=pcm, n_steps=steps,
+                           stopped_by_eos=stopped)
+
+
+def _run_chatterbox_chunked(audio_lm, t3, backbones, hiddens,
+                            on_device: OnDeviceSampling, *,
+                            max_frames: int, cfg_weight: float,
+                            decode: bool) -> SynthesisResult:
+    """Chunked device loop for run_chatterbox (contract there): the CFG
+    lanes' KV caches ride stacked [S, ...] between chunk calls; the
+    sampler's unbounded repetition history is a device-resident [V] seen
+    mask seeded with the BOS speech token (T3Sampler's seed_token)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_gen import build_chatterbox_chunk
+
+    info = t3.info
+    n_seq = len(backbones)
+    k_frames = max(2, int(on_device.chunk_frames))
+    chain = (float(on_device.temperature), int(on_device.top_k),
+             float(on_device.top_p), float(on_device.min_p))
+    cache = getattr(t3, "_cbx_chunk_cache", None)
+    if cache is None:
+        cache = t3._cbx_chunk_cache = {}
+    key_ = (chain, float(on_device.repetition_penalty), k_frames, n_seq,
+            float(cfg_weight), repr(backbones[0].cfg))
+    chunk = cache.get(key_)
+    if chunk is None:
+        chunk = build_chatterbox_chunk(
+            backbones[0].cfg, chain, float(on_device.repetition_penalty),
+            k_frames, n_seq=n_seq, cfg_weight=cfg_weight,
+            stop_token=info.stop_speech_token,
+            n_pos=int(t3.speech_pos_emb.shape[0]))
+        cache[key_] = chunk
+
+    head = audio_lm.lm.heads[0]
+    vocab = int(head.shape[0])
+    kv = jnp.stack([b.kv for b in backbones])
+    h = jnp.asarray(np.stack([np.asarray(x, np.float32) for x in hiddens]))
+    pos = int(backbones[0].pos)
+    key = jax.random.PRNGKey(on_device.seed)
+    seen = jnp.zeros((vocab,), bool).at[info.start_speech_token].set(True)
+
+    audio_lm.reset()
+    codes: List[int] = []
+    stopped = False
+    steps = 0
+    while not stopped and steps < max_frames:
+        packed, h, kv, key, seen = chunk(
+            backbones[0].params, head, jnp.asarray(t3.speech_emb),
+            jnp.asarray(t3.speech_pos_emb), kv, np.int32(pos),
+            np.int32(steps), h, key, seen)
+        arr = np.asarray(packed)
+        n_emit = int(arr[k_frames])
+        pos = int(arr[k_frames + 2])
+        if n_emit == 0:
+            break
+        for i in range(min(n_emit, max_frames - steps)):
+            code = int(arr[i])
+            steps += 1
+            if code == info.stop_speech_token:
+                stopped = True
+                break
+            if code < info.start_speech_token:
+                codes.append(code)
 
     codes_arr = np.asarray(codes, np.int32).reshape(-1, 1)
     pcm = None

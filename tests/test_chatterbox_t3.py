@@ -270,6 +270,70 @@ def test_build_prompt_layout(tiny_cbx):
     np.testing.assert_allclose(prompt[0, -2], bos, atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def tiny_cbx_backbone(tmp_path_factory):
+    """Tiny JAX llama backbone with hidden == the T3 fixture's H, for the
+    chunked on-device CFG flow."""
+    from transformers import LlamaConfig, LlamaModel
+
+    from codec_tpu.convert import get_converter
+
+    torch.manual_seed(5)
+    cfg = LlamaConfig(hidden_size=H, intermediate_size=32,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=2, head_dim=8, vocab_size=32,
+                      rms_norm_eps=1e-5, max_position_embeddings=256)
+    hf = LlamaModel(cfg).eval()
+    conv = get_converter("llama_backbone")(quantization="F32")
+    conv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg.to_dict())
+    p = tmp_path_factory.mktemp("cbxbb") / "bb.gguf"
+    conv.convert_and_save(p)
+    return str(p)
+
+
+def test_run_chatterbox_chunked_matches_host(tiny_cbx, tiny_cbx_backbone):
+    """Chunked on-device chatterbox (both CFG lanes + T3 sampler chain in
+    one lax.while_loop per K frames) matches the host loop greedily:
+    same codes / steps / stop over real JAX backbone lanes. A sampled
+    chunked run is per-seed deterministic and survives the penalty path."""
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.ops.sample import OnDeviceSampling
+
+    path, t, _ = tiny_cbx
+    reader = GGUFReader(path)
+    t3 = ChatterboxT3(reader)
+
+    def lanes():
+        return [create_backbone(tiny_cbx_backbone, max_ctx=128)
+                for _ in range(2)]
+
+    host = run_chatterbox(AudioLM(reader), t3, lanes(), "hello there",
+                          max_frames=6, cfg_weight=0.5, decode=False,
+                          sampler=lambda lg: int(np.argmax(lg)))
+    dev = run_chatterbox(AudioLM(reader), t3, lanes(), "hello there",
+                         max_frames=6, cfg_weight=0.5, decode=False,
+                         on_device=OnDeviceSampling(chunk_frames=3))
+    np.testing.assert_array_equal(dev.codes, host.codes)
+    assert dev.n_steps == host.n_steps
+    assert dev.stopped_by_eos == host.stopped_by_eos
+
+    sampled = OnDeviceSampling(temperature=0.8, min_p=0.05,
+                               repetition_penalty=1.2,
+                               repetition_window=-1, seed=7,
+                               chunk_frames=3)
+    a = run_chatterbox(AudioLM(reader), t3, lanes(), "hello there",
+                       max_frames=6, cfg_weight=0.5, decode=False,
+                       on_device=sampled)
+    b = run_chatterbox(AudioLM(reader), t3, lanes(), "hello there",
+                       max_frames=6, cfg_weight=0.5, decode=False,
+                       on_device=sampled)
+    np.testing.assert_array_equal(a.codes, b.codes)
+    assert a.n_steps == b.n_steps
+    assert ((a.codes >= 0) & (a.codes < SPEECH_V)).all()
+
+
 def test_run_chatterbox_flow(tiny_cbx):
     path, t, _ = tiny_cbx
     from codec_tpu.lm.audio_lm import AudioLM
