@@ -561,6 +561,79 @@ def _bench_tts_ar(fast: bool = False):
     return out
 
 
+def _bench_t3_chunked(fast: bool = False):
+    """Chatterbox T3 dual-lane CFG chunk (lm/fused_gen.
+    build_chatterbox_chunk): K frames of speech-head logits for both
+    lanes + CFG combine + the T3 sampler chain (full-history repetition
+    penalty seen-mask, temp/min_p) + one vmapped 2-lane backbone step per
+    frame, all in one device call. T3-shaped fixture: 0.5B llama
+    (30L/1024h bf16), speech vocab 6563. Frame budget: 25 speech
+    tokens/s → 40 ms/frame (reference runs this loop fully on the host,
+    tts_runner.cpp:876)."""
+    import jax.random as jr
+
+    from codec_tpu.lm.backbone import BackboneConfig
+    from codec_tpu.lm.fused_gen import build_chatterbox_chunk
+
+    k_frames = 4 if fast else 16
+    iters = 2 if fast else 4
+    v = 64 if fast else 6563
+    if fast:
+        cfg = BackboneConfig(hidden=64, n_layers=2, n_heads=2, n_kv_heads=1,
+                             head_dim=16, ffn_dim=64, vocab_size=8,
+                             max_ctx=128)
+    else:
+        cfg = BackboneConfig(hidden=1024, n_layers=30, n_heads=16,
+                             n_kv_heads=16, head_dim=64, ffn_dim=4096,
+                             vocab_size=8, max_ctx=1024)
+    dtype = jnp.bfloat16
+    kbox = [jr.PRNGKey(4)]
+
+    def W(*s, off=0.0):
+        kbox[0], sub = jr.split(kbox[0])
+        return (jr.normal(sub, s, jnp.float32) * 0.02 + off).astype(dtype)
+
+    L, nh, nkv, hd, ffn, hid = (cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+                                cfg.head_dim, cfg.ffn_dim, cfg.hidden)
+    bb_params = {
+        "freq_factors": None,
+        "out_norm": W(hid, off=1.0),
+        "layers": {
+            "attn_norm": W(L, hid, off=1.0), "ffn_norm": W(L, hid, off=1.0),
+            "q": W(L, nh * hd, hid), "k": W(L, nkv * hd, hid),
+            "v": W(L, nkv * hd, hid), "o": W(L, hid, nh * hd),
+            "gate": W(L, ffn, hid), "up": W(L, ffn, hid),
+            "down": W(L, hid, ffn),
+        },
+    }
+    # stop_token=-1 disables EOS so every chunk runs the full K frames
+    chunk = build_chatterbox_chunk(cfg, (0.8, 0, 1.0, 0.05), 1.2, k_frames,
+                                   n_seq=2, cfg_weight=0.5, stop_token=-1,
+                                   n_pos=1024)
+    head = jr.normal(jr.PRNGKey(5), (v, hid), jnp.float32) * 0.3
+    semb = jr.normal(jr.PRNGKey(6), (v, hid), jnp.float32) * 0.2
+    pemb = jr.normal(jr.PRNGKey(7), (1024, hid), jnp.float32) * 0.02
+    kv = jnp.zeros((2, L, 2, nkv, cfg.max_ctx, hd), dtype)
+    h = jr.normal(jr.PRNGKey(8), (2, hid), jnp.float32) * 0.3
+    key = jr.PRNGKey(9)
+    seen = jnp.zeros((v,), bool)
+    packed, h, kv, key, seen = chunk(bb_params, head, semb, pemb, kv,
+                                     np.int32(0), np.int32(0), h, key, seen)
+    np.asarray(packed)                                # compile + warm
+    rtt = _readback_rtt()
+    t0 = time.monotonic()
+    for _ in range(iters):
+        packed, h, kv, key, seen = chunk(bb_params, head, semb, pemb, kv,
+                                         np.int32(0), np.int32(0), h, key,
+                                         seen)
+        np.asarray(packed)
+    wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) \
+        / (iters * k_frames)
+    return {"t3_chunked_frame_ms": round(wall * 1e3, 2),
+            "t3_chunked_rtf": round(wall / 0.040, 4),
+            "t3_chunk_frames": k_frames, "t3_lanes": 2}
+
+
 def _section(extra, key, fn, retries=1):
     """Run one bench section; on transient failures (the remote-compile
     relay can drop long-running connections) retry once, then record the
@@ -702,6 +775,7 @@ def main():
     _section(tts, "flow", _bench_tts_flow)
     _section(tts, "rda", _bench_tts_rda)
     _section(tts, "rda_chunked", _bench_tts_rda_chunked)
+    _section(tts, "t3_chunked", _bench_t3_chunked)
     extra["tts_ar"] = {k: v for d in tts.values()
                        for k, v in (d.items() if isinstance(d, dict) else [])}
     for name, d in tts.items():
