@@ -44,6 +44,10 @@ from ..lm.audio_lm import AudioLM, ObserveAction
 from ..ops.sample import OnDeviceSampling
 
 
+class RequestCancelled(RuntimeError):
+    """Raised by TtsRequest.wait() when the request was cancelled."""
+
+
 class TtsRequest:
     """Handle for one queued synthesis. `wait()` blocks for the result
     (a `lm.tts_runner.SynthesisResult`) or re-raises the engine-side
@@ -60,6 +64,7 @@ class TtsRequest:
         self.result = None
         self.error: Optional[BaseException] = None
         self._done = threading.Event()
+        self._cancel = threading.Event()
 
     def wait(self, timeout: Optional[float] = None):
         if not self._done.wait(timeout):
@@ -67,6 +72,22 @@ class TtsRequest:
         if self.error is not None:
             raise self.error
         return self.result
+
+    def cancel(self) -> bool:
+        """Request cancellation: a queued request is dropped at the next
+        admission scan; an active one is retired without decode at the
+        next chunk boundary (a running chunk cannot be interrupted), its
+        slot freed for the next queued request. `wait()` then raises
+        RequestCancelled. Returns False if the request already finished
+        (the result stands)."""
+        if self._done.is_set():
+            return False
+        self._cancel.set()
+        return True
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancel.is_set()
 
     @property
     def done(self) -> bool:
@@ -233,16 +254,36 @@ class ContinuousBatcher:
 
     def _admit(self) -> None:
         """Fill free slots from the queue: prompt prefill on the host
-        backbone, then one single-slot scatter per admitted stream."""
+        backbone, then one single-slot scatter per admitted stream.
+        Cancelled queued requests are purged (and resolved) up front,
+        even when no slot is free."""
         import jax
+
+        cancelled = []
+        with self._lock:
+            if any(r.cancelled for r in self._queue):
+                keep = []
+                while self._queue:
+                    r = self._queue.popleft()
+                    (cancelled if r.cancelled else keep).append(r)
+                self._queue.extend(keep)
+        for r in cancelled:
+            r._finish(error=RequestCancelled(
+                "request cancelled while queued"))
 
         for s in range(self.B):
             if self.slots[s] is not None:
                 continue
             req = None
-            with self._lock:
-                if self._queue:
+            while req is None:
+                with self._lock:
+                    if not self._queue:
+                        break
                     req = self._queue.popleft()
+                if req is not None and req.cancelled:
+                    req._finish(error=RequestCancelled(
+                        "request cancelled while queued"))
+                    req = None
             if req is None:
                 break
             try:
@@ -306,6 +347,13 @@ class ContinuousBatcher:
         n_left = 0
         for s in active:
             req = self.slots[s]
+            if req.cancelled:
+                # retire without flush/decode; the slot state is simply
+                # abandoned (the next admission scatters over it)
+                req._finish(error=RequestCancelled(
+                    "request cancelled mid-generation"))
+                self.slots[s] = None
+                continue
             if not self._stopped[s] and self._steps[s] < req.max_steps:
                 n_left += 1
                 continue

@@ -437,7 +437,14 @@ class CodecHTTPServer:
                 handle = outer._cont_batcher.submit(
                     alm, embeds, seed=int(req.get("seed", 0)),
                     max_steps=mf if mf > 0 else 512, sampling=sampling)
-                res = handle.wait(timeout=600.0)
+                try:
+                    res = handle.wait(timeout=600.0)
+                except TimeoutError:
+                    # free the slot instead of generating to max_steps
+                    # for a client that has stopped listening
+                    handle.cancel()
+                    raise ValueError("synthesis timed out; request "
+                                     "cancelled")
                 if res.pcm is None:
                     raise ValueError("no audio frames generated")
                 return res.pcm, int(res.codes.shape[0]), \

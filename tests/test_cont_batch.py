@@ -212,6 +212,49 @@ def test_bucketed_prefill_admission_matches(rda_gguf, tiny_backbone_gguf):
         assert got.n_steps == ref.n_steps
 
 
+def test_cancellation(rda_gguf, tiny_backbone_gguf):
+    """Cancel a QUEUED request (dropped at the admission scan) and an
+    ACTIVE one (retired at the next chunk boundary, slot freed): both
+    handles raise RequestCancelled, every other request still matches
+    its single-stream run, and a request admitted into the freed slot
+    is unaffected."""
+    from codec_tpu.serve.cont_batch import RequestCancelled
+
+    path, _ = rda_gguf
+    batcher, shared = _engine(path, tiny_backbone_gguf, n_slots=2)
+    prompts = _prompts(4, seed=41)
+
+    # fill both slots with long generations, queue a 3rd, cancel it
+    h0 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[0],
+                        seed=70, max_steps=6)
+    h1 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[1],
+                        seed=71, max_steps=6)
+    hq = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[2],
+                        seed=72, max_steps=6)
+    assert hq.cancel() is True
+    assert batcher.step() == 2            # queued-cancelled never admitted
+    assert hq.done
+    with pytest.raises(RequestCancelled):
+        hq.wait(timeout=0)
+
+    # cancel stream 1 mid-generation; it retires at the chunk boundary
+    assert h1.cancel() is True
+    batcher.step()
+    with pytest.raises(RequestCancelled):
+        h1.wait(timeout=0)
+    # freed slot takes a new request; survivors match single-stream runs
+    h3 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[3],
+                        seed=73, max_steps=4)
+    batcher.drain()
+    for hd, prompt, seed, ms in ((h0, prompts[0], 70, 6),
+                                 (h3, prompts[3], 73, 4)):
+        got = hd.wait(timeout=0)
+        ref = _single_stream(path, tiny_backbone_gguf, prompt, seed, ms)
+        np.testing.assert_array_equal(got.codes, ref.codes)
+    # cancelling a finished request is a no-op
+    assert h0.cancel() is False
+
+
 def test_submit_validation(rda_gguf, tiny_backbone_gguf):
     path, _ = rda_gguf
     batcher, shared = _engine(path, tiny_backbone_gguf)
