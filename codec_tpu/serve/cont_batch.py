@@ -55,12 +55,14 @@ class TtsRequest:
 
     def __init__(self, audio_lm: AudioLM, prompt_embeds: Sequence,
                  seed: int, max_steps: int,
-                 sampling: Optional[OnDeviceSampling] = None):
+                 sampling: Optional[OnDeviceSampling] = None,
+                 frame_cb=None):
         self.audio_lm = audio_lm
         self.prompt_embeds = list(prompt_embeds)
         self.seed = int(seed)
         self.max_steps = int(max_steps)
         self.sampling = sampling
+        self.frame_cb = frame_cb
         self.result = None
         self.error: Optional[BaseException] = None
         self._done = threading.Event()
@@ -181,7 +183,8 @@ class ContinuousBatcher:
     # -- request side -------------------------------------------------------
     def submit(self, audio_lm: AudioLM, prompt_embeds: Sequence,
                seed: int = 0, max_steps: int = 512,
-               sampling: Optional[OnDeviceSampling] = None) -> TtsRequest:
+               sampling: Optional[OnDeviceSampling] = None,
+               frame_cb=None) -> TtsRequest:
         """Queue one synthesis. `audio_lm` must share this engine's
         CodecLM (`AudioLM(reader, codec, lm=engine.lm)`); `prompt_embeds`
         is the prompt's embedding rows (composed for merged-cb0 models).
@@ -189,14 +192,19 @@ class ContinuousBatcher:
         `sampling` overrides the engine default chain (temperature/top_k/
         top_p/min_p) for THIS request only — the chain is a traced
         per-slot input, so no recompile. Its `seed`/`chunk_frames` fields
-        are ignored (`seed` arg and the engine-wide K apply)."""
+        are ignored (`seed` arg and the engine-wide K apply).
+
+        `frame_cb(codes int32 [n_cb])` is invoked from the ENGINE thread
+        for every surviving frame as its chunk is consumed (EOS and
+        post-max_steps frames excluded) — keep it O(queue.put); it feeds
+        streaming vocoders (serve /synthesize "stream")."""
         if audio_lm.lm is not self.lm:
             raise ValueError("request must share the engine CodecLM "
                              "(AudioLM(reader, codec, lm=engine.lm))")
         if not prompt_embeds:
             raise ValueError("every request needs >= 1 prompt embedding")
         req = TtsRequest(audio_lm, prompt_embeds, seed, max_steps,
-                         sampling=sampling)
+                         sampling=sampling, frame_cb=frame_cb)
         with self._work:
             self._queue.append(req)
             self._work.notify()
@@ -341,6 +349,8 @@ class ContinuousBatcher:
                 self._steps[s] += 1
                 if req.audio_lm.observe_codes(codes) is ObserveAction.STOP:
                     self._stopped[s] = True
+                elif req.frame_cb is not None:
+                    req.frame_cb(np.asarray(codes, np.int32))
         for s in active:
             self._base[s] += n_emit
 

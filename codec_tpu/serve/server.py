@@ -56,6 +56,7 @@ import io
 import json
 import struct
 import sys
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -372,6 +373,8 @@ class CodecHTTPServer:
                     # continuous batching: enqueue into the N-slot engine;
                     # concurrent requests generate TOGETHER (batched GEMMs)
                     # and each returns the moment its own stream stops
+                    if req.get("stream"):
+                        return self._synthesize_cont_stream(req, text)
                     pcm, n_frames, stop = self._synthesize_cont(req, text)
                 elif outer.backbone is not None:
                     # codebook-AR kinds: the shared backbone's KV state is
@@ -399,14 +402,14 @@ class CodecHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _synthesize_cont(self, req, text):
-                """Build the prompt on this handler thread, submit to the
-                continuous-batching engine, block for this request's
-                result. The handler-side work (tokenize + prompt embeds)
-                overlaps other streams' generation. Optional body fields
+            def _cont_submit(self, req, text, frame_cb=None):
+                """Tokenize + build prompt embeds on this handler thread
+                (overlapping other streams' generation) and submit to the
+                continuous-batching engine. Optional body fields
                 temperature/top_k/top_p/min_p override the engine default
                 chain for this request only (the chain is a traced
-                per-slot input — no recompile, any mix batches together)."""
+                per-slot input — no recompile, any mix batches
+                together)."""
                 import dataclasses as _dc
 
                 import numpy as _np
@@ -434,9 +437,15 @@ class CodecHTTPServer:
                         top_k=int(req.get("top_k", base.top_k)),
                         top_p=float(req.get("top_p", base.top_p)),
                         min_p=float(req.get("min_p", base.min_p)))
-                handle = outer._cont_batcher.submit(
+                return alm, outer._cont_batcher.submit(
                     alm, embeds, seed=int(req.get("seed", 0)),
-                    max_steps=mf if mf > 0 else 512, sampling=sampling)
+                    max_steps=mf if mf > 0 else 512, sampling=sampling,
+                    frame_cb=frame_cb)
+
+            def _synthesize_cont(self, req, text):
+                """Submit to the engine and block for this request's
+                whole result."""
+                _alm, handle = self._cont_submit(req, text)
                 try:
                     res = handle.wait(timeout=600.0)
                 except TimeoutError:
@@ -449,6 +458,73 @@ class CodecHTTPServer:
                     raise ValueError("no audio frames generated")
                 return res.pcm, int(res.codes.shape[0]), \
                     "eos" if res.stopped_by_eos else "max_frames"
+
+            def _synthesize_cont_stream(self, req, text):
+                """Streamed continuous-batching synthesize: frames emitted
+                at each engine chunk boundary are vocoded through a
+                per-request streaming-decoder session and leave as chunked
+                WAV — time-to-first-audio is one engine chunk + one vocode
+                chunk, while the stream keeps generating in the shared
+                batch. Requires a causal codec with a streaming decoder
+                and a trivial LM-codes→codec-codes transform (no delay
+                pattern / control cb0 / merged vocab: those need the
+                whole-sequence flush before any frame is decodable)."""
+                import queue as _queue
+
+                if not getattr(outer.model, "causal_time", False) or \
+                        not hasattr(outer.model, "streaming_decoder"):
+                    raise ValueError(f"{outer.model.arch}: no streaming "
+                                     f"decode path")
+                frames: _queue.Queue = _queue.Queue()
+                alm, handle = self._cont_submit(req, text,
+                                                frame_cb=frames.put)
+                tr = alm.decode_transform
+                if tr.audio_cb_offset or tr.cb0_speech_offset or \
+                        tr.max_delay(alm.n_codebook):
+                    handle.cancel()
+                    raise ValueError(
+                        "streaming synthesize needs a trivial decode "
+                        "transform (delay/merged-cb0 models flush at EOS)")
+                dec = outer.model.streaming_decoder(n_q=alm.n_codebook)
+                vocode_n = max(1, int(req.get("chunk_frames", 0))
+                               or outer._cont_batcher.K)
+
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                self._response_started = True
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data +
+                                     b"\r\n")
+                    self.wfile.flush()
+
+                chunk(_wav_header(-1, outer.model.sample_rate))
+                deadline = time.monotonic() + 600.0
+                buf = []
+                while True:
+                    try:
+                        buf.append(frames.get(timeout=0.05))
+                    except _queue.Empty:
+                        if handle.done:
+                            break
+                        if time.monotonic() > deadline:
+                            handle.cancel()
+                            raise ValueError("synthesis timed out; "
+                                             "request cancelled")
+                        continue
+                    if len(buf) >= vocode_n:
+                        chunk(_pcm16(dec.push(np.stack(buf))))
+                        buf = []
+                while not frames.empty():          # post-done stragglers
+                    buf.append(frames.get_nowait())
+                handle.wait(timeout=0)             # re-raise engine errors
+                if buf:
+                    chunk(_pcm16(dec.push(np.stack(buf))))
+                chunk(b"")                         # terminating chunk
+                # mid-stream errors skip the terminator: do_POST logs and
+                # drops the connection, so the client sees a truncation
 
             def _synthesize_batch(self):
                 """B texts through ONE vmapped on-device generation loop

@@ -423,6 +423,23 @@ def test_cont_batch_concurrent_requests(cont_server):
         assert status == 200 and wav == out[i][1]
 
 
+def test_cont_batch_stream_synthesize(cont_server):
+    """{"stream": true} through the continuous-batching engine: frames
+    vocode through a streaming session as they emit; the de-chunked PCM
+    matches the non-streamed response within the usual one-LSB
+    cross-graph drift (chunked causal convs vs whole-sequence decode)."""
+    req = {"text": "hello there", "seed": 5, "max_frames": 7}
+    s_ref, wav_ref = _req(cont_server, "POST", "/synthesize",
+                          json.dumps(req))
+    s_st, wav_st = _req(cont_server, "POST", "/synthesize",
+                        json.dumps(dict(req, stream=True)))
+    assert s_ref == 200 and s_st == 200
+    a = np.frombuffer(wav_st[44:], dtype="<i2").astype(np.int32)
+    b = np.frombuffer(wav_ref[44:], dtype="<i2").astype(np.int32)
+    assert a.shape == b.shape and a.shape[0] > 0
+    assert int(np.abs(a - b).max()) <= 1
+
+
 def test_cont_batch_dp_server_matches(cont_server, tmp_path_factory):
     """--dp 2 --cont-batch 2: the engine's slot state shards over the dp
     mesh and /synthesize answers byte-identically to the unsharded
