@@ -71,6 +71,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "one forward padded to a multiple of N tokens "
                         "(one device dispatch instead of one per token; "
                         "0 = per-token prefill)")
+    p.add_argument("--temp", type=float, default=None,
+                   help="sampling temperature (default: the model "
+                        "family's preset; 0 = greedy)")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="top-k filter (default: family preset)")
+    p.add_argument("--top-p", type=float, default=None,
+                   help="nucleus top-p filter (default: family preset)")
+    p.add_argument("--min-p", type=float, default=None,
+                   help="min-p filter (default: family preset)")
+    p.add_argument("--rep-penalty", type=float, default=None,
+                   help="repetition penalty (default: family preset)")
+    p.add_argument("--cfg-weight", type=float, default=None,
+                   help="Chatterbox CFG guidance weight (default 0.5; "
+                        "0 = single lane, no guidance)")
+    p.add_argument("--timesteps", type=int, default=None,
+                   help="continuous-CFM Euler steps per frame "
+                        "(BlueMagpie family; default 10)")
+    p.add_argument("--grammar", default="",
+                   help="GBNF constraint on the cb0 backbone sampler: a "
+                        ".gbnf file path or a literal grammar string "
+                        "(codebook-AR kinds; forces host sampling)")
     p.add_argument("--tp", type=int, default=0,
                    help="shard the backbone tensor-parallel over N chips "
                         "(Megatron column/row split; composes with "
@@ -115,14 +136,18 @@ def flow_prepare_text(text: str):
 
 def run_flow_synthesize(model, lm, text: str, seed: int = 0,
                         ref_pcm=None, max_frames: int = 0,
-                        min_len: int = 0, stream: bool = False):
+                        min_len: int = 0, stream: bool = False,
+                        temperature=None):
     """Self-contained FlowLM synthesize (reference:
     tts_runner_synthesize_selfcontained). → (pcm, n_frames, stop_reason).
 
     stream=True vocodes each frame through the chunk-exact streaming
     decoder as the AR loop emits it (time-to-first-audio = one AR step +
     one vocoder step, instead of the full utterance) — no reference
-    analog; the reference decodes the whole latent sequence at the end."""
+    analog; the reference decodes the whole latent sequence at the end.
+
+    `temperature` overrides the GGUF's flow temperature (the LSD noise
+    variance; 0 = deterministic flow — reference --temp semantics)."""
     text, fae_guess = flow_prepare_text(text)
     fae_guess += 2                                       # reference adds +2
     ids = lm.tokenize(text)
@@ -143,7 +168,8 @@ def run_flow_synthesize(model, lm, text: str, seed: int = 0,
         max(8, int(math.ceil((len(ids) / 3.0 + 2.0) * 12.5)))
 
     rng = np.random.default_rng(seed)
-    noise_std = math.sqrt(lm.temperature)
+    noise_std = math.sqrt(lm.temperature if temperature is None
+                          else float(temperature))
     dec = model.streaming_decoder() if stream else None
     t_start = time.monotonic()
     ttfa = None
@@ -204,7 +230,9 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
                               cfg_weight: float = 0.5,
                               on_device: bool = False,
                               chunk_frames: int = 8,
-                              prefill_bucket: int = 0):
+                              prefill_bucket: int = 0,
+                              temperature=None, top_p=None, min_p=None,
+                              rep_penalty=None):
     """Chatterbox T3 flow: dual CFG lanes over two backbone instances
     (reference: run_chatterbox, tts_runner.cpp:876 — the reference
     multiplexes lanes through llama seq-ids; here each lane owns a
@@ -230,14 +258,20 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
         raise ValueError(f"backbone hidden {backbones[0].cfg.hidden} != "
                          f"t3 hidden {t3.info.hidden_dim}")
     audio_lm = AudioLM(reader, codec=model)
-    sampler = T3Sampler(seed=seed, seed_token=t3.info.start_speech_token)
+    # T3Sampler preset (temp 0.8, min_p 0.05, rep 1.2) with CLI overrides
+    s_temp = 0.8 if temperature is None else float(temperature)
+    s_top_p = 1.0 if top_p is None else float(top_p)
+    s_min_p = 0.05 if min_p is None else float(min_p)
+    s_rep = 1.2 if rep_penalty is None else float(rep_penalty)
+    sampler = T3Sampler(seed=seed, seed_token=t3.info.start_speech_token,
+                        temperature=s_temp, top_p=s_top_p, min_p=s_min_p,
+                        repetition_penalty=s_rep)
     ods = None
     if on_device:
         from ..ops.sample import OnDeviceSampling
 
-        # T3Sampler preset as the in-graph chain
-        ods = OnDeviceSampling(temperature=0.8, min_p=0.05,
-                               repetition_penalty=1.2,
+        ods = OnDeviceSampling(temperature=s_temp, top_p=s_top_p,
+                               min_p=s_min_p, repetition_penalty=s_rep,
                                repetition_window=-1, seed=seed,
                                chunk_frames=max(2, chunk_frames))
     res = run_chatterbox(audio_lm, t3, backbones, text,
@@ -255,7 +289,10 @@ def run_chatterbox_synthesize(model, reader, backbone_path, text: str,
 def run_backbone_synthesize(model, reader, backbone_path, text: str,
                             seed: int = 0, max_frames: int = 0, bb=None,
                             on_device: bool = False, chunk_frames: int = 8,
-                            prefill_bucket: int = 0):
+                            prefill_bucket: int = 0, temperature=None,
+                            top_k=None, top_p=None, min_p=None,
+                            rep_penalty=None, cfg_weight=None,
+                            timesteps=None, grammar: str = ""):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
     tts-cli over tts_runner_synthesize → run_codebook_ar,
     tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113).
@@ -266,7 +303,15 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
 
     `prefill_bucket > 0`: whole-prompt bucketed prefill on the plain
     codebook-AR path (lm/tts_runner.prefill_prompt) — one device
-    dispatch per prompt instead of one per token."""
+    dispatch per prompt instead of one per token.
+
+    Sampler controls (reference tts-cli flags, tts-cli.cpp:126-138):
+    `temperature`/`top_k`/`top_p`/`min_p`/`rep_penalty` override the
+    model family's PromptInfo defaults when given (None = default);
+    `cfg_weight` applies to the Chatterbox dual-lane flow, `timesteps`
+    to continuous-CFM Euler steps, `grammar` (GBNF text) constrains the
+    cb0 backbone sampler on the codebook-AR flow (token pieces come from
+    the baked tokenizer; forces the host sampling path)."""
     from ..io.gguf import GGUFReader
     from ..lm.audio_lm import AudioLM
     from ..lm.backbone import create_backbone
@@ -282,7 +327,12 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
                                          max_frames=max_frames,
                                          on_device=on_device,
                                          chunk_frames=chunk_frames,
-                                         prefill_bucket=prefill_bucket)
+                                         prefill_bucket=prefill_bucket,
+                                         cfg_weight=0.5 if cfg_weight
+                                         is None else float(cfg_weight),
+                                         temperature=temperature,
+                                         top_p=top_p, min_p=min_p,
+                                         rep_penalty=rep_penalty)
 
     if bb is None:
         bb = create_backbone(backbone_path)
@@ -308,9 +358,21 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     audio_lm = AudioLM(reader, codec=model)
     max_steps = max_frames if max_frames > 0 else 512
 
+    # effective sampler chain: CLI overrides win over the model family's
+    # PromptInfo defaults (reference: tts-cli.cpp:266-275 has_* plumbing)
+    s_temp = pi.default_temperature if temperature is None \
+        else float(temperature)
+    s_top_k = pi.default_top_k if top_k is None else int(top_k)
+    s_top_p = pi.default_top_p if top_p is None else float(top_p)
+    s_min_p = 0.0 if min_p is None else float(min_p)
+    s_rep = pi.default_repetition_penalty if rep_penalty is None \
+        else float(rep_penalty)
+
     if pi.is_continuous:                # BlueMagpie continuous-latent CFM
         from ..lm.tts_runner import run_continuous
 
+        if timesteps is not None:                    # CFM Euler steps
+            audio_lm.set_continuous_params(n_timesteps=int(timesteps))
         res = run_continuous(audio_lm, bb, list(bb.embed_tokens(ids)),
                              max_steps=max_steps,
                              chunk_steps=chunk_frames if on_device else 1)
@@ -329,14 +391,14 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         if on_device:
             from ..ops.sample import OnDeviceSampling
 
-            ods = OnDeviceSampling(temperature=pi.default_temperature,
-                                   top_k=pi.default_top_k, seed=seed,
+            ods = OnDeviceSampling(temperature=s_temp, top_k=s_top_k,
+                                   top_p=s_top_p, min_p=s_min_p, seed=seed,
                                    chunk_frames=max(1, chunk_frames))
         res = run_lfm2_sequential(
             audio_lm, bb, table, ids, pi, max_frames=max_steps,
-            sampler=SamplerChain(seed=seed,
-                                 temperature=pi.default_temperature,
-                                 top_k=pi.default_top_k),
+            sampler=SamplerChain(seed=seed, temperature=s_temp,
+                                 top_k=s_top_k, top_p=s_top_p,
+                                 min_p=s_min_p),
             on_device=ods)
     elif pi.streaming_interleave:       # MOSS-TTS-Realtime
         from ..lm.tts_runner import run_realtime_streaming
@@ -346,9 +408,8 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
             from ..ops.sample import OnDeviceSampling
 
             ods = OnDeviceSampling(
-                temperature=pi.default_temperature, top_k=pi.default_top_k,
-                top_p=pi.default_top_p,
-                repetition_penalty=pi.default_repetition_penalty,
+                temperature=s_temp, top_k=s_top_k, top_p=s_top_p,
+                min_p=s_min_p, repetition_penalty=s_rep,
                 repetition_window=pi.repetition_window,
                 seed=seed, chunk_frames=max(1, chunk_frames))
         res = run_realtime_streaming(
@@ -357,8 +418,9 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
             text_tokens=ids[max(1, len(ids) - pi.prefill_text_len):] or ids,
             pi=pi, max_frames=max_steps, on_device=ods)
     else:                               # CSM / Qwen3 / MOSS-TTSD
-        chain = SamplerChain(seed=seed, temperature=pi.default_temperature,
-                             top_k=pi.default_top_k)
+        chain = SamplerChain(seed=seed, temperature=s_temp, top_k=s_top_k,
+                             top_p=s_top_p, min_p=s_min_p,
+                             repetition_penalty=s_rep)
 
         def sampler(cb_idx, logits):
             return chain(logits) if cb_idx == 0 else int(logits.argmax())
@@ -372,15 +434,23 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         else:
             prompt_embeds = list(bb.embed_tokens(ids))
         ods = None
-        if on_device:
+        if on_device and not grammar:
             from ..ops.sample import OnDeviceSampling
 
-            ods = OnDeviceSampling(temperature=pi.default_temperature,
-                                   top_k=pi.default_top_k, seed=seed,
+            ods = OnDeviceSampling(temperature=s_temp, top_k=s_top_k,
+                                   top_p=s_top_p, min_p=s_min_p, seed=seed,
                                    chunk_frames=max(1, chunk_frames))
+        token_pieces = None
+        if grammar:
+            # per-token detokenized strings for the pushdown matcher
+            # (reference: tts_runner.h:64-73 grammar on the backbone
+            # sampler; forces the host sampling path)
+            token_pieces = [tok.decode_piece(i)
+                            for i in range(tok.vocab_size)]
         res = run_codebook_ar(audio_lm, bb, prompt_embeds,
                               max_steps=max_steps, sampler=sampler, pi=pi,
-                              on_device=ods, prefill_bucket=prefill_bucket)
+                              on_device=ods, prefill_bucket=prefill_bucket,
+                              grammar=grammar, token_pieces=token_pieces)
     print(f"backbone AR done: {res.n_steps} steps, "
           f"eos={res.stopped_by_eos}, codes {res.codes.shape}")
     if res.pcm is None:
@@ -529,11 +599,24 @@ def _run(args) -> int:
                                      "chatterbox dual-lane flow")
                 bb = create_backbone(args.backbone)
                 _apply_backbone_mesh(bb, args)
+            grammar = args.grammar
+            if grammar:
+                # file path or literal GBNF string (reference:
+                # tts-cli.cpp load_grammar_arg tries fopen first)
+                try:
+                    with open(grammar) as f:
+                        grammar = f.read()
+                except OSError:
+                    pass
             pcm, n_frames, stop = run_backbone_synthesize(
                 model, reader, args.backbone, args.text,
                 seed=args.seed, max_frames=args.max_frames,
                 on_device=args.on_device, chunk_frames=args.chunk_frames,
-                bb=bb, prefill_bucket=args.prefill_bucket)
+                bb=bb, prefill_bucket=args.prefill_bucket,
+                temperature=args.temp, top_k=args.top_k, top_p=args.top_p,
+                min_p=args.min_p, rep_penalty=args.rep_penalty,
+                cfg_weight=args.cfg_weight, timesteps=args.timesteps,
+                grammar=grammar)
             write_wav(args.out, pcm, model.sample_rate)
             print(f"wrote {args.out}: {pcm.shape[0]} samples "
                   f"({n_frames} frames, stop={stop})")
@@ -547,7 +630,7 @@ def _run(args) -> int:
         pcm, n_frames, stop = run_flow_synthesize(
             model, lm, args.text, seed=args.seed, ref_pcm=ref,
             max_frames=args.max_frames, min_len=args.min_len,
-            stream=args.stream)
+            stream=args.stream, temperature=args.temp)
         write_wav(args.out, pcm, model.sample_rate)
         print(f"wrote {args.out}: {pcm.shape[0]} samples "
               f"({n_frames} frames, stop={stop})")

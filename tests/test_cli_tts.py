@@ -273,6 +273,35 @@ def test_tts_cli_synthesize_backbone(mimi_rda_and_backbone, tmp_path, capsys):
     assert "backbone AR done" in capsys.readouterr().out
 
 
+def test_tts_cli_sampler_flags(mimi_rda_and_backbone, tmp_path):
+    """--temp/--top-k/... override the family defaults (reference
+    tts-cli.cpp:126-138): --temp 0 is greedy (deterministic, no --seed
+    sensitivity) and differs from the sampled default; a hotter chain
+    differs again; --prefill-bucket changes dispatch shape, not audio."""
+    from codec_tpu.cli.tts_cli import main
+
+    model_path, bb_path = mimi_rda_and_backbone
+
+    def synth(name, *flags):
+        out = tmp_path / f"{name}.wav"
+        assert main(["synthesize", "--model", str(model_path),
+                     "--backbone", str(bb_path), "--text", "hello there",
+                     "--out", str(out), "--max-frames", "4",
+                     *flags]) == 0
+        return out.read_bytes()
+
+    default = synth("d", "--seed", "3")
+    g1 = synth("g1", "--temp", "0", "--seed", "3")
+    g2 = synth("g2", "--temp", "0", "--seed", "99")
+    assert g1 == g2                       # greedy ignores the seed
+    assert g1 != default                  # and differs from sampled
+    hot = synth("hot", "--temp", "8", "--top-k", "0", "--seed", "3")
+    assert hot != default
+    # greedy audio is invariant to HOW the prompt prefilled
+    gb = synth("gb", "--temp", "0", "--prefill-bucket", "8", "--seed", "3")
+    assert gb == g1
+
+
 def test_tts_cli_synthesize_backbone_on_device(mimi_rda_and_backbone,
                                                tmp_path, capsys):
     """--on-device --chunk-frames: the chunked fused generation loop
