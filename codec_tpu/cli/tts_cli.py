@@ -49,7 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref-audio", dest="ref_audio", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-frames", type=int, default=0)
-    p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--min-len", type=int, default=-1,
+                   help="minimum frames before EOS/stop is honored "
+                        "(flow_lm and continuous-CFM kinds; -1 = the "
+                        "model default)")
     p.add_argument("--quant-exec", action="store_true",
                    help="execute Q8_0/Q4_K backbone weights HBM-resident "
                         "via the fused dequant-matmul kernels (sets "
@@ -292,7 +295,8 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
                             prefill_bucket: int = 0, temperature=None,
                             top_k=None, top_p=None, min_p=None,
                             rep_penalty=None, cfg_weight=None,
-                            timesteps=None, grammar: str = ""):
+                            timesteps=None, grammar: str = "",
+                            min_len: int = -1):
     """Codebook-AR synthesize with the JAX llama backbone (reference:
     tts-cli over tts_runner_synthesize → run_codebook_ar,
     tts_runner.cpp:707,1043; backbone n_embd check at :1096-1113).
@@ -374,7 +378,7 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         if timesteps is not None:                    # CFM Euler steps
             audio_lm.set_continuous_params(n_timesteps=int(timesteps))
         res = run_continuous(audio_lm, bb, list(bb.embed_tokens(ids)),
-                             max_steps=max_steps,
+                             max_steps=max_steps, min_len=min_len,
                              chunk_steps=chunk_frames if on_device else 1)
         print(f"continuous AR done: {res.n_steps} steps, "
               f"eos={res.stopped_by_eos}, latents {res.codes.shape}")
@@ -616,7 +620,7 @@ def _run(args) -> int:
                 temperature=args.temp, top_k=args.top_k, top_p=args.top_p,
                 min_p=args.min_p, rep_penalty=args.rep_penalty,
                 cfg_weight=args.cfg_weight, timesteps=args.timesteps,
-                grammar=grammar)
+                grammar=grammar, min_len=args.min_len)
             write_wav(args.out, pcm, model.sample_rate)
             print(f"wrote {args.out}: {pcm.shape[0]} samples "
                   f"({n_frames} frames, stop={stop})")

@@ -70,6 +70,7 @@ def run_continuous(
     prefill_hiddens=None,
     decode: bool = True,
     chunk_steps: int = 1,
+    min_len: int = -1,
 ) -> SynthesisResult:
     """Continuous-latent flow (reference: run_continuous, tts_runner.cpp:450):
     optional RALM text-prefill over prompt hiddens, then per step: backbone
@@ -79,10 +80,16 @@ def run_continuous(
     + in-graph stop gate + backbone step — per device call
     (lm/fused_gen.build_continuous_chunk): the first post-prefill step
     runs per-step (it may be primed), the rest chunk; emitted latents are
-    identical to the per-step loop (same host-RNG noise sequence)."""
+    identical to the per-step loop (same host-RNG noise sequence).
+
+    `min_len >= 0` overrides the GGUF's stop-head guard (the stop flag is
+    ignored before that many patches; reference --min-len →
+    audio_lm_set_continuous_params)."""
     if audio_lm.lm is None or not audio_lm.is_continuous:
         raise ValueError("run_continuous requires a continuous-latent codec_lm")
     audio_lm.reset()
+    if min_len >= 0:
+        audio_lm.lm.set_min_len(audio_lm.state, int(min_len))
     if prefill_hiddens is not None:
         audio_lm.text_prefill(np.asarray(prefill_hiddens, np.float32))
 
