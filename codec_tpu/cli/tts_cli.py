@@ -522,7 +522,8 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
         else:
             prompts.append(list(bb.embed_tokens(_np.asarray(ids))))
     ods = OnDeviceSampling(temperature=pi.default_temperature,
-                           top_k=pi.default_top_k, seed=seed,
+                           top_k=pi.default_top_k,
+                           top_p=pi.default_top_p, seed=seed,
                            chunk_frames=max(2, chunk_frames))
     per_stream = None
     if sampling is not None:

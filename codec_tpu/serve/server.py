@@ -164,6 +164,7 @@ class CodecHTTPServer:
                 on_device=OnDeviceSampling(
                     temperature=pi.default_temperature,
                     top_k=pi.default_top_k,
+                    top_p=pi.default_top_p,
                     chunk_frames=max(2, chunk_frames)),
                 pi=pi, prefill_bucket=prefill_bucket,
                 mesh=self.batch_mesh)
