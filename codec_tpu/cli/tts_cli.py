@@ -463,6 +463,59 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         "eos" if res.stopped_by_eos else "max_frames"
 
 
+def run_chatterbox_synthesize_batch(model, reader, backbone_path, texts,
+                                    seed: int = 0, max_frames: int = 0,
+                                    bb=None, chunk_frames: int = 8,
+                                    lm=None, prefill_bucket: int = 0,
+                                    sampling=None,
+                                    cfg_weight: float = 0.5):
+    """Batched Chatterbox synthesize: B texts, each with its CFG lanes,
+    through ONE vmapped device loop (lm/tts_runner.run_chatterbox_batch).
+    `sampling` dicts override the T3 preset chain per text (the
+    repetition penalty stays the engine-wide preset)."""
+    import dataclasses as _dc
+
+    from ..lm import create_lm
+    from ..lm.audio_lm import AudioLM
+    from ..lm.backbone import create_backbone
+    from ..lm.chatterbox_t3 import ChatterboxT3
+    from ..lm.tts_runner import run_chatterbox_batch
+    from ..ops.sample import OnDeviceSampling
+
+    t3 = ChatterboxT3(reader)
+    if t3.tokenizer is None:
+        raise ValueError("chatterbox GGUF has no baked tokenizer")
+    if bb is None:
+        bb = create_backbone(backbone_path)
+    if bb.cfg.hidden != t3.info.hidden_dim:
+        raise ValueError(f"backbone hidden {bb.cfg.hidden} != "
+                         f"t3 hidden {t3.info.hidden_dim}")
+    shared = lm if lm is not None else create_lm(reader)
+    alms = [AudioLM(reader, codec=model, lm=shared) for _ in texts]
+    base = OnDeviceSampling(temperature=0.8, top_p=1.0, min_p=0.05,
+                            repetition_penalty=1.2, repetition_window=-1,
+                            seed=seed, chunk_frames=max(2, chunk_frames))
+    per_stream = None
+    if sampling is not None:
+        if len(sampling) != len(texts):
+            raise ValueError("sampling needs one entry per text")
+        per_stream = [
+            _dc.replace(base,
+                        temperature=float(s.get("temperature",
+                                                base.temperature)),
+                        top_k=int(s.get("top_k", base.top_k)),
+                        top_p=float(s.get("top_p", base.top_p)),
+                        min_p=float(s.get("min_p", base.min_p)))
+            for s in sampling]
+    results = run_chatterbox_batch(
+        alms, t3, bb, texts, base,
+        max_frames=max_frames if max_frames > 0 else 512,
+        cfg_weight=cfg_weight, sampling=per_stream,
+        prefill_bucket=prefill_bucket)
+    return [(r.pcm, int(r.codes.shape[0]),
+             "eos" if r.stopped_by_eos else "max_frames") for r in results]
+
+
 def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
                                   seed: int = 0, max_frames: int = 0,
                                   bb=None, chunk_frames: int = 8, lm=None,
@@ -474,12 +527,13 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     shape (reference contrast: one codec_lm_state per stream but a serial
     host loop each, lm_internal.h:63-68).
 
-    Plain codebook-AR families only (CSM / Qwen3-TTS / MOSS-TTSD);
-    continuous, LFM2-sequential, streaming-interleave and Chatterbox
-    kinds raise. `lm`: a preloaded CodecLM to share across calls.
-    `sampling`: one dict per text ({"temperature", "top_k", "top_p",
-    "min_p"}, missing keys = the PromptInfo defaults) — per-stream
-    chains ride as a traced chunk input (run_codebook_ar_batch).
+    Plain codebook-AR families (CSM / Qwen3-TTS / MOSS-TTSD) and the
+    Chatterbox T3 family (B streams × CFG lanes through
+    run_chatterbox_batch); continuous, LFM2-sequential and
+    streaming-interleave kinds raise. `lm`: a preloaded CodecLM to share
+    across calls. `sampling`: one dict per text ({"temperature",
+    "top_k", "top_p", "min_p"}, missing keys = the family defaults) —
+    per-stream chains ride as a traced chunk input.
     Returns [(pcm, n_frames, stop), ...] per text."""
     import numpy as _np
 
@@ -494,7 +548,13 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     from ..ops.sample import OnDeviceSampling
 
     if is_chatterbox(reader):
-        raise ValueError("batched synthesize does not support chatterbox")
+        if mesh is not None:
+            raise ValueError("batched chatterbox does not compose with "
+                             "--dp yet")
+        return run_chatterbox_synthesize_batch(
+            model, reader, backbone_path, texts, seed=seed,
+            max_frames=max_frames, bb=bb, chunk_frames=chunk_frames,
+            lm=lm, prefill_bucket=prefill_bucket, sampling=sampling)
     if bb is None:
         bb = create_backbone(backbone_path)
     else:

@@ -451,6 +451,91 @@ def build_chatterbox_chunk(bb_cfg, chain: Tuple[float, int, float, float],
     return jax.jit(chunk, donate_argnums=(4,))
 
 
+def build_chatterbox_chunk_batched(bb_cfg, n_frames: int, *, n_seq: int,
+                                   cfg_weight: float, stop_token: int,
+                                   n_pos: int,
+                                   rep_pen: float = 1.2) -> Callable:
+    """B concurrent Chatterbox generations, each with its S CFG lanes,
+    in ONE vmapped device loop — the /synthesize_batch shape for the T3
+    family (the single-stream loop is build_chatterbox_chunk; contract
+    identical per stream, including the `jax.random.split` sequence).
+    The T3 sampler chain rides as a traced per-stream [B, 4] input
+    (`[temperature, top_k, top_p, min_p]`, `sample_logits_dyn`; the
+    repetition penalty stays a build-time static — T3's preset — and is
+    skipped per stream when its temperature <= 0, matching the host
+    SamplerChain).
+
+    Returns fn(bb_params, head, speech_emb, pos_emb,
+    kv [B, S, L, 2, nkv, ctx, D] (donated), pos [B], step [B],
+    h [B, S, hidden] f32, keys [B] PRNG, seen [B, V] bool, done0 [B],
+    chains [B, 4]) → (packed int32 [K·B + 1 + 3B], h', kv', keys',
+    seen') with packed = codes[K, B].ravel() ++ [n_iter] ++ done[B] ++
+    pos[B] ++ step[B]. Frozen (done) streams' rows are junk the host
+    must ignore; their state never advances."""
+    from ..ops.sample import apply_repetition_penalty, sample_logits_dyn
+    from .backbone import backbone_forward
+
+    k_frames = int(n_frames)
+    cfg_w = float(cfg_weight)
+    stop = int(stop_token)
+    rep_pen = float(rep_pen)              # T3Sampler preset by default
+
+    def chunk(bb_params, head, speech_emb, pos_emb, kv, pos, step, h,
+              keys, seen, done0, chains):
+        b = h.shape[0]
+        kv_dtype = jax.tree_util.tree_leaves(kv)[0].dtype
+        buf0 = jnp.zeros((k_frames, b), jnp.int32)
+
+        def sample_one(logits, sub, seen_row, chain):
+            pen = apply_repetition_penalty(logits, seen_row, rep_pen)
+            use = jnp.logical_and(chain[0] > 0.0, rep_pen != 1.0)
+            return sample_logits_dyn(jnp.where(use, pen, logits), sub,
+                                     chain)
+
+        def cond_fn(s):
+            return jnp.logical_and(s[0] < k_frames,
+                                   jnp.logical_not(jnp.all(s[1])))
+
+        def body(s):
+            i, done, h, kv, pos, step, keys, seen, buf = s
+            nk = jax.vmap(jax.random.split)(keys)
+            keys, subs = nk[:, 0], nk[:, 1]
+            lg = jnp.einsum("bsh,vh->bsv", h, head)      # [B, S, V]
+            logits = lg[:, 0] + cfg_w * (lg[:, 0] - lg[:, 1]) \
+                if n_seq == 2 else lg[:, 0]
+            codes = jax.vmap(sample_one)(logits, subs, seen, chains)
+            seen = seen.at[jnp.arange(b), codes].set(True)
+            buf = jax.lax.dynamic_update_slice(buf, codes[None], (i, 0))
+            is_stop = jnp.logical_or(codes == stop, done)
+
+            prow = jnp.clip(step + 1, 0, n_pos - 1)
+            emb = (speech_emb[codes]
+                   + jnp.where((step + 1 < n_pos)[:, None],
+                               pos_emb[prow], 0.0)).astype(kv_dtype)
+            h2, kv2 = jax.vmap(jax.vmap(
+                lambda kv_l, p, e: backbone_forward(bb_params, kv_l, p,
+                                                    e[None], bb_cfg),
+                in_axes=(0, None, None)), in_axes=(0, 0, 0))(kv, pos, emb)
+            done = is_stop
+            h = jnp.where(done[:, None, None], h,
+                          h2[:, :, 0].astype(jnp.float32))
+            kv = kv2
+            pos = jnp.where(done, pos, pos + 1)
+            step = jnp.where(done, step, step + 1)
+            return (i + 1, done, h, kv, pos, step, keys, seen, buf)
+
+        i, done, h, kv, pos, step, keys, seen, buf = jax.lax.while_loop(
+            cond_fn, body,
+            (jnp.int32(0), jnp.asarray(done0, bool), h, kv,
+             jnp.asarray(pos, jnp.int32), jnp.asarray(step, jnp.int32),
+             keys, seen, buf0))
+        packed = jnp.concatenate([buf.reshape(-1), i[None],
+                                  done.astype(jnp.int32), pos, step])
+        return packed, h, kv, keys, seen
+
+    return jax.jit(chunk, donate_argnums=(4,))
+
+
 def init_rep_hist(lm, window: int):
     """Fresh repetition-penalty history for build_stream_chunk's carry:
     a (−1-filled ring [n_cb, window], slot pointer) for window > 0, or a

@@ -666,6 +666,126 @@ def _run_chatterbox_chunked(audio_lm, t3, backbones, hiddens,
                            stopped_by_eos=stopped)
 
 
+def run_chatterbox_batch(
+    audio_lms: Sequence[AudioLM],
+    t3,
+    backbone,
+    texts: Sequence[str],
+    on_device: OnDeviceSampling,
+    max_frames: int = 512,
+    cfg_weight: float = 0.5,
+    decode: bool = True,
+    sampling: Optional[Sequence[OnDeviceSampling]] = None,
+    prefill_bucket: int = 0,
+) -> List[SynthesisResult]:
+    """B concurrent Chatterbox T3 generations, each with its CFG lanes,
+    through ONE vmapped device loop (lm/fused_gen.
+    build_chatterbox_chunk_batched) on shared weights — the
+    /synthesize_batch shape for the chatterbox family. Per-stream codes
+    are bit-identical to the single-stream chunked run
+    (`run_chatterbox(on_device=...)`) with seed `on_device.seed + i`.
+    `sampling` optionally carries one chain per stream (traced [B, 4]
+    input; the repetition PENALTY stays the engine-wide T3 preset).
+
+    Reference contrast: the reference runs one chatterbox synthesis at a
+    time (run_chatterbox, tts_runner.cpp:876, host loop per frame per
+    CFG lane)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .fused_gen import build_chatterbox_chunk_batched
+
+    b = len(audio_lms)
+    if b == 0 or b != len(texts):
+        raise ValueError("need one text per stream")
+    if sampling is not None and len(sampling) != b:
+        raise ValueError("sampling needs one OnDeviceSampling per stream")
+    if not (hasattr(backbone, "params") and hasattr(backbone, "kv")
+            and hasattr(backbone, "cfg")
+            and getattr(backbone, "_pp", None) is None):
+        raise ValueError("batched chatterbox needs a JAX backbone "
+                         "(pipeline-staged backbones run per-stream)")
+    info = t3.info
+    k_frames = max(2, int(on_device.chunk_frames))
+    n_seq = 2 if cfg_weight > 0.0 else 1
+    chunk = build_chatterbox_chunk_batched(
+        backbone.cfg, k_frames, n_seq=n_seq, cfg_weight=cfg_weight,
+        stop_token=info.stop_speech_token,
+        n_pos=int(t3.speech_pos_emb.shape[0]),
+        rep_pen=float(on_device.repetition_penalty))
+
+    # per-stream, per-lane prompt prefill into stacked KV slices
+    kvs, hs, poss = [], [], []
+    for text in texts:
+        prompt = t3.build_prompt(t3.tokenize(text), cfg_weight=cfg_weight)
+        lane_kv, lane_h = [], []
+        for s in range(n_seq):
+            backbone.reset()
+            lane_h.append(np.asarray(
+                prefill_prompt(backbone, list(prompt[s]),
+                               bucket=prefill_bucket), np.float32))
+            lane_kv.append(backbone.kv)
+        kvs.append(jnp.stack(lane_kv))
+        hs.append(np.stack(lane_h))
+        poss.append(backbone.pos)
+    kv = jnp.stack(kvs)                            # [B, S, L, 2, ...]
+    h = jnp.asarray(np.stack(hs))                  # [B, S, hidden]
+    pos = np.asarray(poss, np.int32)
+    step = np.zeros(b, np.int32)
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(on_device.seed, on_device.seed + b, dtype=jnp.uint32))
+    head = jnp.asarray(audio_lms[0].lm.heads[0])
+    vocab = int(head.shape[0])
+    seen = jnp.zeros((b, vocab), bool).at[
+        :, info.start_speech_token].set(True)
+    chains = jnp.asarray(np.stack(
+        [(sampling[i] if sampling is not None else on_device).chain_vec()
+         for i in range(b)]))
+    semb = jnp.asarray(t3.speech_emb)
+    pemb = jnp.asarray(t3.speech_pos_emb)
+    for alm in audio_lms:
+        alm.reset()
+
+    codes: List[List[int]] = [[] for _ in range(b)]
+    stopped = [False] * b
+    steps = [0] * b
+    while any(not stopped[s] and steps[s] < max_frames for s in range(b)):
+        done0 = np.asarray([stopped[s] or steps[s] >= max_frames
+                            for s in range(b)])
+        packed, h, kv, keys, seen = chunk(
+            backbone.params, head, semb, pemb, kv, jnp.asarray(pos),
+            jnp.asarray(step), h, keys, seen, done0, chains)
+        arr = np.asarray(packed)
+        n_emit = int(arr[k_frames * b])
+        pos = arr[k_frames * b + 1 + b: k_frames * b + 1 + 2 * b] \
+            .astype(np.int32)
+        step = arr[-b:].astype(np.int32)
+        if n_emit == 0:
+            break
+        rows = arr[: k_frames * b].reshape(k_frames, b)
+        for i in range(n_emit):
+            for s in range(b):
+                if stopped[s] or steps[s] >= max_frames:
+                    continue
+                code = int(rows[i, s])
+                steps[s] += 1
+                if code == info.stop_speech_token:
+                    stopped[s] = True
+                elif code < info.start_speech_token:
+                    codes[s].append(code)
+
+    results: List[SynthesisResult] = []
+    for s in range(b):
+        arr_s = np.asarray(codes[s], np.int32).reshape(-1, 1)
+        pcm = None
+        if decode and audio_lms[s].codec is not None and len(arr_s):
+            pcm = _decode_transformed(audio_lms[s], arr_s)
+        results.append(SynthesisResult(codes=arr_s, pcm=pcm,
+                                       n_steps=steps[s],
+                                       stopped_by_eos=stopped[s]))
+    return results
+
+
 def run_codebook_ar_batch(
     audio_lms: Sequence[AudioLM],
     backbone,

@@ -334,6 +334,47 @@ def test_run_chatterbox_chunked_matches_host(tiny_cbx, tiny_cbx_backbone):
     assert ((a.codes >= 0) & (a.codes < SPEECH_V)).all()
 
 
+def test_run_chatterbox_batch_matches_single(tiny_cbx, tiny_cbx_backbone):
+    """B concurrent chatterbox generations through the vmapped chunk:
+    every stream's codes match its single-stream chunked run with seed
+    `base.seed + i` — including a stream with a per-stream chain
+    override (traced [B, 4] input)."""
+    import dataclasses
+
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_chatterbox_batch
+    from codec_tpu.ops.sample import OnDeviceSampling
+
+    reader = GGUFReader(tiny_cbx[0])
+    t3 = ChatterboxT3(reader)
+    shared = create_lm(reader)
+    bb = create_backbone(tiny_cbx_backbone, max_ctx=128)
+    base = OnDeviceSampling(temperature=0.8, min_p=0.05,
+                            repetition_penalty=1.2, repetition_window=-1,
+                            seed=11, chunk_frames=3)
+    texts = ["hello there", "ok", "hello hello"]
+    chains = [base, dataclasses.replace(base, temperature=0.0),
+              dataclasses.replace(base, temperature=1.4, top_k=5)]
+    alms = [AudioLM(reader, lm=shared) for _ in texts]
+    got = run_chatterbox_batch(alms, t3, bb, texts, base, max_frames=6,
+                               cfg_weight=0.5, decode=False,
+                               sampling=chains)
+    from codec_tpu.lm.tts_runner import run_chatterbox
+
+    for i, text in enumerate(texts):
+        lanes = [create_backbone(tiny_cbx_backbone, max_ctx=128)
+                 for _ in range(2)]
+        ref = run_chatterbox(
+            AudioLM(reader), t3, lanes, text, max_frames=6,
+            cfg_weight=0.5, decode=False,
+            on_device=dataclasses.replace(chains[i], seed=11 + i))
+        np.testing.assert_array_equal(got[i].codes, ref.codes)
+        assert got[i].n_steps == ref.n_steps
+        assert got[i].stopped_by_eos == ref.stopped_by_eos
+
+
 def test_run_chatterbox_flow(tiny_cbx):
     path, t, _ = tiny_cbx
     from codec_tpu.lm.audio_lm import AudioLM
