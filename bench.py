@@ -629,9 +629,43 @@ def _bench_t3_chunked(fast: bool = False):
         np.asarray(packed)
     wall = max(1e-9, (time.monotonic() - t0) - iters * rtt) \
         / (iters * k_frames)
-    return {"t3_chunked_frame_ms": round(wall * 1e3, 2),
-            "t3_chunked_rtf": round(wall / 0.040, 4),
-            "t3_chunk_frames": k_frames, "t3_lanes": 2}
+    out = {"t3_chunked_frame_ms": round(wall * 1e3, 2),
+           "t3_chunked_rtf": round(wall / 0.040, 4),
+           "t3_chunk_frames": k_frames, "t3_lanes": 2}
+
+    # batched multi-stream: B concurrent T3 syntheses (each 2 CFG lanes)
+    # through one vmapped loop (run_chatterbox_batch /
+    # /synthesize_batch shape; per-stream traced chains)
+    from codec_tpu.lm.fused_gen import build_chatterbox_chunk_batched
+
+    n_streams = 2 if fast else 4
+    bchunk = build_chatterbox_chunk_batched(
+        cfg, k_frames, n_seq=2, cfg_weight=0.5, stop_token=-1, n_pos=1024)
+    kvb = jnp.zeros((n_streams, 2, L, 2, nkv, cfg.max_ctx, hd), dtype)
+    hb = jr.normal(jr.PRNGKey(10), (n_streams, 2, hid), jnp.float32) * 0.3
+    keysb = jax.vmap(jr.PRNGKey)(jnp.arange(n_streams, dtype=jnp.uint32))
+    seenb = jnp.zeros((n_streams, v), bool)
+    chainsb = jnp.tile(jnp.asarray([0.8, 0.0, 1.0, 0.05], jnp.float32),
+                       (n_streams, 1))
+    posb = jnp.zeros((n_streams,), jnp.int32)
+    stepb = jnp.zeros((n_streams,), jnp.int32)
+    doneb = np.zeros(n_streams, bool)
+    packed, hb, kvb, keysb, seenb = bchunk(
+        bb_params, head, semb, pemb, kvb, posb, stepb, hb, keysb, seenb,
+        doneb, chainsb)
+    np.asarray(packed)                                # compile + warm
+    t0 = time.monotonic()
+    for _ in range(iters):
+        packed, hb, kvb, keysb, seenb = bchunk(
+            bb_params, head, semb, pemb, kvb, posb, stepb, hb, keysb,
+            seenb, doneb, chainsb)
+        np.asarray(packed)
+    bwall = max(1e-9, (time.monotonic() - t0) - iters * rtt) \
+        / (iters * k_frames * n_streams)
+    out["t3_batched_streams"] = n_streams
+    out["t3_batched_frame_ms_per_stream"] = round(bwall * 1e3, 2)
+    out["t3_batched_rtf_per_stream"] = round(bwall / 0.040, 4)
+    return out
 
 
 def _section(extra, key, fn, retries=1):
