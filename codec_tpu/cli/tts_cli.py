@@ -468,7 +468,7 @@ def run_chatterbox_synthesize_batch(model, reader, backbone_path, texts,
                                     bb=None, chunk_frames: int = 8,
                                     lm=None, prefill_bucket: int = 0,
                                     sampling=None,
-                                    cfg_weight: float = 0.5):
+                                    cfg_weight: float = 0.5, mesh=None):
     """Batched Chatterbox synthesize: B texts, each with its CFG lanes,
     through ONE vmapped device loop (lm/tts_runner.run_chatterbox_batch).
     `sampling` dicts override the T3 preset chain per text (the
@@ -511,7 +511,7 @@ def run_chatterbox_synthesize_batch(model, reader, backbone_path, texts,
         alms, t3, bb, texts, base,
         max_frames=max_frames if max_frames > 0 else 512,
         cfg_weight=cfg_weight, sampling=per_stream,
-        prefill_bucket=prefill_bucket)
+        prefill_bucket=prefill_bucket, mesh=mesh)
     return [(r.pcm, int(r.codes.shape[0]),
              "eos" if r.stopped_by_eos else "max_frames") for r in results]
 
@@ -548,13 +548,11 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     from ..ops.sample import OnDeviceSampling
 
     if is_chatterbox(reader):
-        if mesh is not None:
-            raise ValueError("batched chatterbox does not compose with "
-                             "--dp yet")
         return run_chatterbox_synthesize_batch(
             model, reader, backbone_path, texts, seed=seed,
             max_frames=max_frames, bb=bb, chunk_frames=chunk_frames,
-            lm=lm, prefill_bucket=prefill_bucket, sampling=sampling)
+            lm=lm, prefill_bucket=prefill_bucket, sampling=sampling,
+            mesh=mesh)
     if bb is None:
         bb = create_backbone(backbone_path)
     else:

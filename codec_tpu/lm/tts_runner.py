@@ -677,6 +677,8 @@ def run_chatterbox_batch(
     decode: bool = True,
     sampling: Optional[Sequence[OnDeviceSampling]] = None,
     prefill_bucket: int = 0,
+    mesh=None,
+    dp_axis: str = "dp",
 ) -> List[SynthesisResult]:
     """B concurrent Chatterbox T3 generations, each with its CFG lanes,
     through ONE vmapped device loop (lm/fused_gen.
@@ -686,6 +688,11 @@ def run_chatterbox_batch(
     (`run_chatterbox(on_device=...)`) with seed `on_device.seed + i`.
     `sampling` optionally carries one chain per stream (traced [B, 4]
     input; the repetition PENALTY stays the engine-wide T3 preset).
+
+    `mesh`: shard the B streams' carried state (lane KV stacks, hiddens,
+    PRNG keys, seen masks) over `mesh[dp_axis]` — data-parallel
+    multi-stream chatterbox serving, exactly like
+    run_codebook_ar_batch(mesh=...). Requires B divisible by the mesh.
 
     Reference contrast: the reference runs one chatterbox synthesis at a
     time (run_chatterbox, tts_runner.cpp:876, host loop per frame per
@@ -700,6 +707,10 @@ def run_chatterbox_batch(
         raise ValueError("need one text per stream")
     if sampling is not None and len(sampling) != b:
         raise ValueError("sampling needs one OnDeviceSampling per stream")
+    if mesh is not None and b % int(mesh.shape[dp_axis]):
+        raise ValueError(f"batched chatterbox DP: {b} streams not "
+                         f"divisible by mesh size "
+                         f"{int(mesh.shape[dp_axis])}")
     if not (hasattr(backbone, "params") and hasattr(backbone, "kv")
             and hasattr(backbone, "cfg")
             and getattr(backbone, "_pp", None) is None):
@@ -738,6 +749,13 @@ def run_chatterbox_batch(
     vocab = int(head.shape[0])
     seen = jnp.zeros((b, vocab), bool).at[
         :, info.start_speech_token].set(True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _dp(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(dp_axis, *([None] * (x.ndim - 1)))))
+        kv, h, keys, seen = _dp(kv), _dp(h), _dp(keys), _dp(seen)
     chains = jnp.asarray(np.stack(
         [(sampling[i] if sampling is not None else on_device).chain_vec()
          for i in range(b)]))

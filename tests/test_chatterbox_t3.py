@@ -375,6 +375,38 @@ def test_run_chatterbox_batch_matches_single(tiny_cbx, tiny_cbx_backbone):
         assert got[i].stopped_by_eos == ref.stopped_by_eos
 
 
+def test_run_chatterbox_batch_dp(tiny_cbx, tiny_cbx_backbone):
+    """Batched chatterbox with stream state sharded over a 2-device dp
+    mesh: codes equal the unsharded batched run, and the lane-KV batch
+    is really device-sharded."""
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.audio_lm import AudioLM
+    from codec_tpu.lm.backbone import create_backbone
+    from codec_tpu.lm.tts_runner import run_chatterbox_batch
+    from codec_tpu.ops.sample import OnDeviceSampling
+    from codec_tpu.parallel.mesh import make_mesh
+
+    reader = GGUFReader(tiny_cbx[0])
+    t3 = ChatterboxT3(reader)
+    shared = create_lm(reader)
+    base = OnDeviceSampling(temperature=0.8, min_p=0.05,
+                            repetition_penalty=1.2, repetition_window=-1,
+                            seed=21, chunk_frames=3)
+    texts = ["hello there", "ok"]
+
+    def run(mesh):
+        return run_chatterbox_batch(
+            [AudioLM(reader, lm=shared) for _ in texts], t3,
+            create_backbone(tiny_cbx_backbone, max_ctx=128), texts, base,
+            max_frames=5, cfg_weight=0.5, decode=False, mesh=mesh)
+
+    want = run(None)
+    got = run(make_mesh(2, axis="dp"))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g.codes, w.codes)
+        assert g.n_steps == w.n_steps
+
+
 def test_run_chatterbox_flow(tiny_cbx):
     path, t, _ = tiny_cbx
     from codec_tpu.lm.audio_lm import AudioLM
