@@ -239,12 +239,14 @@ def _bench_cold_start(t_frames: int = 250):
         np.save(cpath, codes)
         env = dict(os.environ, CODEC_JAX_CACHE="0", CODEC_TIERED_JIT="fast")
         t0 = time.monotonic()
+        # capture the CLI's output: bench stdout must stay ONE JSON line
         subprocess.run(
             [sys.executable, "-m", "codec_tpu.cli.codec_cli", "decode",
              "--model", str(paths["F32"]), "--codes", cpath,
              "--out", os.path.join(td, "o.wav")],
             check=True, env=env, cwd=str(_FIXTURE_DIR.parent),
-            timeout=900)
+            timeout=900, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
         return {"cold_start_to_first_audio_s": round(time.monotonic() - t0, 1)}
 
 

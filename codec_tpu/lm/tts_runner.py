@@ -719,11 +719,23 @@ def run_chatterbox_batch(
     info = t3.info
     k_frames = max(2, int(on_device.chunk_frames))
     n_seq = 2 if cfg_weight > 0.0 else 1
-    chunk = build_chatterbox_chunk_batched(
-        backbone.cfg, k_frames, n_seq=n_seq, cfg_weight=cfg_weight,
-        stop_token=info.stop_speech_token,
-        n_pos=int(t3.speech_pos_emb.shape[0]),
-        rep_pen=float(on_device.repetition_penalty))
+    # compile hygiene (docs/SERVING.md): cache the jitted chunk on t3 —
+    # a fresh jax.jit per request would retrace the whole B-stream
+    # while_loop graph every /synthesize_batch call. B itself is a
+    # traced input shape, so one cached fn serves any request size.
+    cache = getattr(t3, "_cbx_batch_chunk_cache", None)
+    if cache is None:
+        cache = t3._cbx_batch_chunk_cache = {}
+    key_ = (k_frames, n_seq, float(cfg_weight),
+            float(on_device.repetition_penalty),
+            int(t3.speech_pos_emb.shape[0]), repr(backbone.cfg))
+    chunk = cache.get(key_)
+    if chunk is None:
+        chunk = cache[key_] = build_chatterbox_chunk_batched(
+            backbone.cfg, k_frames, n_seq=n_seq, cfg_weight=cfg_weight,
+            stop_token=info.stop_speech_token,
+            n_pos=int(t3.speech_pos_emb.shape[0]),
+            rep_pen=float(on_device.repetition_penalty))
 
     # per-stream, per-lane prompt prefill into stacked KV slices
     kvs, hs, poss = [], [], []

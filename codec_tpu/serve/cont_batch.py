@@ -340,17 +340,24 @@ class ContinuousBatcher:
 
         for s in active:
             self._pos[s] = pos_after[s]
+        cb_err: dict[int, BaseException] = {}
         for i in range(n_emit):
             for s in active:
                 req = self.slots[s]
-                if self._stopped[s] or self._steps[s] >= req.max_steps:
+                if s in cb_err or self._stopped[s] \
+                        or self._steps[s] >= req.max_steps:
                     continue
                 codes = req.audio_lm.state.push_frame(rows[i, s])
                 self._steps[s] += 1
                 if req.audio_lm.observe_codes(codes) is ObserveAction.STOP:
                     self._stopped[s] = True
                 elif req.frame_cb is not None:
-                    req.frame_cb(np.asarray(codes, np.int32))
+                    try:
+                        req.frame_cb(np.asarray(codes, np.int32))
+                    except BaseException as e:        # noqa: BLE001
+                        # a broken callback fails ITS request, not the
+                        # engine: retire the slot below, keep stepping
+                        cb_err[s] = e
         for s in active:
             self._base[s] += n_emit
 
@@ -362,6 +369,10 @@ class ContinuousBatcher:
                 # abandoned (the next admission scatters over it)
                 req._finish(error=RequestCancelled(
                     "request cancelled mid-generation"))
+                self.slots[s] = None
+                continue
+            if s in cb_err:
+                req._finish(error=cb_err[s])
                 self.slots[s] = None
                 continue
             if not self._stopped[s] and self._steps[s] < req.max_steps:
@@ -394,6 +405,19 @@ class ContinuousBatcher:
                     if not self._queue:
                         return
 
+    def fail_all(self, err: BaseException) -> None:
+        """Resolve every active and queued request with `err` (engine-
+        level failure): handles unblock instead of hanging to their wait
+        timeout, slots free for the next admissions."""
+        for s in range(self.B):
+            req, self.slots[s] = self.slots[s], None
+            if req is not None:
+                req._finish(error=err)
+        with self._lock:
+            queued, self._queue = list(self._queue), type(self._queue)()
+        for req in queued:
+            req._finish(error=err)
+
 
 class EngineThread(threading.Thread):
     """Owns a ContinuousBatcher: steps while there is work, sleeps on the
@@ -407,7 +431,18 @@ class EngineThread(threading.Thread):
 
     def run(self) -> None:
         while not self._stop_flag.is_set():
-            if self.batcher.step() == 0 and self.batcher.n_queued == 0:
+            try:
+                n = self.batcher.step()
+            except BaseException as e:                # noqa: BLE001
+                # an engine-level step failure must not silently kill the
+                # thread (every handle would hang to its wait timeout):
+                # fail the in-flight requests, log, keep serving
+                import traceback
+
+                traceback.print_exc()
+                self.batcher.fail_all(e)
+                n = 0
+            if n == 0 and self.batcher.n_queued == 0:
                 self.batcher.wait_for_work(timeout=0.1)
 
     def stop(self, timeout: float = 30.0) -> None:

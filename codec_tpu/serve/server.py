@@ -479,53 +479,59 @@ class CodecHTTPServer:
                 frames: _queue.Queue = _queue.Queue()
                 alm, handle = self._cont_submit(req, text,
                                                 frame_cb=frames.put)
-                tr = alm.decode_transform
-                if tr.audio_cb_offset or tr.cb0_speech_offset or \
-                        tr.max_delay(alm.n_codebook):
-                    handle.cancel()
-                    raise ValueError(
-                        "streaming synthesize needs a trivial decode "
-                        "transform (delay/merged-cb0 models flush at EOS)")
-                dec = outer.model.streaming_decoder(n_q=alm.n_codebook)
-                vocode_n = max(1, int(req.get("chunk_frames", 0))
-                               or outer._cont_batcher.K)
+                try:
+                    tr = alm.decode_transform
+                    if tr.audio_cb_offset or tr.cb0_speech_offset or \
+                            tr.max_delay(alm.n_codebook):
+                        raise ValueError(
+                            "streaming synthesize needs a trivial decode "
+                            "transform (delay/merged-cb0 models flush at "
+                            "EOS)")
+                    dec = outer.model.streaming_decoder(n_q=alm.n_codebook)
+                    vocode_n = max(1, int(req.get("chunk_frames", 0))
+                                   or outer._cont_batcher.K)
 
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
-                self._response_started = True
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    self._response_started = True
 
-                def chunk(data: bytes):
-                    self.wfile.write(f"{len(data):X}\r\n".encode() + data +
-                                     b"\r\n")
-                    self.wfile.flush()
+                    def chunk(data: bytes):
+                        self.wfile.write(f"{len(data):X}\r\n".encode() +
+                                         data + b"\r\n")
+                        self.wfile.flush()
 
-                chunk(_wav_header(-1, outer.model.sample_rate))
-                deadline = time.monotonic() + 600.0
-                buf = []
-                while True:
-                    try:
-                        buf.append(frames.get(timeout=0.05))
-                    except _queue.Empty:
-                        if handle.done:
-                            break
-                        if time.monotonic() > deadline:
-                            handle.cancel()
-                            raise ValueError("synthesis timed out; "
-                                             "request cancelled")
-                        continue
-                    if len(buf) >= vocode_n:
+                    chunk(_wav_header(-1, outer.model.sample_rate))
+                    deadline = time.monotonic() + 600.0
+                    buf = []
+                    while True:
+                        try:
+                            buf.append(frames.get(timeout=0.05))
+                        except _queue.Empty:
+                            if handle.done:
+                                break
+                            if time.monotonic() > deadline:
+                                raise ValueError("synthesis timed out; "
+                                                 "request cancelled")
+                            continue
+                        if len(buf) >= vocode_n:
+                            chunk(_pcm16(dec.push(np.stack(buf))))
+                            buf = []
+                    while not frames.empty():      # post-done stragglers
+                        buf.append(frames.get_nowait())
+                    handle.wait(timeout=0)         # re-raise engine errors
+                    if buf:
                         chunk(_pcm16(dec.push(np.stack(buf))))
-                        buf = []
-                while not frames.empty():          # post-done stragglers
-                    buf.append(frames.get_nowait())
-                handle.wait(timeout=0)             # re-raise engine errors
-                if buf:
-                    chunk(_pcm16(dec.push(np.stack(buf))))
-                chunk(b"")                         # terminating chunk
-                # mid-stream errors skip the terminator: do_POST logs and
-                # drops the connection, so the client sees a truncation
+                    chunk(b"")                     # terminating chunk
+                    # mid-stream errors skip the terminator: do_POST logs
+                    # and drops the connection → client sees a truncation
+                except BaseException:
+                    # any failure here (incl. a client disconnect breaking
+                    # chunk()) must free the engine slot, or the orphaned
+                    # stream generates to max_steps into a dead queue
+                    handle.cancel()
+                    raise
 
             def _synthesize_batch(self):
                 """B texts through ONE vmapped on-device generation loop
