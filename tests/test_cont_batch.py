@@ -303,3 +303,70 @@ def test_dp_slots_divisibility(rda_gguf, tiny_backbone_gguf):
         ContinuousBatcher(_fresh_backbone(tiny_backbone_gguf), shared,
                           n_slots=3, on_device=ODS,
                           mesh=make_mesh(2, axis="dp"))
+
+
+def test_frame_cb_error_fails_only_that_request(rda_gguf,
+                                                tiny_backbone_gguf):
+    """A broken frame callback (e.g. a dead streaming consumer) fails ITS
+    request and frees the slot; concurrent streams are untouched and the
+    slot admits new work afterwards."""
+    path, _ = rda_gguf
+    batcher, shared = _engine(path, tiny_backbone_gguf, n_slots=2)
+    prompts = _prompts(3, seed=23)
+
+    def bad_cb(codes):
+        raise RuntimeError("consumer broke")
+
+    h_bad = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[0],
+                           seed=80, max_steps=6, frame_cb=bad_cb)
+    h_ok = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[1],
+                          seed=81, max_steps=6)
+    batcher.drain()
+    with pytest.raises(RuntimeError, match="consumer broke"):
+        h_bad.wait(timeout=0)
+    got = h_ok.wait(timeout=0)
+    ref = _single_stream(path, tiny_backbone_gguf, prompts[1],
+                         seed=81, max_steps=6)
+    np.testing.assert_array_equal(got.codes, ref.codes)
+
+    h2 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[2],
+                        seed=82, max_steps=4)
+    batcher.drain()
+    ref2 = _single_stream(path, tiny_backbone_gguf, prompts[2],
+                          seed=82, max_steps=4)
+    np.testing.assert_array_equal(h2.wait(timeout=0).codes, ref2.codes)
+
+
+def test_engine_thread_survives_step_failure(rda_gguf, tiny_backbone_gguf):
+    """An engine-level step() failure resolves every in-flight handle with
+    the error (fail_all) instead of hanging them, and the engine thread
+    keeps serving subsequent requests."""
+    path, _ = rda_gguf
+    batcher, shared = _engine(path, tiny_backbone_gguf, n_slots=2)
+    real_step = batcher.step
+    armed = threading.Event()
+    armed.set()
+
+    def step():
+        if armed.is_set() and (batcher.n_active or batcher.n_queued):
+            armed.clear()
+            raise RuntimeError("injected engine failure")
+        return real_step()
+
+    batcher.step = step
+    eng = EngineThread(batcher)
+    eng.start()
+    prompts = _prompts(2, seed=29)
+    h0 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[0],
+                        seed=90, max_steps=4)
+    with pytest.raises(RuntimeError, match="injected engine failure"):
+        h0.wait(timeout=300)
+    # the thread survived; the next request completes correctly
+    h1 = batcher.submit(AudioLM(GGUFReader(path), lm=shared), prompts[1],
+                        seed=91, max_steps=4)
+    got = h1.wait(timeout=300)
+    eng.stop()
+    assert not eng.is_alive()
+    ref = _single_stream(path, tiny_backbone_gguf, prompts[1],
+                         seed=91, max_steps=4)
+    np.testing.assert_array_equal(got.codes, ref.codes)
