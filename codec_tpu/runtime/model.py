@@ -226,6 +226,28 @@ class CodecModel:
             setattr(self, k, v)
         return self
 
+    # -- metadata accessors (reference: codec_model_n_fft / win_length /
+    #    n_mels / name / n_tensors, src/codec.cpp:815-877; -1 = absent) -----
+    @property
+    def n_fft(self) -> int:
+        return int(self.metadata.get("codec.n_fft", -1))
+
+    @property
+    def win_length(self) -> int:
+        return int(self.metadata.get("codec.win_length", -1))
+
+    @property
+    def n_mels(self) -> int:
+        return int(self.metadata.get("codec.n_mels", -1))
+
+    @property
+    def name(self) -> str:
+        return str(self.metadata.get("general.name", ""))
+
+    @property
+    def n_tensors(self) -> int:
+        return len(self.reader.tensors) if self.reader is not None else 0
+
     # -- subclass hooks ----------------------------------------------------
     def _load(self, reader: GGUFReader) -> None:
         raise NotImplementedError

@@ -41,6 +41,24 @@ def test_cli_info(wt_gguf, capsys):
     assert "codec.sample_rate = 24000" in out
 
 
+def test_model_metadata_accessors(wt_gguf):
+    """Reference codec_model_* accessor parity (src/codec.cpp:815-877):
+    n_fft/win_length/n_mels from codec.* KVs (-1 when absent), name,
+    n_tensors."""
+    import codec_tpu
+
+    m = codec_tpu.load_model(str(wt_gguf))
+    # WavTokenizer writes no mel/fft KVs (reference converter likewise):
+    # the accessors fall back to -1 exactly like codec_model_n_fft
+    assert m.n_fft == -1 and m.n_mels == -1 and m.win_length == -1
+    assert m.n_tensors == len(m.reader.tensors) > 0
+    assert m.name == "WavTokenizer"
+    # present KV: NeuCodec's converter writes codec.n_fft — emulate via
+    # metadata injection (the property reads the KV dict)
+    m.metadata["codec.n_fft"] = 1280
+    assert m.n_fft == 1280
+
+
 def test_cli_e2e(wt_gguf, tmp_path, capsys):
     from codec_tpu.cli.codec_cli import main
 
