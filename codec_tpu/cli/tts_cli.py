@@ -121,6 +121,31 @@ def _apply_backbone_mesh(bb, args) -> None:
             return
 
 
+def load_backbone_tokenizer(bb_reader):
+    """Baked tokenizer from a backbone GGUF: SPM-unigram
+    (``backbone.tokenizer.spm_b64``, lm/spm.py) or byte-level BPE
+    (``backbone.tokenizer.bpe_json_zb64``, lm/bpe.py — Llama-3/Qwen
+    backbones). The reference gets this from llama.cpp's vocab
+    (common/tts_runner.cpp:1096-1113); with the backbone in-repo the
+    GGUF carries the tokenizer itself."""
+    spm_b64 = bb_reader.get_str("backbone.tokenizer.spm_b64", "")
+    if spm_b64:
+        from ..lm.spm import SpmUnigram
+
+        return SpmUnigram.from_b64(spm_b64)
+    bpe_zb64 = bb_reader.get_str("backbone.tokenizer.bpe_json_zb64", "")
+    if bpe_zb64:
+        from ..lm.bpe import BpeByteLevel
+
+        return BpeByteLevel.from_zb64(bpe_zb64)
+    raise ValueError(
+        "backbone GGUF has no baked tokenizer "
+        "(backbone.tokenizer.spm_b64 / backbone.tokenizer.bpe_json_zb64)"
+        " — re-convert with a tokenizer.model or tokenizer.json next to "
+        "the checkpoint, or drive codec_tpu.lm.tts_runner directly with "
+        "token ids")
+
+
 def flow_prepare_text(text: str):
     """pocket_tts prepare_text_prompt parity (tts_runner_flow.cpp:34-56):
     strip, collapse spaces, uppercase first letter, ensure trailing
@@ -320,7 +345,6 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
     from ..lm.audio_lm import AudioLM
     from ..lm.backbone import create_backbone
     from ..lm.prompt_info import build_prompt_info
-    from ..lm.spm import SpmUnigram
     from ..lm.tts_runner import SamplerChain, run_codebook_ar
 
     from ..lm.chatterbox_t3 import is_chatterbox
@@ -347,14 +371,7 @@ def run_backbone_synthesize(model, reader, backbone_path, text: str,
         raise ValueError(f"backbone hidden {bb.cfg.hidden} != "
                          f"codec.lm hidden {pi.hidden_dim}")
 
-    bb_reader = GGUFReader(backbone_path)
-    spm_b64 = bb_reader.get_str("backbone.tokenizer.spm_b64", "")
-    if not spm_b64:
-        raise ValueError("backbone GGUF has no baked tokenizer "
-                         "(backbone.tokenizer.spm_b64) — re-convert with "
-                         "a tokenizer, or drive codec_tpu.lm.tts_runner "
-                         "directly with token ids")
-    tok = SpmUnigram.from_b64(spm_b64)
+    tok = load_backbone_tokenizer(GGUFReader(backbone_path))
     ids = tok.encode(pi.prompt_prefix + text + pi.prompt_suffix)
     print(f"backbone: {len(ids)} prompt tokens; "
           f"hidden={bb.cfg.hidden} layers={bb.cfg.n_layers}")
@@ -543,7 +560,6 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     from ..lm.backbone import create_backbone
     from ..lm.chatterbox_t3 import is_chatterbox
     from ..lm.prompt_info import build_prompt_info
-    from ..lm.spm import SpmUnigram
     from ..lm.tts_runner import run_codebook_ar_batch
     from ..ops.sample import OnDeviceSampling
 
@@ -564,11 +580,7 @@ def run_backbone_synthesize_batch(model, reader, backbone_path, texts,
     if pi.hidden_dim and bb.cfg.hidden != pi.hidden_dim:
         raise ValueError(f"backbone hidden {bb.cfg.hidden} != "
                          f"codec.lm hidden {pi.hidden_dim}")
-    spm_b64 = GGUFReader(backbone_path).get_str(
-        "backbone.tokenizer.spm_b64", "")
-    if not spm_b64:
-        raise ValueError("backbone GGUF has no baked tokenizer")
-    tok = SpmUnigram.from_b64(spm_b64)
+    tok = load_backbone_tokenizer(GGUFReader(backbone_path))
 
     shared = lm if lm is not None else create_lm(reader)
     alms = [AudioLM(reader, codec=model, lm=shared) for _ in texts]

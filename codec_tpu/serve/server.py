@@ -138,8 +138,8 @@ class CodecHTTPServer:
             if self.lm is None:
                 raise ValueError("--cont-batch needs a codec_lm adaptor "
                                  "in the model GGUF")
+            from ..cli.tts_cli import load_backbone_tokenizer
             from ..lm.prompt_info import build_prompt_info
-            from ..lm.spm import SpmUnigram
             from ..ops.sample import OnDeviceSampling
             from .cont_batch import ContinuousBatcher, EngineThread
 
@@ -148,13 +148,9 @@ class CodecHTTPServer:
                     or pi.streaming_interleave:
                 raise ValueError(f"--cont-batch supports plain codebook-AR "
                                  f"kinds only (family: {pi.host_arch})")
-            spm_b64 = GGUFReader(backbone_path).get_str(
-                "backbone.tokenizer.spm_b64", "")
-            if not spm_b64:
-                raise ValueError("--cont-batch backbone GGUF has no baked "
-                                 "tokenizer (backbone.tokenizer.spm_b64)")
             self._cont_pi = pi
-            self._cont_tok = SpmUnigram.from_b64(spm_b64)
+            self._cont_tok = load_backbone_tokenizer(
+                GGUFReader(backbone_path))
             # --dp composes: the engine's slot state (KV/hidden/PRNG)
             # shards over the same dp mesh /synthesize_batch uses (and
             # over the dp axis of a --dp x --tp 2-D mesh). Requires

@@ -541,3 +541,117 @@ def test_tts_cli_synthesize_backbone_tp_pp(mimi_rda_and_backbone, tmp_path,
         tp, pp, ep = 2, 2, 0
     with pytest.raises(ValueError, match="mutually exclusive"):
         _apply_backbone_mesh(None, _A())
+
+
+# ---------------------------------------------------------------------------
+# byte-level-BPE backbone tokenizers (Llama-3 / Qwen hosts; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+def _bpe_backbone(tmp, style: str):
+    """A second backbone GGUF over the same tiny llama weights, with a
+    byte-level BPE tokenizer baked (tokenizer ids < vocab_size=300)."""
+    from transformers import LlamaConfig, LlamaModel
+    from codec_tpu.convert import get_converter
+    from codec_tpu.lm.bpe import BpeByteLevel
+    from test_bpe import LLAMA3_PATTERN, QWEN2_PATTERN, _train
+    from tokenizers import Regex, pre_tokenizers
+
+    pat = LLAMA3_PATTERN if style == "llama3" else QWEN2_PATTERN
+    pre = pre_tokenizers.Sequence([
+        pre_tokenizers.Split(Regex(pat), behavior="isolated", invert=False),
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False),
+    ])
+    oracle = _train(pre, vocab_size=280,
+                    ignore_merges=(style == "llama3"),
+                    specials=["<|begin_of_text|>"] if style == "llama3"
+                    else ["<|im_start|>", "<|im_end|>"])
+
+    torch.manual_seed(1)
+    bb_cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=300, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128)
+    hf_bb = LlamaModel(bb_cfg).eval()
+    cfg_dict = bb_cfg.to_dict()
+    cfg_dict["tokenizer_bpe_json_zb64"] = BpeByteLevel.json_to_zb64(
+        oracle.to_str().encode())
+    bconv = get_converter("llama_backbone")(quantization="F32")
+    bconv.load_from_state_dict(
+        {k: v.numpy() for k, v in hf_bb.state_dict().items()}, cfg_dict)
+    bb_path = tmp / f"bb_bpe_{style}.gguf"
+    bconv.convert_and_save(bb_path)
+    return bb_path, oracle
+
+
+@pytest.mark.parametrize("style", ["llama3", "qwen2"])
+def test_tts_cli_synthesize_backbone_bpe(mimi_rda_and_backbone, tmp_path,
+                                         capsys, style):
+    """synthesize --backbone with a byte-level-BPE-tokenizer backbone
+    (the CSM Llama-3.2 / Qwen3 host shapes) — the gap VERDICT r3 #2
+    names: codebook-AR families driven from raw text through the CLI."""
+    from codec_tpu.cli.tts_cli import main
+
+    model_path, _ = mimi_rda_and_backbone
+    bb_path, _ = _bpe_backbone(tmp_path, style)
+    out = tmp_path / f"bpe_{style}.wav"
+    assert main(["synthesize", "--model", str(model_path),
+                 "--backbone", str(bb_path), "--text", "hello there",
+                 "--out", str(out), "--max-frames", "3"]) == 0
+    pcm, sr = read_wav(out)
+    assert sr == 24000 and pcm.shape[0] > 0
+    assert "backbone AR done" in capsys.readouterr().out
+
+
+def test_backbone_gguf_bpe_tokenizer_matches_oracle(tmp_path):
+    """The baked KV round-trips: ids from the GGUF-loaded engine equal
+    the HF tokenizers oracle on the same text."""
+    from codec_tpu.cli.tts_cli import load_backbone_tokenizer
+
+    bb_path, oracle = _bpe_backbone(tmp_path, "llama3")
+    tok = load_backbone_tokenizer(GGUFReader(bb_path))
+    for text in ("hello there", "Hello, wörld!  123", "<|begin_of_text|>hi"):
+        assert tok.encode(text) == oracle.encode(
+            text, add_special_tokens=True).ids
+
+
+def test_backbone_converter_autodetects_tokenizer_json(tmp_path):
+    """load_from_checkpoint picks up tokenizer.json next to the weights
+    and bakes backbone.tokenizer.bpe_json_zb64 with no config injection."""
+    import json as _json
+    from safetensors.numpy import save_file
+    from transformers import LlamaConfig, LlamaModel
+    from codec_tpu.convert import get_converter
+    from test_bpe import LLAMA3_PATTERN, _train
+    from tokenizers import Regex, pre_tokenizers
+
+    pre = pre_tokenizers.Sequence([
+        pre_tokenizers.Split(Regex(LLAMA3_PATTERN), behavior="isolated",
+                             invert=False),
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False),
+    ])
+    oracle = _train(pre, vocab_size=280, ignore_merges=True)
+
+    torch.manual_seed(1)
+    bb_cfg = LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=300, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=128)
+    hf_bb = LlamaModel(bb_cfg).eval()
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text(_json.dumps(bb_cfg.to_dict()))
+    save_file({k: v.numpy() for k, v in hf_bb.state_dict().items()},
+              str(ckpt / "model.safetensors"))
+    (ckpt / "tokenizer.json").write_text(oracle.to_str())
+
+    bconv = get_converter("llama_backbone")(quantization="F32")
+    bconv.load_from_checkpoint(ckpt)
+    out = tmp_path / "bb_auto.gguf"
+    bconv.convert_and_save(out)
+
+    from codec_tpu.cli.tts_cli import load_backbone_tokenizer
+    tok = load_backbone_tokenizer(GGUFReader(out))
+    assert tok.encode("hello there") == oracle.encode(
+        "hello there", add_special_tokens=False).ids
