@@ -15,6 +15,44 @@ from ..io.gguf import GGUFWriter, QK8_0, QK_K
 MAX_TENSOR_NAME = 63
 
 
+def _checkpoint_shards(d: Path) -> list:
+    """Safetensors files of a checkpoint dir: a `*.safetensors.index.json`
+    weight map when sharded (CSM ships `transformers-NNNNN-of-NNNNN`
+    shards), else the single model.safetensors."""
+    for idx in sorted(d.glob("*.safetensors.index.json")):
+        wm = json.loads(idx.read_text()).get("weight_map") or {}
+        files = sorted({d / fn for fn in wm.values()})
+        if files:
+            return files
+    single = d / "model.safetensors"
+    if single.exists():
+        return [single]
+    rest = sorted(d.glob("*.safetensors"))
+    if rest:
+        return rest
+    raise FileNotFoundError(f"no *.safetensors in {d}")
+
+
+def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    """Load one safetensors file as float32/int numpy; bf16 tensors (which
+    numpy lacks) go through torch."""
+    from safetensors import safe_open
+
+    out: Dict[str, np.ndarray] = {}
+    bf16_keys = []
+    with safe_open(str(path), framework="np") as h:
+        for key in h.keys():
+            try:
+                out[key] = h.get_tensor(key)
+            except (TypeError, ValueError):
+                bf16_keys.append(key)
+    if bf16_keys:
+        with safe_open(str(path), framework="pt") as h:
+            for key in bf16_keys:
+                out[key] = h.get_tensor(key).float().numpy()
+    return out
+
+
 def shorten_name(name: str, used: set) -> str:
     """Truncate >63-char tensor names with a sha1 tag (GGUF name limit)."""
     if len(name) <= MAX_TENSOR_NAME and name not in used:
@@ -60,13 +98,11 @@ class BaseConverter:
         self.config = dict(config)
 
     def load_from_checkpoint(self, checkpoint_dir: Path) -> None:
-        from safetensors import safe_open
         checkpoint_dir = Path(checkpoint_dir)
         cfg = json.loads((checkpoint_dir / "config.json").read_text())
         sd = {}
-        with safe_open(str(checkpoint_dir / "model.safetensors"), framework="np") as h:
-            for key in h.keys():
-                sd[key] = h.get_tensor(key)
+        for f in _checkpoint_shards(checkpoint_dir):
+            sd.update(_load_safetensors(f))
         self.load_from_state_dict(sd, cfg)
 
     # -- policy hooks ------------------------------------------------------

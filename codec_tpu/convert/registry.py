@@ -24,8 +24,8 @@ def known_converters():
 
 
 def _autoload():
-    from . import (backbone, bluemagpie, chatterbox, dac, mimi,  # noqa: F401
-                   moss_audio, nemo_nano, neucodec, pocket_tts,
+    from . import (backbone, bluemagpie, bundled, chatterbox,  # noqa: F401
+                   dac, mimi, moss_audio, nemo_nano, neucodec, pocket_tts,
                    qwen3_tts_tokenizer, snac, soprano, wavtokenizer,
                    xcodec2, xy_tokenizer)
 
