@@ -167,6 +167,23 @@ def test_grammar_sampler_violation_raises():
                        lambda lg: int(np.argmax(lg)))
     with pytest.raises(GbnfError):
         s.accept(1)
+
+
+def test_grammar_sampler_empty_piece_always_rejected():
+    """A non-EOG token with an empty detokenized piece can never advance
+    the grammar and is masked to -inf, even when the grammar itself could
+    accept epsilon-ish continuations (llama.cpp apply semantics; the
+    GrammarSampler docstring's contract)."""
+    pieces = ["", "a", ""]                    # idx 0/2 empty, idx 1 real
+    s = GrammarSampler('root ::= "a"*\n', pieces,
+                       lambda lg: int(np.argmax(lg)), eog_tokens=[2])
+    assert not s._viable(0)                   # empty non-EOG: rejected
+    assert s._viable(1)
+    assert s._viable(2)                       # EOG bypasses the piece check
+    lg = np.array([9.0, 1.0, 0.0], np.float32)
+    assert s(lg) == 1                         # top pick masked, resampled
+    masked = s.mask(lg)
+    assert masked[0] == -np.inf and np.isfinite(masked[1])
     s.reset()
     s.accept(0)
 
