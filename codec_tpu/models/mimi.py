@@ -290,17 +290,36 @@ def mimi_decode_fn(params: Dict[str, Any], codes: jax.Array, cfg: MimiConfig,
 
 
 def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
-                   n_q: Optional[int] = None) -> jax.Array:
+                   n_q: Optional[int] = None, n_valid=None) -> jax.Array:
     """pcm: [B, n] float32 → codes [B, ceil(n/hop), n_q]
-    (reference: codec_mimi_build_encode, mimi.cpp:358-613)."""
+    (reference: codec_mimi_build_encode, mimi.cpp:358-613).
+
+    `n_valid` (traced scalar, defaults to the full static length) is the
+    true sample count before the bucket zero-pad. The reference pads
+    PER LAYER — each strided conv right-pads its own input to a stride
+    multiple with zeros (src/ops/conv1d.cpp:179), and the final stride-2
+    downsample replicate-pads — so activations beyond the valid length
+    must be re-zeroed before each strided conv (upfront zero-padding
+    alone leaks bias-propagated garbage into the last partial frame's
+    window; caught by tests/test_mimi_fullsize.py). Frame-aligned inputs
+    keep every valid window short of the mask, so this is behavior-
+    neutral for them."""
     if n_q is None:
         n_q = cfg.n_q
+    if n_valid is None:
+        n_valid = pcm.shape[-1]
     # same lane-pad + matmul-form treatment as decode (the C=64/32 early
     # stages at full audio rate are the bandwidth-heavy part); strided
     # downsample convs stay on XLA's convolution, with their cin rows
     # padded to consume the padded activations
     to = conv.lane_pad()
     P = lambda a, ax: conv.pad_channels(a, ax, to)
+
+    def mask_invalid(a, v):
+        t = jnp.arange(a.shape[1])[None, :, None]
+        return jnp.where(t < v, a, jnp.zeros((), a.dtype))
+
+    v = n_valid
     x = pcm[..., None]                                     # [B, n, 1]
     x = _ccv1(x, P(params["enc_l0"]["w"], 2), P(params["enc_l0"]["b"], 0))
     for stage, stride in zip(params["enc_stages"], (4, 5, 6, 8)):
@@ -310,12 +329,18 @@ def mimi_encode_fn(params: Dict[str, Any], pcm: jax.Array, cfg: MimiConfig,
         h = _ccv1(h, P(P(stage["r2"]["w"], 1), 2), P(stage["r2"]["b"], 0))
         x = x + h
         x = act.elu(x)
+        x = mask_invalid(x, v)             # per-layer ceil zero pad
         x = conv.conv1d_causal(x, P(P(stage["dn"]["w"], 1), 2),
                                P(stage["dn"]["b"], 0), stride=stride)
+        v = (v + stride - 1) // stride
     x = act.elu(x)
     x = _ccv1(x, P(params["enc_l14"]["w"], 1), params["enc_l14"]["b"])
 
     x = _transformer(x, params["etr"], cfg)
+    # the downsample's extra pad REPLICATES the last valid frame
+    # (HF MimiConv1d pad_mode="replicate"); clamp-gather implements it
+    idx = jnp.minimum(jnp.arange(x.shape[1]), v - 1)
+    x = jnp.take(x, idx, axis=1)
     x = conv.conv1d_causal(x, params["dn"]["w"], None, stride=2, pad_mode="replicate")
 
     n_sem = min(cfg.n_sem, n_q)

@@ -45,8 +45,12 @@ class MimiCodec(CodecModel):
     def _decode_impl(self, codes: jax.Array, n_q: int) -> jax.Array:
         return mimi_decode_fn(self.params, codes, self.cfg, n_q=n_q)
 
-    def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
-        return mimi_encode_fn(self.params, pcm, self.cfg, n_q=n_q)
+    encode_per_layer_pad = True        # reference pads per strided conv
+
+    def _encode_impl(self, pcm: jax.Array, n_q: int,
+                     n_valid=None) -> jax.Array:
+        return mimi_encode_fn(self.params, pcm, self.cfg, n_q=n_q,
+                              n_valid=n_valid)
 
     def streaming_decoder(self, n_q: int = 0, batch: int = 1):
         """Open a frame-streaming decode session (chunk-exact vs decode())."""

@@ -259,6 +259,15 @@ class CodecModel:
     def _encode_impl(self, pcm: jax.Array, n_q: int) -> jax.Array:
         raise NotImplementedError
 
+    # Archs whose reference encoder pads per-conv-layer (ceil-to-stride
+    # zeros at each strided conv, reference src/ops/conv1d.cpp:179) set
+    # this True: encode() then passes the true sample count as a traced
+    # scalar so the graph can mask the bucket padding at layer boundaries.
+    # Without it, upfront zero-padding leaks bias-propagated activations
+    # into the final partial frame's receptive field (full-size parity
+    # gate: tests/test_mimi_fullsize.py).
+    encode_per_layer_pad = False
+
     # -- jit cache (graph-cache equivalent) --------------------------------
     # Weight pytrees are passed as jit *arguments*, not closed-over
     # constants: the compiled graph is then weight-independent, so a
@@ -579,15 +588,17 @@ class CodecModel:
 
         def make(use_nq=use_nq, i16_in=i16_in):
             if i16_in:
-                return lambda x: self._encode_impl(
-                    x.astype(jnp.float32) * (1.0 / 32768.0), use_nq)
-            return lambda x: self._encode_impl(x, use_nq)
+                return lambda x, *a: self._encode_impl(
+                    x.astype(jnp.float32) * (1.0 / 32768.0), use_nq, *a)
+            return lambda x, *a: self._encode_impl(x, use_nq, *a)
 
+        # traced scalar, so one compile per bucket serves every n in it
+        extra = (np.int32(n),) if self.encode_per_layer_pad else ()
         with perf_scope("encode_total", self.arch):
             fn = self._jitted(("enc", bb, nb, use_nq, i16_in), make)
             with perf_scope("graph_compute", "encode"):
                 codes = self._readback(
-                    fn(self._place(buf)))
+                    fn(self._place(buf), *extra))
         codes = codes[:b, :t_frames] if self.causal_time else codes[:b]
         return codes[0] if squeeze else codes
 

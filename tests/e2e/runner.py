@@ -403,6 +403,20 @@ def compare_codes(got, want, mismatch_max=0.0):
             "total": int(got.size), "rate": round(rate, 4)}
 
 
+def si_snr_db(got, want, eps=1e-8):
+    """Scale-invariant SNR in dB (BASELINE.md's parity north star;
+    reference compare_wav, tests/e2e/runner.py:318). Zero-mean both,
+    project `got` onto `want`, SNR of the projection vs the residual."""
+    m = min(len(got), len(want))
+    g = np.asarray(got[:m], np.float64)
+    w = np.asarray(want[:m], np.float64)
+    g = g - g.mean()
+    w = w - w.mean()
+    s = (g @ w) / max(w @ w, eps) * w
+    e = g - s
+    return float(10.0 * np.log10(max(s @ s, eps) / max(e @ e, eps)))
+
+
 def compare_wav(got, want, corr_min, mse_max):
     m = min(len(got), len(want))
     g, w = got[:m], want[:m]
@@ -411,6 +425,7 @@ def compare_wav(got, want, corr_min, mse_max):
     mse = float(np.mean((g - w) ** 2))
     return {"ok": corr >= corr_min and mse <= mse_max,
             "corr": round(corr, 6), "mse": mse,
+            "si_snr_db": round(si_snr_db(g, w), 2),
             "corr_min": corr_min, "mse_max": mse_max}
 
 
@@ -465,7 +480,8 @@ def _run_decode_only(name, built, thr, op, quant, cfg, strict, gguf, tmp):
     status = "PASS" if res["ok"] else "FAIL"
     print(f"{name:>14s} {quant:<5s} {status}  ({op})  "
           f"corr={res['wav']['corr']:.6f} (>= {corr_min:.4f})  "
-          f"mse={res['wav']['mse']:.2e}  wall {res['wall_ms']} ms")
+          f"mse={res['wav']['mse']:.2e}  "
+          f"si_snr={res['wav']['si_snr_db']:.1f}dB  wall {res['wall_ms']} ms")
     return res
 
 
@@ -591,6 +607,7 @@ def run_model(name, spec, quants, cfg, strict, seconds, tmp):
         print(f"{name:>14s} {quant:<5s} {status}  "
               f"corr={res['wav']['corr']:.6f} (>= {corr_min:.4f})  "
               f"mse={res['wav']['mse']:.2e}  "
+              f"si_snr={res['wav']['si_snr_db']:.1f}dB  "
               f"codes {res['codes'].get('mismatch', '-')}/"
               f"{res['codes'].get('total', '-')} flipped "
               f"(max rate {mism_max})  wall {res['wall_ms']} ms")
