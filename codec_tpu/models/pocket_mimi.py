@@ -163,17 +163,32 @@ def pocket_decode_latent_fn(params, latent: jax.Array, cfg: PocketMimiConfig) ->
     return x[..., 0]
 
 
-def pocket_encode_latent_fn(params, pcm: jax.Array, cfg: PocketMimiConfig) -> jax.Array:
-    """pcm [B, n] → latent mu [B, ceil(n/hop), 32]."""
+def pocket_encode_latent_fn(params, pcm: jax.Array, cfg: PocketMimiConfig,
+                            n_valid=None) -> jax.Array:
+    """pcm [B, n] → latent mu [B, ceil(n/hop), 32].
+
+    `n_valid` (traced scalar): true sample count before the hop-multiple
+    zero pad. Same per-layer padding semantics as the Mimi encoder
+    (reference conv1d.cpp:179 extra_pad; see models/mimi.py
+    mimi_encode_fn): zeros beyond the valid length before each strided
+    conv, replicate for the final downsample's extra pad."""
+    if n_valid is None:
+        n_valid = pcm.shape[-1]
+    v = n_valid
     e = params["enc"]
     x = conv.conv1d_causal(pcm[..., None], e["l0"]["w"], e["l0"]["b"])
     for stage, stride in zip(e["stages"], cfg.encoder_ratios):
         x = _resblock(x, stage["c1"], stage["c2"])
         x = act.elu(x)
+        t = jnp.arange(x.shape[1])[None, :, None]
+        x = jnp.where(t < v, x, jnp.zeros((), x.dtype))
         x = conv.conv1d_causal(x, stage["dn"]["w"], stage["dn"]["b"], stride=stride)
+        v = (v + stride - 1) // stride
     x = act.elu(x)
     x = conv.conv1d_causal(x, e["l11"]["w"], e["l11"]["b"])
     x = _transformer(x, params["etr"], cfg)
+    idx = jnp.minimum(jnp.arange(x.shape[1]), v - 1)
+    x = jnp.take(x, idx, axis=1)
     return conv.conv1d_causal(x, params["downsample"]["w"], None,
                               stride=cfg.resample_stride, pad_mode="replicate")
 
@@ -226,8 +241,9 @@ class PocketMimiCodec(CodecModel):
             pcm = np.pad(pcm, ((0, 0), (0, pad)))
         mu = self._run_batched(
             ("enc_lat",),
-            lambda: lambda x: pocket_encode_latent_fn(self.params, x, self.cfg),
-            pcm)
+            lambda: lambda x, nv: pocket_encode_latent_fn(
+                self.params, x, self.cfg, n_valid=nv),
+            pcm, extra=(np.int32(n),))
         return mu[0] if squeeze else mu
 
     def encode(self, pcm, n_q: int = 0):

@@ -265,5 +265,8 @@ class Qwen3TTSTokenizerCodec(CodecModel):
     def _decode_impl(self, codes, n_q):
         return q3t_decode_fn(self.params, codes, self.cfg, n_q=n_q)
 
-    def _encode_impl(self, pcm, n_q):
-        return mimi_encode_fn(self.enc_params, pcm, self.enc_cfg, n_q=n_q)
+    encode_per_layer_pad = True        # mimi encoder: per-strided-conv pad
+
+    def _encode_impl(self, pcm, n_q, n_valid=None):
+        return mimi_encode_fn(self.enc_params, pcm, self.enc_cfg, n_q=n_q,
+                              n_valid=n_valid)

@@ -186,12 +186,15 @@ class CodecModel:
         return np.asarray(out)
 
     def _run_batched(self, key: Tuple, make: Callable[[], Callable],
-                     buf: np.ndarray, pcm_format: str = "f32") -> np.ndarray:
+                     buf: np.ndarray, pcm_format: str = "f32",
+                     extra: Tuple = ()) -> np.ndarray:
         """Shared device-call path for latent encode/decode: pad the leading
         batch dim to its bucket (a mesh-size multiple under DP), place the
         buffer (batch-sharded when a mesh is attached), run, crop.
         pcm_format="i16" converts the output to 16-bit PCM in-graph (only
-        meaningful for decode directions that produce PCM)."""
+        meaningful for decode directions that produce PCM). `extra` args
+        (traced scalars, e.g. a valid-length count) pass straight through
+        to the jitted fn after the placed buffer."""
         b = buf.shape[0]
         bb = self._bucket_b(b)
         if bb != b:
@@ -204,7 +207,7 @@ class CodecModel:
         fn = self._jitted(key + (pcm_format,) + buf.shape, make)
         # no block_until_ready: np.asarray in _readback synchronizes, and
         # on the axon relay every extra device round-trip costs ~30 ms
-        out = self._readback(fn(self._place(buf)))
+        out = self._readback(fn(self._place(buf), *extra))
         return out[:b]
 
     @classmethod

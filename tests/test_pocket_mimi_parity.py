@@ -215,10 +215,14 @@ def test_decode_latent_parity(tiny_pocket):
     assert np.abs(got - want).max() < 1e-3
 
 
-def test_encode_latent_parity(tiny_pocket):
+@pytest.mark.parametrize("tail", [0, 733])
+def test_encode_latent_parity(tiny_pocket, tail):
+    """tail=733: non-frame-aligned input — the final partial frame must
+    match the mirror's per-layer ceil padding (zeros per strided conv,
+    replicate at the downsample), not upfront zero-pad semantics."""
     ref, ours = tiny_pocket
     rng = np.random.default_rng(1)
-    n = HOP * 5
+    n = HOP * 5 + tail
     pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
     with torch.no_grad():
         want = ref.encode(torch.from_numpy(pcm)[None, None]).numpy()[0]

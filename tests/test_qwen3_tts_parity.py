@@ -241,10 +241,13 @@ def test_config(tiny_q3t):
     assert ours.has_encoder and ours.has_decoder
 
 
-def test_encode_parity_vs_hf_mimi(tiny_q3t):
+@pytest.mark.parametrize("tail", [0, 733])
+def test_encode_parity_vs_hf_mimi(tiny_q3t, tail):
+    """tail=733: non-frame-aligned — final partial frame must follow the
+    per-layer padding semantics (mimi_encode_fn n_valid)."""
     hf_mimi, _, ours = tiny_q3t
     rng = np.random.default_rng(0)
-    pcm = (rng.standard_normal(2 * HOP) * 0.1).astype(np.float32)
+    pcm = (rng.standard_normal(2 * HOP + tail) * 0.1).astype(np.float32)
     with torch.no_grad():
         want = hf_mimi.encode(torch.from_numpy(pcm)[None, None]).audio_codes.numpy()[0]
     got = ours.encode(pcm)
