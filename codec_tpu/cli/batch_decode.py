@@ -37,7 +37,7 @@ def main(argv=None) -> int:
                          "with one batched readback (decode_many) instead of "
                          "padding to one batched graph; automatic when "
                          "sequence lengths fall in different buckets")
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--dtype", default="auto",
                     choices=["float32", "bfloat16", "float16", "auto"])
     args = ap.parse_args(argv)
 

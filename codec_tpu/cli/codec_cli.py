@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     def common(p):
         p.add_argument("--model", required=True, help="codec GGUF path")
         p.add_argument("--nq", type=int, default=0, help="codebooks to use (0=all)")
-        p.add_argument("--dtype", default="float32",
+        p.add_argument("--dtype", default="auto",
                        choices=["float32", "bfloat16", "float16", "auto"],
                        help="compute dtype (float32 = parity, bfloat16 = "
                             "fast, auto = follow checkpoint)")

@@ -60,8 +60,14 @@ _DTYPE_ALIASES = {
 def resolve_compute_dtype(spec, reader: Optional[GGUFReader] = None):
     """Resolve a compute-dtype spec ("float32" | "bfloat16" | "float16" |
     "auto" | a jnp dtype). "auto" follows the checkpoint: 16-bit wire
-    weights (F16/BF16) → bfloat16 compute (MXU-native), everything else
-    (F32 / quantized) → float32."""
+    weights (F16/BF16) → bfloat16 compute (MXU-native); quantized wire
+    weights (Q8_0/Q4_K/Q5_K majority) → bfloat16 on TPU, where it is the
+    native analog of the reference's quantized mul_mat execution
+    (src/runtime/tensor_utils.h:30-52): the checkpoint already carries
+    ≤8-bit precision, TPU f32 matmuls round inputs to bf16 anyway, and
+    bf16 weights+activations halve the HBM traffic the f32 path pays.
+    F32 wire — and quantized wire off-TPU, where parity suites compare
+    against f64-accumulated torch — stay float32."""
     if not isinstance(spec, str):
         return spec
     s = spec.lower()
@@ -69,17 +75,25 @@ def resolve_compute_dtype(spec, reader: Optional[GGUFReader] = None):
         return _DTYPE_ALIASES[s]
     if s == "auto":
         if reader is not None:
-            from ..io.gguf import GGML_TYPE_BF16, GGML_TYPE_F16
+            from ..io.gguf import (GGML_TYPE_BF16, GGML_TYPE_F16,
+                                   GGML_TYPE_F32)
 
             # decide by byte share: some wire schemas keep a few tensors
             # F16 regardless of quantization level (e.g. mimi resample
             # kernels), so mere presence is not a signal
-            b16 = tot = 0
+            b16 = tot = qnt = 0
             for i in reader.tensors.values():
                 tot += i.n_bytes
                 if i.ggml_type in (GGML_TYPE_F16, GGML_TYPE_BF16):
                     b16 += i.n_bytes
+                elif i.ggml_type != GGML_TYPE_F32:
+                    qnt += i.n_bytes
             if tot and b16 * 2 > tot:
+                return jnp.bfloat16
+            # quantized checkpoints: most bytes already carry ≤16-bit
+            # precision (quant blocks + F16 passthrough tensors)
+            if tot and (b16 + qnt) * 2 > tot \
+                    and jax.default_backend() == "tpu":
                 return jnp.bfloat16
         return jnp.float32
     raise CodecError(f"unknown compute dtype {spec!r}")
