@@ -104,16 +104,46 @@ def main():
     engine.drain()
     warm.wait(timeout=0)
 
+    # per-request frame timestamps → time-to-first-audio + per-stream RTF
+    # (the serving SLOs: VERDICT r3 #8). frame_cb runs on the engine
+    # thread right after each chunk's codes land on the host — the moment
+    # a deployment would ship audio to the client.
+    t_submit = [0.0] * args.requests
+    t_first = [None] * args.requests
+    t_last = [0.0] * args.requests
+    n_seen = [0] * args.requests
+
+    def cb(i):
+        def _cb(codes):
+            now = time.monotonic()
+            if t_first[i] is None:
+                t_first[i] = now
+            t_last[i] = now
+            n_seen[i] += 1
+        return _cb
+
     t0 = time.monotonic()
-    handles = [engine.submit(AudioLM(reader, lm=lm), prompts[i],
-                             seed=i, max_steps=steps[i])
-               for i in range(args.requests)]
+    handles = []
+    for i in range(args.requests):
+        t_submit[i] = time.monotonic()
+        handles.append(engine.submit(AudioLM(reader, lm=lm), prompts[i],
+                                     seed=i, max_steps=steps[i],
+                                     frame_cb=cb(i)))
     engine.drain()
     wall = time.monotonic() - t0
     results = [h.wait(timeout=0) for h in handles]
-    frames = sum(r.n_steps for r in results)
-    assert [r.n_steps for r in results] == steps, \
-        ([r.n_steps for r in results], steps)
+    frames = sum(n_seen)
+    assert n_seen == steps, (n_seen, steps)
+
+    ttfa = sorted((t_first[i] - t_submit[i]) * 1e3
+                  for i in range(args.requests))
+    # RTF = wall per produced audio second, first frame → last frame
+    # (each 12.5 Hz frame is 80 ms of audio); < 1.0 = faster than realtime
+    rtf = [((t_last[i] - t_first[i]) / (0.080 * max(1, steps[i] - 1)))
+           for i in range(args.requests)]
+
+    def pct(xs, p):
+        return xs[min(len(xs) - 1, int(round(p * (len(xs) - 1))))]
 
     print(json.dumps({
         "device": str(jax.devices()[0]),
@@ -125,6 +155,11 @@ def main():
         "aggregate_frames_per_s": round(frames / wall, 1),
         # 12.5 Hz frames: seconds of audio produced per wall second
         "aggregate_audio_xrt": round(frames * 0.080 / wall, 2),
+        "ttfa_ms": {"p50": round(pct(ttfa, 0.50), 1),
+                    "p95": round(pct(ttfa, 0.95), 1),
+                    "max": round(ttfa[-1], 1)},
+        "per_stream_rtf": {"p50": round(pct(sorted(rtf), 0.50), 3),
+                           "p95": round(pct(sorted(rtf), 0.95), 3)},
     }))
 
 
