@@ -185,6 +185,7 @@ class ChatterboxS3T(CodecModel):
             fn = self._jitted(("enc", mel.shape[0]),
                               lambda: lambda m: s3t_encode_fn(self.params, m,
                                                               self.cfg))
-            toks = np.asarray(jax.block_until_ready(fn(jnp.asarray(mel)[None])))
+            toks = np.asarray(jax.block_until_ready(
+                fn(self._place_f(mel[None]))))
             outs.append(np.clip(toks[0], 0, self.codebook_size - 1))
         return outs[0] if squeeze else np.stack(outs)

@@ -273,7 +273,8 @@ class MossAudioCodec(CodecModel):
         fn = self._jitted(("enc", flat.shape[0], n_valid),
                           lambda: lambda x: moss_encode_fn(self.params, x,
                                                            self.cfg, n_valid))
-        codes = np.asarray(jax.block_until_ready(fn(jnp.asarray(flat[None]))))[0]
+        codes = np.asarray(jax.block_until_ready(
+            fn(self._place_f(flat[None]))))[0]
         return codes
 
     def decode(self, codes, n_q: int = 0, pcm_format: str = "f32"):

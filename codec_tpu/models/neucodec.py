@@ -214,7 +214,7 @@ class NeuCodec(CodecModel):
                     self.enc_params, x, s, self.enc_cfg,
                     self.cfg.codebook_dim))
             codes = np.asarray(jax.block_until_ready(
-                fn(jnp.asarray(row_pad)[None], jnp.asarray(sem)[None])))
+                fn(self._place_f(row_pad[None]), self._place_f(sem[None]))))
             outs.append(np.clip(codes[0], 0, self.codebook_size - 1))
         return outs[0] if squeeze else np.stack(outs)
 

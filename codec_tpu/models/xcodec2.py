@@ -327,7 +327,7 @@ class XCodec2(CodecModel):
                 lambda: lambda p, m: x2_encode_fn(
                     self.enc_params, p, m, n_codes, ec, self.cfg.codebook_dim))
             codes = np.asarray(jax.block_until_ready(
-                fn(jnp.asarray(row[None]), jnp.asarray(mel[None], jnp.float32))))
+                fn(self._place_f(row[None]), self._place_f(mel[None]))))
             outs.append(np.clip(codes[0], 0, self.codebook_size - 1))
         out = outs[0] if squeeze else np.stack(outs)
         return out

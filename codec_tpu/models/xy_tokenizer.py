@@ -309,7 +309,7 @@ class XyTokenizerCodec(CodecModel):
                               lambda: lambda m: xy_encode_fn(self.params, m,
                                                              self.cfg, n_valid))
             codes = np.asarray(jax.block_until_ready(
-                fn(jnp.asarray(mel.T[None]))))[0]
+                fn(self._place_f(mel.T[None]))))[0]
             n_codes_valid = (n_valid // 2) // self.cfg.avg_pooler
             outs.append(codes[:n_codes_valid])
         out = outs[0] if squeeze else np.stack(outs)

@@ -88,12 +88,16 @@ def resolve_compute_dtype(spec, reader: Optional[GGUFReader] = None):
                     b16 += i.n_bytes
                 elif i.ggml_type != GGML_TYPE_F32:
                     qnt += i.n_bytes
+            # quantized checkpoints (any quant blocks present — converters
+            # only mix quant + F16-passthrough tensors when quantizing):
+            # bf16 on TPU, f32 off-TPU where parity suites compare against
+            # f64-accumulated torch. The F16-passthrough bytes can dominate
+            # (convs the quantizer can't block-align), so this check must
+            # come BEFORE the plain 16-bit-majority rule.
+            if qnt > 0:
+                return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else jnp.float32)
             if tot and b16 * 2 > tot:
-                return jnp.bfloat16
-            # quantized checkpoints: most bytes already carry ≤16-bit
-            # precision (quant blocks + F16 passthrough tensors)
-            if tot and (b16 + qnt) * 2 > tot \
-                    and jax.default_backend() == "tpu":
                 return jnp.bfloat16
         return jnp.float32
     raise CodecError(f"unknown compute dtype {spec!r}")
@@ -199,6 +203,14 @@ class CodecModel:
         self.last_out_sharding = getattr(out, "sharding", None)
         return np.asarray(out)
 
+    def _place_f(self, x) -> jax.Array:
+        """Float graph input → device at the model's compute dtype. Model
+        encode overrides that build their own jitted fns (mel front-ends
+        etc.) must route float inputs through this: 16-bit-weight models
+        (explicit bfloat16, or "auto" on 16-bit / quantized-on-TPU
+        checkpoints) reject f32 inputs at the first conv otherwise."""
+        return jnp.asarray(x, self.compute_dtype)
+
     def _run_batched(self, key: Tuple, make: Callable[[], Callable],
                      buf: np.ndarray, pcm_format: str = "f32",
                      extra: Tuple = ()) -> np.ndarray:
@@ -218,6 +230,11 @@ class CodecModel:
             inner_make = make
             make = lambda: (lambda *a, _f=inner_make(): self._fmt_out(
                 _f(*a), pcm_format))
+        if np.issubdtype(buf.dtype, np.floating) and \
+                np.dtype(self.compute_dtype) != buf.dtype:
+            cast_make = make     # float inputs follow the compute dtype
+            make = lambda: (lambda x, *a, _f=cast_make(): _f(
+                x.astype(self.compute_dtype), *a))
         fn = self._jitted(key + (pcm_format,) + buf.shape, make)
         # no block_until_ready: np.asarray in _readback synchronizes, and
         # on the axon relay every extra device round-trip costs ~30 ms
@@ -604,10 +621,16 @@ class CodecModel:
         buf[:b, :n] = pcm
 
         def make(use_nq=use_nq, i16_in=i16_in):
+            # in-graph cast to the model's compute dtype: 16-bit-weight
+            # models (explicit --dtype bfloat16, or "auto" on a 16-bit /
+            # quantized-on-TPU checkpoint) otherwise crash mixing the f32
+            # pcm input into their first conv
+            cd = self.compute_dtype
             if i16_in:
                 return lambda x, *a: self._encode_impl(
-                    x.astype(jnp.float32) * (1.0 / 32768.0), use_nq, *a)
-            return lambda x, *a: self._encode_impl(x, use_nq, *a)
+                    (x.astype(jnp.float32) * (1.0 / 32768.0)).astype(cd),
+                    use_nq, *a)
+            return lambda x, *a: self._encode_impl(x.astype(cd), use_nq, *a)
 
         # traced scalar, so one compile per bucket serves every n in it
         extra = (np.int32(n),) if self.encode_per_layer_pad else ()

@@ -104,6 +104,55 @@ def test_auto_dtype_follows_checkpoint(hf_mimi, tmp_path):
     assert codec_tpu.load_model(f32, compute_dtype="auto").compute_dtype == jnp.float32
 
 
+def test_auto_dtype_quantized_off_tpu_is_f32(hf_mimi, tmp_path):
+    """Quantized wire off-TPU resolves to float32 under "auto" even when
+    the F16 passthrough tensors dominate the byte count (e2e regression:
+    Q8_0 encode crashed mixing the f32 pcm input into bf16 convs on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    import codec_tpu
+
+    model, cfg = hf_mimi
+    q8 = tmp_path / "auto_q8.gguf"
+    _convert(model, cfg, "Q8_0", q8)
+    ours = codec_tpu.load_model(q8, compute_dtype="auto")
+    want = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    assert ours.compute_dtype == want
+    # the CLI-default (auto) surface must encode, whichever dtype resolved
+    pcm = (np.random.default_rng(0).standard_normal(1920) * 0.1) \
+        .astype(np.float32)
+    codes = ours.encode(pcm)
+    assert codes.shape[1] == ours.n_q
+
+
+def test_bf16_encode_casts_input(hf_mimi, tmp_path):
+    """Explicit 16-bit compute: encode casts the f32 / int16 pcm input to
+    the compute dtype in-graph instead of rejecting it at the first conv,
+    and the codes match the f32 path closely on a short clip."""
+    import codec_tpu
+
+    model, cfg = hf_mimi
+    path = tmp_path / "enc_f16.gguf"
+    _convert(model, cfg, "F16", path)
+    ours = codec_tpu.load_model(path, compute_dtype="bfloat16")
+    ref = codec_tpu.load_model(path, compute_dtype="float32")
+
+    pcm = (np.random.default_rng(1).standard_normal(1920) * 0.1) \
+        .astype(np.float32)
+    codes16 = ours.encode(pcm)
+    codes32 = ref.encode(pcm)
+    assert codes16.shape == codes32.shape
+    # bf16 activations flip some argmin near-ties on random weights;
+    # the paths must still mostly agree
+    agree = float((codes16 == codes32).mean())
+    assert agree > 0.5, f"bf16 vs f32 code agreement {agree}"
+
+    i16 = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(np.int16)
+    codes_i16 = ours.encode(i16)
+    assert codes_i16.shape == codes16.shape
+
+
 def test_q8_file_has_quantized_tensors(hf_mimi, tmp_path):
     from codec_tpu.io.gguf import GGUFReader, GGML_TYPE_Q8_0
 
