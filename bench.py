@@ -994,6 +994,16 @@ def main():
         run("rda_batched", lambda: _bench_tts_rda_batched(), 400, dest=tts)
         run("t3_batched", lambda: _bench_t3_batched(), 400, dest=tts)
         run("bf16_b1", lambda: mimi_bf16(1), 250)
+
+        def serving():
+            # live-mix continuous-batching SLOs: p50/p95 time-to-first-
+            # audio + per-stream RTF (VERDICT r3 #8; docs/SERVING.md)
+            sys.path.insert(0, str(
+                __import__("pathlib").Path(__file__).parent / "tools"))
+            from cont_batch_bench import run_bench
+            return run_bench(slots=4, chunk=16, requests=8, base_steps=32)
+
+        run("serving", serving, 400)
         if os.environ.get("BENCH_COLD_START") == "1":
             run("cold_start", _bench_cold_start, 200)
         else:

@@ -70,13 +70,16 @@ def make_backbone(dtype=jnp.bfloat16) -> LlamaBackbone:
     return LlamaBackbone.from_params(cfg, params, dtype=dtype)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--slots", type=int, default=4)
-    ap.add_argument("--chunk", type=int, default=16)
-    ap.add_argument("--requests", type=int, default=8)
-    ap.add_argument("--base-steps", type=int, default=32)
-    args = ap.parse_args()
+def run_bench(slots: int = 4, chunk: int = 16, requests: int = 8,
+              base_steps: int = 32) -> dict:
+    """Run the live-mix engine bench and return the report dict —
+    importable by bench.py's budget-gated `serving` section."""
+
+    class args:          # mirror the CLI namespace
+        pass
+
+    args.slots, args.chunk = slots, chunk
+    args.requests, args.base_steps = requests, base_steps
 
     FIXTURES.mkdir(exist_ok=True)
     lm_path = FIXTURES / "rda_csm1b.gguf"
@@ -145,7 +148,7 @@ def main():
     def pct(xs, p):
         return xs[min(len(xs) - 1, int(round(p * (len(xs) - 1))))]
 
-    print(json.dumps({
+    return {
         "device": str(jax.devices()[0]),
         "slots": args.slots, "chunk_frames": args.chunk,
         "requests": args.requests, "steps_per_request": steps,
@@ -160,7 +163,17 @@ def main():
                     "max": round(ttfa[-1], 1)},
         "per_stream_rtf": {"p50": round(pct(sorted(rtf), 0.50), 3),
                            "p95": round(pct(sorted(rtf), 0.95), 3)},
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--base-steps", type=int, default=32)
+    a = ap.parse_args()
+    print(json.dumps(run_bench(a.slots, a.chunk, a.requests, a.base_steps)))
 
 
 if __name__ == "__main__":
