@@ -56,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant-exec", action="store_true",
                    help="execute Q8_0/Q4_K backbone weights HBM-resident "
                         "via the fused dequant-matmul kernels (sets "
-                        "CODEC_QUANT_EXEC=1)")
+                        "CODEC_QUANT_EXEC=1). Saves 1.8-2.7x backbone HBM "
+                        "but measured ~0.6-0.75x chunked-generation speed "
+                        "at CSM-1B shape (tools/rda_quant_micro.py) — a "
+                        "memory-headroom lever, not a latency one")
     p.add_argument("--stream", action="store_true",
                    help="vocode each AR frame through the streaming decoder "
                         "as it is generated (reports time-to-first-audio)")

@@ -30,6 +30,16 @@ Measured (v5e, tools/qmat_micro.py, vs dense bf16 matmul):
     (AR decode) and dequantizes-then-dots for prefill-sized batches.
 Dispatch is opt-in via load_backbone_params(quantized=...) /
 CODEC_QUANT_EXEC / tts-cli --quant-exec.
+
+End-to-end (v5e, tools/rda_quant_micro.py, CSM-1B-shaped chunked
+generation — lm/fused_gen.build_gen_chunk, 16 frames/call): packed
+execution is SLOWER than dense bf16 despite the smaller weight reads —
+dense 8.25 ms/frame (1.95 GB weights) vs q8_0 11.05 ms (1.10 GB) vs
+q4_k 13.17 ms (0.73 GB). Inside the layer scan the kernels' VPU unpack
+serializes against the MXU instead of hiding behind weight DMA the way
+the isolated-GEMV micro suggested. So --quant-exec is an HBM-headroom
+lever (2-3x more / larger resident models per chip), not a latency
+lever; the CLI keeps dense bf16 as the speed default.
 """
 
 from __future__ import annotations
@@ -94,6 +104,30 @@ def pack_q4_k(raw: np.ndarray, shape) -> Dict[str, np.ndarray]:
     return {"qs": np.ascontiguousarray(packed.transpose(0, 2, 1)).reshape(
                 out_d, in_d // 2),
             "scale": scale, "minv": minv}
+
+
+def pack_dense(w: np.ndarray, qtype: str) -> Dict[str, np.ndarray]:
+    """Quantize a dense [out, in] matrix through the GGUF wire quantizer
+    and repack for fused execution — one round trip, so the packed values
+    are exactly what a Q8_0/Q4_K GGUF of this matrix would execute."""
+    from ..io.gguf import quantize_q4_k, quantize_q8_0
+
+    w = np.asarray(w, np.float32)
+    if qtype.lower() == "q8_0":
+        return pack_q8_0(np.frombuffer(quantize_q8_0(w), np.uint8), w.shape)
+    if qtype.lower() == "q4_k":
+        return pack_q4_k(np.frombuffer(quantize_q4_k(w), np.uint8), w.shape)
+    raise ValueError(f"pack_dense: unsupported qtype {qtype}")
+
+
+def pack_dense_stacked(w, qtype: str) -> Dict[str, jnp.ndarray]:
+    """[L, out, in] layer-stacked dense weights -> stacked packed-quant
+    dict (leading L axis), the leaf layout load_backbone_params
+    (quantized=True) produces for lax.scan over layers."""
+    per_layer = [pack_dense(np.asarray(w[li]), qtype)
+                 for li in range(w.shape[0])]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_layer)
 
 
 # ---------------------------------------------------------------------------

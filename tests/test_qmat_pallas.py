@@ -120,3 +120,97 @@ def test_backbone_quantized_exec_matches_dequant_on_load(tmp_path):
         x = (rng.standard_normal(64) * 0.3).astype(np.float32)
         np.testing.assert_allclose(dense.step(x), quant.step(x),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_gen_chunk_with_packed_quant_backbone(tmp_path):
+    """The fused K-frame generation chunk (lm/fused_gen.build_gen_chunk)
+    composes with a packed-quantized backbone: greedy codes match a dense
+    backbone carrying the SAME dequantized values (on CPU qmatmul falls
+    back to x @ dequant_ref(qt).T, so the math is identical — this pins
+    the pytree plumbing: stacked packed dicts through while_loop/scan,
+    donated KV, jit_weighted weight splitting)."""
+    import jax
+    import jax.random as jr
+
+    from codec_tpu.io.gguf import GGUFReader
+    from codec_tpu.lm import create_lm
+    from codec_tpu.lm.backbone import BackboneConfig
+    from codec_tpu.lm.fused_gen import build_gen_chunk
+    from codec_tpu.models.bench_lm_init import write_rda_gguf
+    from codec_tpu.ops.qmat_pallas import pack_dense_stacked
+
+    p = tmp_path / "rda_smoke.gguf"
+    write_rda_gguf(p, h=64, dh=32, n_cb=4, vocab=64, layers=2,
+                   heads=2, kv=1, hdim=16, inter=64)
+    lm = create_lm(GGUFReader(p))
+    cfg = BackboneConfig(hidden=64, n_layers=2, n_heads=2, n_kv_heads=1,
+                         head_dim=16, ffn_dim=64, vocab_size=8, max_ctx=32)
+
+    rng = np.random.default_rng(7)
+    L, nh, nkv, hd, ffn, hid = (cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+                                cfg.head_dim, cfg.ffn_dim, cfg.hidden)
+
+    def W(*s, off=0.0):
+        return (rng.standard_normal(s) * 0.05 + off).astype(np.float32)
+
+    mats = {"q": W(L, nh * hd, hid), "k": W(L, nkv * hd, hid),
+            "v": W(L, nkv * hd, hid), "o": W(L, hid, nh * hd),
+            "gate": W(L, ffn, hid), "up": W(L, ffn, hid),
+            "down": W(L, hid, ffn)}
+    norms = {"attn_norm": W(L, hid, off=1.0), "ffn_norm": W(L, hid, off=1.0)}
+
+    packed_layers = {k: pack_dense_stacked(v, "q8_0") for k, v in mats.items()}
+    # dense twin carries the dequantized values the packed path executes
+    from codec_tpu.ops.qmat_pallas import dequant_ref
+    dense_layers = {
+        k: jnp.stack([dequant_ref(jax.tree_util.tree_map(
+            lambda a, i=i: a[i], packed_layers[k])) for i in range(L)])
+        for k in mats}
+
+    out_norm = jnp.asarray(W(hid, off=1.0))
+
+    def params(layers):
+        return {"freq_factors": None, "out_norm": out_norm,
+                "layers": {**layers, **{k: jnp.asarray(v)
+                                        for k, v in norms.items()}}}
+
+    # (a) one backbone step, packed vs dense twin: same math to float
+    # noise (argmax chains over many frames can flip near-ties — the
+    # cross-compile nondeterminism note in CLAUDE.md — so frame-code
+    # equality over a long chunk is NOT a stable assertion)
+    from codec_tpu.lm.backbone import backbone_forward
+    emb = jnp.asarray(rng.standard_normal((1, hid)) * 0.3, jnp.float32)
+    kv0 = jnp.zeros((L, 2, nkv, cfg.max_ctx, hd), jnp.float32)
+    hq, kvq = backbone_forward(params(packed_layers), kv0, jnp.int32(0),
+                               emb, cfg)
+    hd_, kvd = backbone_forward(params(dense_layers), kv0, jnp.int32(0),
+                                emb, cfg)
+    np.testing.assert_allclose(np.asarray(hq), np.asarray(hd_),
+                               rtol=2e-5, atol=2e-5)
+
+    # (b) the full chunk executes with packed weights (stacked packed
+    # dicts through while_loop + donated KV + jit_weighted splitting),
+    # emits in-range codes, and is deterministic within one compile
+    k_frames = 6
+    chunk = build_gen_chunk(lm, cfg, (0.0, 0, 1.0, 0.0), k_frames)
+    h0 = jnp.asarray(rng.standard_normal(hid) * 0.3, jnp.float32)
+
+    def run(layers):
+        kv = jnp.zeros((L, 2, nkv, cfg.max_ctx, hd), jnp.float32)
+        packed, h, _kv, _key = chunk(params(layers), kv, np.int32(0),
+                                     np.int32(0), h0, jr.PRNGKey(3),
+                                     np.int32(0))
+        return np.asarray(packed), np.asarray(h)
+
+    codes_q, h_q = run(packed_layers)
+    codes_q2, h_q2 = run(packed_layers)
+    np.testing.assert_array_equal(codes_q, codes_q2)
+    np.testing.assert_array_equal(h_q, h_q2)
+    n_cb = int(lm.info.n_codebook)
+    n_emitted = codes_q[k_frames * n_cb]
+    assert n_emitted >= 1
+    emitted = codes_q[: n_emitted * n_cb]
+    assert (emitted >= 0).all() and (emitted < 64).all()
+    # first frame's codes don't involve the backbone at all -> exact
+    codes_d, _h_d = run(dense_layers)
+    np.testing.assert_array_equal(codes_q[:n_cb], codes_d[:n_cb])
