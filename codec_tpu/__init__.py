@@ -53,7 +53,8 @@ __version__ = "0.1.0"
 
 
 def load_model(path: Union[str, Path], compute_dtype=jnp.float32,
-               mesh=None, mesh_axis: str = "dp") -> CodecModel:
+               mesh=None, mesh_axis: str = "dp",
+               exact_encode: bool = None) -> CodecModel:
     """Load a codec GGUF → arch-dispatched CodecModel
     (reference: codec_model_load_from_file, src/codec.cpp:303-449).
 
@@ -63,10 +64,18 @@ def load_model(path: Union[str, Path], compute_dtype=jnp.float32,
     host RAM, transfer bytes, and device HBM of the f32 path.
     mesh: optional jax.sharding.Mesh — weights are replicated onto it and
     encode/decode batches are sharded over `mesh_axis` (data parallelism
-    over ICI; the reference's codec_batch loops serially on one device)."""
+    over ICI; the reference's codec_batch loops serially on one device).
+    exact_encode: pin the whole encode graph to f32 HIGHEST matmul
+    precision so TPU code emission matches the CPU reference up to f32
+    reduction-order near-ties (default: CODEC_EXACT_ENCODE env; TPU f32
+    matmuls otherwise run at bf16 precision and latent noise flips RVQ
+    argmin ties — see tools/tpu_parity.py). Slower encode; decode is
+    unaffected."""
     reader = GGUFReader(path)
     cls = get_model_class(reader.architecture)
     model = cls(reader, compute_dtype=compute_dtype)
+    if exact_encode is not None:
+        model.exact_encode = bool(exact_encode)
     if mesh is not None:
         model.set_mesh(mesh, axis=mesh_axis)
     return model

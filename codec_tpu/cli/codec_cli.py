@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["float32", "bfloat16", "float16", "auto"],
                        help="compute dtype (float32 = parity, bfloat16 = "
                             "fast, auto = follow checkpoint)")
+        p.add_argument("--exact-encode", action="store_true",
+                       dest="exact_encode",
+                       help="pin the encode graph to f32 HIGHEST matmul "
+                            "precision: TPU code emission then matches "
+                            "the CPU reference up to f32 near-ties "
+                            "(slower encode; no effect on decode or CPU)")
 
     p = sub.add_parser("encode")
     common(p)
@@ -59,7 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 def _load(args):
     import codec_tpu
 
-    return codec_tpu.load_model(args.model, compute_dtype=args.dtype)
+    return codec_tpu.load_model(
+        args.model, compute_dtype=args.dtype,
+        exact_encode=getattr(args, "exact_encode", False) or None)
 
 
 def _read_pcm(model, path):

@@ -139,6 +139,14 @@ class CodecModel:
             # .astype(compute_dtype) then converts on device.
             reader.prefer_16bit = True
         self.metadata: Dict[str, Any] = dict(reader.kv)
+        # On TPU, f32 matmuls/convs run at bf16 precision by DEFAULT; the
+        # RVQ score matmul is always pinned to HIGHEST (ops/rvq.py) but
+        # bf16 noise in the ENCODER's latents still flips argmin
+        # near-ties vs the CPU reference (measured: tools/tpu_parity.py).
+        # exact_encode pins the whole encode graph to HIGHEST — slower,
+        # but TPU code emission then matches CPU up to f32
+        # reduction-order ties (the reference's CPU-determinism level).
+        self.exact_encode = bool(os.environ.get("CODEC_EXACT_ENCODE"))
         self._jit_cache: Dict[Any, Callable] = {}
         self._trace_lock = threading.RLock()
         self.mesh = None                    # set via set_mesh() for DP/SP
@@ -627,15 +635,27 @@ class CodecModel:
             # pcm input into their first conv
             cd = self.compute_dtype
             if i16_in:
-                return lambda x, *a: self._encode_impl(
+                base = lambda x, *a: self._encode_impl(
                     (x.astype(jnp.float32) * (1.0 / 32768.0)).astype(cd),
                     use_nq, *a)
-            return lambda x, *a: self._encode_impl(x.astype(cd), use_nq, *a)
+            else:
+                base = lambda x, *a: self._encode_impl(x.astype(cd),
+                                                       use_nq, *a)
+            if not self.exact_encode:
+                return base
+
+            def exact(x, *a):
+                # trace-time context: every dot/conv in the encode graph
+                # gets f32 HIGHEST instead of the TPU bf16 default
+                with jax.default_matmul_precision("highest"):
+                    return base(x, *a)
+            return exact
 
         # traced scalar, so one compile per bucket serves every n in it
         extra = (np.int32(n),) if self.encode_per_layer_pad else ()
         with perf_scope("encode_total", self.arch):
-            fn = self._jitted(("enc", bb, nb, use_nq, i16_in), make)
+            fn = self._jitted(("enc", bb, nb, use_nq, i16_in,
+                               self.exact_encode), make)
             with perf_scope("graph_compute", "encode"):
                 codes = self._readback(
                     fn(self._place(buf), *extra))

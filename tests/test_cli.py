@@ -181,3 +181,34 @@ def test_all_model_classes_accept_pcm_format():
             assert "pcm_format" in sig.parameters, (arch, meth)
         sig = inspect.signature(cls.encode)
         assert "n_q" in sig.parameters, arch
+
+
+def test_exact_encode_flag(wt_gguf, tmp_path):
+    """--exact-encode pins the encode graph to f32 HIGHEST matmul
+    precision (TPU code-parity mode, tools/tpu_parity.py). On CPU f32 is
+    f32 either way, so codes must be identical to the default path —
+    this pins the flag plumbing (load_model kwarg, env fallback, jit
+    cache keying) without needing the TPU."""
+    import codec_tpu
+    from codec_tpu.cli.codec_cli import main
+
+    rng = np.random.default_rng(2)
+    wav_in = tmp_path / "in.wav"
+    write_wav(wav_in, (rng.standard_normal(320 * 4) * 0.2).astype(np.float32),
+              24000)
+    a, b = tmp_path / "a.npy", tmp_path / "b.npy"
+    assert main(["encode", "--model", str(wt_gguf), "--in", str(wav_in),
+                 "--codes", str(a)]) == 0
+    assert main(["encode", "--model", str(wt_gguf), "--in", str(wav_in),
+                 "--codes", str(b), "--exact-encode"]) == 0
+    np.testing.assert_array_equal(np.load(a), np.load(b))
+
+    m = codec_tpu.load_model(wt_gguf, exact_encode=True)
+    assert m.exact_encode
+    import os
+    os.environ["CODEC_EXACT_ENCODE"] = "1"
+    try:
+        assert codec_tpu.load_model(wt_gguf).exact_encode
+    finally:
+        del os.environ["CODEC_EXACT_ENCODE"]
+    assert not codec_tpu.load_model(wt_gguf).exact_encode
