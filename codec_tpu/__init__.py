@@ -66,10 +66,11 @@ def load_model(path: Union[str, Path], compute_dtype=jnp.float32,
     encode/decode batches are sharded over `mesh_axis` (data parallelism
     over ICI; the reference's codec_batch loops serially on one device).
     exact_encode: pin the whole encode graph to f32 HIGHEST matmul
-    precision so TPU code emission matches the CPU reference up to f32
-    reduction-order near-ties (default: CODEC_EXACT_ENCODE env; TPU f32
-    matmuls otherwise run at bf16 precision and latent noise flips RVQ
-    argmin ties — see tools/tpu_parity.py). Slower encode; decode is
+    precision so TPU code emission matches the CPU reference bit-for-bit
+    (tools/tpu_parity.py: 0/209 frames diverge, vs 55% at the TPU bf16
+    matmul default). Default: ON for f32 compute (f32 means parity; the
+    cost is 1.43x the encode wall, tools/encode_micro.py), OFF for
+    16-bit compute; CODEC_EXACT_ENCODE=1/0 forces either way. Decode is
     unaffected."""
     reader = GGUFReader(path)
     cls = get_model_class(reader.architecture)

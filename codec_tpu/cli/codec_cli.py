@@ -32,10 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                             "fast, auto = follow checkpoint)")
         p.add_argument("--exact-encode", action="store_true",
                        dest="exact_encode",
-                       help="pin the encode graph to f32 HIGHEST matmul "
-                            "precision: TPU code emission then matches "
-                            "the CPU reference up to f32 near-ties "
-                            "(slower encode; no effect on decode or CPU)")
+                       help="force f32 HIGHEST matmul precision for the "
+                            "encode graph (TPU code emission bit-exact "
+                            "vs the CPU reference). Default: already on "
+                            "for f32 compute, off for 16-bit; "
+                            "CODEC_EXACT_ENCODE=0 forces off")
 
     p = sub.add_parser("encode")
     common(p)

@@ -142,11 +142,19 @@ class CodecModel:
         # On TPU, f32 matmuls/convs run at bf16 precision by DEFAULT; the
         # RVQ score matmul is always pinned to HIGHEST (ops/rvq.py) but
         # bf16 noise in the ENCODER's latents still flips argmin
-        # near-ties vs the CPU reference (measured: tools/tpu_parity.py).
-        # exact_encode pins the whole encode graph to HIGHEST — slower,
-        # but TPU code emission then matches CPU up to f32
-        # reduction-order ties (the reference's CPU-determinism level).
-        self.exact_encode = bool(os.environ.get("CODEC_EXACT_ENCODE"))
+        # near-ties vs the CPU reference (measured: tools/tpu_parity.py —
+        # 55% of frames at default precision, 0 with exact_encode).
+        # exact_encode pins the whole encode graph to HIGHEST: TPU code
+        # emission then matches CPU bit-for-bit up to f32 reduction-order
+        # ties, at 1.43x the encode wall (tools/encode_micro.py: 12.1 →
+        # 17.3 ms per 20 s, still 1155x RT). f32 compute means parity, so
+        # exact is the f32 DEFAULT; 16-bit compute keeps the fast path.
+        # CODEC_EXACT_ENCODE=1/0 forces either way; decode is unaffected.
+        env = os.environ.get("CODEC_EXACT_ENCODE")
+        if env is not None:
+            self.exact_encode = env not in ("", "0")
+        else:
+            self.exact_encode = np.dtype(self.compute_dtype).itemsize == 4
         self._jit_cache: Dict[Any, Callable] = {}
         self._trace_lock = threading.RLock()
         self.mesh = None                    # set via set_mesh() for DP/SP

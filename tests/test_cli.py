@@ -206,9 +206,12 @@ def test_exact_encode_flag(wt_gguf, tmp_path):
     m = codec_tpu.load_model(wt_gguf, exact_encode=True)
     assert m.exact_encode
     import os
-    os.environ["CODEC_EXACT_ENCODE"] = "1"
+    os.environ["CODEC_EXACT_ENCODE"] = "0"
     try:
-        assert codec_tpu.load_model(wt_gguf).exact_encode
+        assert not codec_tpu.load_model(wt_gguf).exact_encode
     finally:
         del os.environ["CODEC_EXACT_ENCODE"]
-    assert not codec_tpu.load_model(wt_gguf).exact_encode
+    # exact is the f32-compute default (parity mode); 16-bit stays fast
+    assert codec_tpu.load_model(wt_gguf).exact_encode
+    assert not codec_tpu.load_model(
+        wt_gguf, compute_dtype="bfloat16").exact_encode
