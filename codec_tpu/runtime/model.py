@@ -103,6 +103,16 @@ def resolve_compute_dtype(spec, reader: Optional[GGUFReader] = None):
     raise CodecError(f"unknown compute dtype {spec!r}")
 
 
+def _exact_encode_default(compute_dtype) -> bool:
+    """f32 compute means the user chose parity: pin the encode graph to
+    f32 HIGHEST (TPU code emission then bit-exact vs CPU — see
+    CodecModel.__init__ comment). CODEC_EXACT_ENCODE=1/0 forces."""
+    env = os.environ.get("CODEC_EXACT_ENCODE")
+    if env is not None:
+        return env not in ("", "0")
+    return np.dtype(compute_dtype).itemsize == 4
+
+
 class CodecModel:
     """Base class; per-arch subclasses live in codec_tpu/models/ and register
     themselves in models/registry.py (reference vtable: src/codec.cpp:153-191)."""
@@ -150,11 +160,7 @@ class CodecModel:
         # 17.3 ms per 20 s, still 1155x RT). f32 compute means parity, so
         # exact is the f32 DEFAULT; 16-bit compute keeps the fast path.
         # CODEC_EXACT_ENCODE=1/0 forces either way; decode is unaffected.
-        env = os.environ.get("CODEC_EXACT_ENCODE")
-        if env is not None:
-            self.exact_encode = env not in ("", "0")
-        else:
-            self.exact_encode = np.dtype(self.compute_dtype).itemsize == 4
+        self.exact_encode = _exact_encode_default(self.compute_dtype)
         self._jit_cache: Dict[Any, Callable] = {}
         self._trace_lock = threading.RLock()
         self.mesh = None                    # set via set_mesh() for DP/SP
@@ -266,6 +272,7 @@ class CodecModel:
         self = cls.__new__(cls)
         self.reader = None
         self.compute_dtype = compute_dtype
+        self.exact_encode = _exact_encode_default(compute_dtype)
         self.metadata = {}
         self._jit_cache = {}
         self._trace_lock = threading.RLock()
