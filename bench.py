@@ -188,6 +188,32 @@ def _time_calls(fn, n: int = 10, warm: int = 2) -> float:
     return max(1e-9, (time.monotonic() - t0) / n - rtt)
 
 
+def _time_variants(fns: dict, n: int = 10, warm: int = 2) -> dict:
+    """Interleaved round-robin timing of comparable variants, per-variant
+    MEDIAN of per-round walls, RTT-corrected.
+
+    The remote-TPU relay's throughput drifts on minute scales; timing
+    variant A's n calls then variant B's n calls lets that drift flip
+    orderings that are physically impossible (i16 moving half the bytes
+    of f32 measuring slower — seen in the round-4 in-session product_core
+    record). One call of each variant per round puts every variant under
+    the same congestion, and the median discards spike rounds."""
+    import statistics
+
+    for fn in fns.values():
+        for _ in range(warm):                      # compile + cache warm
+            fn()
+    rtt = _readback_rtt()
+    walls = {k: [] for k in fns}
+    for _ in range(n):
+        for k, fn in fns.items():
+            t0 = time.monotonic()
+            fn()
+            walls[k].append(time.monotonic() - t0)
+    return {k: max(1e-9, statistics.median(v) - rtt)
+            for k, v in walls.items()}
+
+
 def _param_mb(model) -> float:
     """Device HBM held by a model's weight tree, in MB — records the
     quant/bf16 saving next to the timing it buys (VERDICT r3 #5)."""
@@ -212,26 +238,28 @@ def _bench_product_core(t_frames: int = 250, n: int = 10):
     audio_s = t_frames * m.hop_size / m.sample_rate  # 250 -> 20 s @ 24 kHz
     codes = rng.integers(0, m.codebook_size,
                          (1, t_frames, m.n_q)).astype(np.int32)
-    wall = _time_calls(lambda: m.decode(codes), n)
-    out["gguf_decode_f32_b1"] = {"xrt": round(audio_s / wall, 1),
-                                 "wall_ms": round(wall * 1e3, 2)}
 
-    # i16 surface: PCM converted to 16-bit in-graph (the CLI's WAV path).
-    # The remote-TPU transport streams device→host at ~40 MB/s with a
-    # ~35 ms per-op floor, so the wire — not the graph — bounds product
-    # xrt; i16 halves the stream bytes.
-    wall = _time_calls(lambda: m.decode(codes, pcm_format="i16"), n)
-    out["gguf_decode_i16_b1"] = {"xrt": round(audio_s / wall, 1),
-                                 "wall_ms": round(wall * 1e3, 2)}
-
-    # quantized product surface: dtype "auto" resolves quant wire → bf16
-    # compute on TPU (runtime/model.py resolve_compute_dtype — the native
-    # analog of the reference's quantized mul_mat), so a Q8_0 GGUF pays
-    # half the weight+activation HBM traffic of the f32 path
+    # f32, i16-wire, and Q8_0(auto→bf16) variants timed INTERLEAVED so
+    # relay-throughput drift cannot flip their ordering. i16 converts PCM
+    # to 16-bit in-graph (the CLI's WAV path) and halves the stream bytes
+    # (the relay streams ~40 MB/s with a ~35 ms/op floor, so the wire —
+    # not the graph — bounds product xrt). Q8_0 resolves via dtype "auto"
+    # to bf16 compute on TPU (runtime/model.py resolve_compute_dtype —
+    # the native analog of the reference's quantized mul_mat), paying
+    # half the weight+activation HBM traffic of f32.
     mq = codec_tpu.load_model(paths["Q8_0"], compute_dtype="auto")
-    wall = _time_calls(lambda: mq.decode(codes), n)
+    walls = _time_variants({
+        "f32": lambda: m.decode(codes),
+        "i16": lambda: m.decode(codes, pcm_format="i16"),
+        "q8_0": lambda: mq.decode(codes),
+    }, n)
+    out["gguf_decode_f32_b1"] = {"xrt": round(audio_s / walls["f32"], 1),
+                                 "wall_ms": round(walls["f32"] * 1e3, 2)}
+    out["gguf_decode_i16_b1"] = {"xrt": round(audio_s / walls["i16"], 1),
+                                 "wall_ms": round(walls["i16"] * 1e3, 2)}
     out["gguf_decode_q8_0_b1"] = {
-        "xrt": round(audio_s / wall, 1), "wall_ms": round(wall * 1e3, 2),
+        "xrt": round(audio_s / walls["q8_0"], 1),
+        "wall_ms": round(walls["q8_0"] * 1e3, 2),
         "weight_mb": _param_mb(mq), "weight_mb_f32": _param_mb(m)}
 
     # multi-stream surface (decode_many): same-bucket sequences fuse into
@@ -262,14 +290,15 @@ def _bench_product_more(t_frames: int = 250, n: int = 10):
         enc_s = 10.0                                # shorter clip: the 20 s
         pcm = (rng.standard_normal(int(m.sample_rate * enc_s)) * 0.1
                ).astype(np.float32)                 # encode graph is a much
-        wall = _time_calls(lambda: m.encode(pcm), n)  # longer compile
-        out["gguf_encode_f32"] = {"xrt": round(enc_s / wall, 1),
-                                  "wall_ms": round(wall * 1e3, 2)}
-        # the CLI path: PCM16 WAVs upload int16, /32768 in-graph
+        # the CLI path: PCM16 WAVs upload int16, /32768 in-graph.
+        # Interleaved with f32-in so relay drift can't flip the ordering.
         pcm16 = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(np.int16)
-        wall = _time_calls(lambda: m.encode(pcm16), n)
-        out["gguf_encode_i16_in"] = {"xrt": round(enc_s / wall, 1),
-                                     "wall_ms": round(wall * 1e3, 2)}
+        walls = _time_variants({"f32": lambda: m.encode(pcm),
+                                "i16": lambda: m.encode(pcm16)}, n)
+        out["gguf_encode_f32"] = {"xrt": round(enc_s / walls["f32"], 1),
+                                  "wall_ms": round(walls["f32"] * 1e3, 2)}
+        out["gguf_encode_i16_in"] = {"xrt": round(enc_s / walls["i16"], 1),
+                                     "wall_ms": round(walls["i16"] * 1e3, 2)}
 
     mq = codec_tpu.load_model(paths["Q4_K_M"], compute_dtype="auto")
     wall = _time_calls(lambda: mq.decode(codes), n)
