@@ -840,22 +840,10 @@ def main():
     def remaining() -> float:
         return budget - (time.monotonic() - t_start)
 
-    from codec_tpu.models.mimi import MimiConfig
-    from codec_tpu.models.mimi_init import random_mimi_params
-
-    dev = jax.devices()[0]
     t_frames = 25 if smoke else 250     # 20 s of 24 kHz audio per stream
     nf = 8 if smoke else 64
 
-    cfg = MimiConfig(**({"hidden": 64, "n_layers": 1, "n_heads": 2,
-                         "n_q": 4} if smoke else {}))
-    params32 = random_mimi_params(cfg, num_filters=nf, seed=0,
-                                  dtype=jnp.float32)
-    params_bf16 = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params32)
-
-    extra = {"device": str(dev), "t_frames": t_frames,
+    extra = {"t_frames": t_frames,
              "budget_s": budget, "provenance": "driver bench.py",
              "v5e_peaks": {"bf16_flops": V5E_BF16_PEAK_FLOPS,
                            "hbm_bytes_s": V5E_HBM_PEAK_BYTES}}
@@ -873,6 +861,11 @@ def main():
         with emit_lock:
             print(json.dumps(result), flush=True)
 
+    # skeleton line FIRST — before device init, weight upload, or any
+    # compile touches the (possibly wedged/slow) relay. An external kill
+    # at ANY later point leaves a parseable line on stdout.
+    emit()
+
     def _watchdog():
         # belt-and-braces: if a section wedges (dropped relay connection
         # mid-compile), still exit 0 with the sections finished so far
@@ -882,6 +875,20 @@ def main():
         os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
+
+    from codec_tpu.models.mimi import MimiConfig
+    from codec_tpu.models.mimi_init import random_mimi_params
+
+    dev = jax.devices()[0]
+    extra["device"] = str(dev)
+
+    cfg = MimiConfig(**({"hidden": 64, "n_layers": 1, "n_heads": 2,
+                         "n_q": 4} if smoke else {}))
+    params32 = random_mimi_params(cfg, num_filters=nf, seed=0,
+                                  dtype=jnp.float32)
+    params_bf16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params32)
 
     # --- headline first: print the moment it exists -------------------
     try:
@@ -968,6 +975,27 @@ def main():
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2),
                 "roofline": roof}
 
+    def snac_bench(bf16: bool):
+        # 4th lineup arch vs the reference's committed baseline
+        # (snac e2e 1446.7 ms on the Ryzen host, BASELINE.md): decode of
+        # ~20 s at hubertsiuzdak/snac_24khz production dims
+        from codec_tpu.models.bench_init import random_snac_params
+        from codec_tpu.models.snac import snac_decode_fn
+        scfg, sparams = random_snac_params(encoder=False)
+        if bf16:
+            sparams = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
+                sparams)
+        t_sn = (24000 * 20 // scfg.hop_size) // 4 * 4   # multiple of vq_strides
+        codes = jnp.asarray(rng.integers(0, scfg.codebook_size,
+                                         (1, t_sn, 3)), jnp.int32)
+        xrt, wall, roof = _bench_generic(
+            lambda p, c: snac_decode_fn(p, c, scfg), sparams, codes,
+            t_sn * scfg.hop_size, scfg.sample_rate, scfg.codebook_size)
+        return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2),
+                "roofline": roof}
+
     def mimi_bf16(batch: int, n_iters: int = 50):
         xrt, wall, _, roof = _bench_decode(cfg, params_bf16, batch, t_frames,
                                            n_iters=n_iters)
@@ -1018,6 +1046,7 @@ def main():
         run("rda", lambda: _bench_tts_rda(), 150, dest=tts)
         run("dac_f32_b1", lambda: dac_bench(False), 300)
         run("wavtokenizer_f32_b1", lambda: wt_bench(False), 150)
+        run("snac_bf16_b1", lambda: snac_bench(True), 250)
         run("product_more", _bench_product_more, 450)
         run("bf16_b16_throughput", lambda: mimi_bf16(16, n_iters=20), 300)
         run("rda_batched", lambda: _bench_tts_rda_batched(), 400, dest=tts)

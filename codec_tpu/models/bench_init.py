@@ -111,3 +111,63 @@ def random_wt_decode_params(seed: int = 0, dtype=jnp.float32
         "head_b": _mk(rng, cfg.head_out_dim, dtype=dtype),
     }
     return cfg, p
+
+
+def random_snac_params(seed: int = 0, dtype=jnp.float32, encoder: bool = True
+                       ) -> Tuple["SnacConfig", Dict[str, Any]]:
+    """hubertsiuzdak/snac_24khz at production dims (encoder_dim 48,
+    decoder_dim 1024, rates enc 2/4/8/8 dec 8/8/4/2, 3-level multi-scale
+    RVQ strides 4/2/1, depthwise res units; reference src/models/snac.cpp
+    init). Tree layout matches models/snac.py::load_snac_params."""
+    from .snac import SnacConfig
+
+    rng = np.random.default_rng(seed)
+    cfg = SnacConfig()                       # defaults = snac_24khz
+    lat, v, d = cfg.latent_dim, cfg.codebook_size, cfg.codebook_dim
+    enc_dim, dec_dim = 48, 1024
+
+    def cwb(cin, cout, k):
+        return {"w": _mk(rng, k, cin, cout, dtype=dtype),
+                "b": _mk(rng, cout, dtype=dtype), "k": k}
+
+    def units(c):                            # depthwise k7 + pointwise k1
+        return [{"a1": jnp.ones((c,), dtype), "c1": cwb(1, c, 7),
+                 "a2": jnp.ones((c,), dtype), "c2": cwb(c, c, 1)}
+                for _ in range(3)]
+
+    p: Dict[str, Any] = {"q": []}
+    for _ in range(cfg.n_q):
+        cb = _mk(rng, v, d, scale=1.0, dtype=dtype)
+        nrm = jnp.linalg.norm(cb.astype(jnp.float32), axis=1, keepdims=True)
+        p["q"].append({"in": cwb(lat, d, 1), "out": cwb(d, lat, 1),
+                       "cb": cb,
+                       "cb_norm": (cb / jnp.maximum(nrm, 1e-12)).astype(dtype)})
+
+    p["dec_in_dw"] = cwb(1, lat, 7)          # depthwise k7 @ latent
+    p["dec_in_pw"] = cwb(lat, dec_dim, 1)
+    blocks = []
+    c = dec_dim
+    for s in cfg.decoder_rates:              # 8, 8, 4, 2
+        out = c // 2
+        blocks.append({
+            "act": jnp.ones((c,), dtype),
+            "tr": {"w": _mk(rng, 2 * s, c, out, dtype=dtype),
+                   "b": _mk(rng, out, dtype=dtype), "k": 2 * s},
+            "units": units(out)})
+        c = out
+    p["dec_blocks"] = blocks
+    p["dec_act_final"] = jnp.ones((c,), dtype)
+    p["dec_final"] = cwb(c, 1, 7)
+
+    if encoder:
+        p["enc0"] = cwb(1, enc_dim, 7)
+        enc_blocks = []
+        ch = enc_dim
+        for s in cfg.encoder_rates:          # 2, 4, 8, 8
+            enc_blocks.append({"units": units(ch),
+                               "act": jnp.ones((ch,), dtype),
+                               "down": cwb(ch, ch * 2, 2 * s)})
+            ch *= 2
+        p["enc_blocks"] = enc_blocks
+        p["enc_final"] = cwb(1, ch, 7)       # depthwise k7 @ latent
+    return cfg, p

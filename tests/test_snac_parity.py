@@ -256,3 +256,28 @@ def test_roundtrip(tiny_snac):
     codes = ours.encode(pcm)
     out = ours.decode(codes)
     assert out.shape == (PAD_TO * 2,)
+
+
+def test_production_dim_fixture_runs():
+    """random_snac_params (bench lineup fixture) builds the production
+    snac_24khz tree that snac_decode_fn/snac_encode_fn accept: decode
+    shape is t*hop, encode shape is n/hop x 3 (Orpheus packing)."""
+    import jax.numpy as jnp
+
+    from codec_tpu.models.bench_init import random_snac_params
+    from codec_tpu.models.snac import snac_decode_fn, snac_encode_fn
+
+    cfg, p = random_snac_params()
+    assert cfg.latent_dim == 768 and cfg.hop_size == 512  # snac_24khz dims
+    rng = np.random.default_rng(0)
+    t = 8                                     # multiple of vq_strides lcm
+    codes = jnp.asarray(rng.integers(0, cfg.codebook_size, (1, t, 3)),
+                        jnp.int32)
+    pcm = snac_decode_fn(p, codes, cfg)
+    assert pcm.shape == (1, t * cfg.hop_size)
+    assert np.isfinite(np.asarray(pcm)).all()
+
+    n = cfg.pad_to
+    x = jnp.asarray(rng.standard_normal((1, n)) * 0.1, jnp.float32)
+    c2 = snac_encode_fn(p, x, cfg)
+    assert c2.shape == (1, n // cfg.hop_size, 3)
