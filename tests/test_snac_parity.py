@@ -22,8 +22,10 @@ PAD_TO = 2048
 
 
 class TorchSNAC(nn.Module):
-    def __init__(self):
+    def __init__(self, enc_dim=ENC_DIM, dec_dim=DEC_DIM, cb_dim=CB_DIM, v=V):
         super().__init__()
+        self.enc_dim, self.dec_dim, self.cb_dim, self.v = \
+            enc_dim, dec_dim, cb_dim, v
         g = torch.Generator().manual_seed(0)
         self.sd = {}
 
@@ -45,9 +47,9 @@ class TorchSNAC(nn.Module):
             self.sd[prefix + ".alpha"] = a
             return a
 
-        self.enc0 = wn("encoder.block.0", ENC_DIM, 1, 7)
+        self.enc0 = wn("encoder.block.0", enc_dim, 1, 7)
         self.enc_blocks = []
-        ch = ENC_DIM
+        ch = enc_dim
         for bi, s in enumerate(RATES, start=1):
             out_c = ch * 2
             base = f"encoder.block.{bi}.block"
@@ -74,18 +76,18 @@ class TorchSNAC(nn.Module):
         self.q = []
         for qi in range(3):
             base = f"quantizer.quantizers.{qi}"
-            cb = torch.randn(V, CB_DIM, generator=g)
+            cb = torch.randn(v, cb_dim, generator=g)
             self.sd[base + ".codebook.weight"] = cb
             self.q.append({
-                "in": wn(base + ".in_proj", CB_DIM, ch, 1),
-                "out": wn(base + ".out_proj", ch, CB_DIM, 1),
+                "in": wn(base + ".in_proj", cb_dim, ch, 1),
+                "out": wn(base + ".out_proj", ch, cb_dim, 1),
                 "cb": cb,
             })
 
         self.dec_in_dw = wn("decoder.model.0", ch, 1, 7)          # depthwise
-        self.dec_in_pw = wn("decoder.model.1", DEC_DIM, ch, 1)
+        self.dec_in_pw = wn("decoder.model.1", dec_dim, ch, 1)
         self.dec_blocks = []
-        dch = DEC_DIM
+        dch = dec_dim
         for bi, s in enumerate(DEC_RATES, start=2):
             out_c = dch // 2
             base = f"decoder.model.{bi}.block"
@@ -256,6 +258,113 @@ def test_roundtrip(tiny_snac):
     codes = ours.encode(pcm)
     out = ours.decode(codes)
     assert out.shape == (PAD_TO * 2,)
+
+
+# ---------------------------------------------------------------------------
+# Full-production-shape gate (hubertsiuzdak/snac_24khz dims), companion to
+# tests/test_{mimi,dac}_fullsize.py: enc 48, dec 1024, 3x4096 codebooks of
+# dim 8, hop 512. Slow-marked; near-ties in the 8-d cosine search are
+# margin-verified like the DAC gate.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def full_snac(tmp_path_factory):
+    ref = TorchSNAC(enc_dim=48, dec_dim=1024, cb_dim=8, v=4096)
+    from codec_tpu.convert import get_converter
+
+    c = get_converter("snac")(quantization="F32")
+    c.load_from_state_dict(ref.sd, {
+        "sample_rate": 24000, "encoder_rates": list(RATES),
+        "decoder_rates": list(DEC_RATES), "vq_strides": list(VQ_STRIDES),
+        "codebook_size": ref.v, "codebook_dim": ref.cb_dim,
+        "latent_dim": ref.latent, "encoder_dim": ref.enc_dim,
+        "decoder_dim": ref.dec_dim, "depthwise": True, "noise": True,
+    })
+    path = tmp_path_factory.mktemp("snac_full") / "full.gguf"
+    c.convert_and_save(path)
+
+    import codec_tpu
+
+    ours = codec_tpu.load_model(path)
+    return ref, ours
+
+
+def _snac_first_divergence_margin(ref, pcm, want, got, fine_pos, qi):
+    """Relative cosine-distance margin at the first divergent VQ stage,
+    rebuilt in f64 through the want-code prefix (multi-scale residual
+    semantics: avg-pool at the stage stride, raw-codebook out_proj
+    residual updates). Ties show ~1e-6; real full-dim bugs don't."""
+    with torch.no_grad():
+        residual = ref.encode_latent(pcm)
+        for pq in range(qi):
+            q, stride = ref.q[pq], VQ_STRIDES[pq]
+            idx = torch.from_numpy(want[None, ::stride, pq].astype(np.int64))
+            emb = q["cb"][idx].permute(0, 2, 1)
+            zq = F.conv1d(emb, q["out"][0], q["out"][1])
+            if stride > 1:
+                zq = zq.repeat_interleave(stride, dim=-1)
+            residual = residual - zq
+        q, stride = ref.q[qi], VQ_STRIDES[qi]
+        pooled = (F.avg_pool1d(residual, stride, stride)
+                  if stride > 1 else residual)
+        z = F.conv1d(pooled, q["in"][0], q["in"][1]
+                     ).double()[0, :, fine_pos // stride]
+        zn = z / z.norm().clamp(min=1e-12)
+        cb = q["cb"].double()
+        cbn = cb / cb.norm(dim=1, keepdim=True).clamp(min=1e-12)
+        d = ((zn[None] - cbn) ** 2).sum(-1)
+        c_ref, c_ours = int(want[fine_pos, qi]), int(got[fine_pos, qi])
+        return float((d[c_ours] - d[c_ref]) / d[c_ref].clamp(min=1e-12))
+
+
+@pytest.mark.slow
+def test_fullsize_encode_codes_exact_or_near_tie(full_snac):
+    ref, ours = full_snac
+    rng = np.random.default_rng(1)
+    n = PAD_TO * 4 + 700
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    pad = -(-n // PAD_TO) * PAD_TO - n
+    with torch.no_grad():
+        want = ref.encode(
+            F.pad(torch.from_numpy(pcm)[None, None], (0, pad))).numpy()[0]
+    got = np.asarray(ours.encode(pcm))
+    assert got.shape == want.shape
+    mism = got != want
+    pos = np.argwhere(mism)
+    # fine frames touched; 8-d cosine over 4096 entries near-ties a few
+    assert len(pos) <= max(8, want.size // 20), \
+        f"{len(pos)}/{want.size} codes differ — not tie noise"
+    padded = F.pad(torch.from_numpy(pcm)[None, None], (0, pad))
+    seen = set()
+    for fine_pos, qcol in pos:
+        first_q = int(mism[fine_pos].argmax())
+        key = (int(fine_pos) // VQ_STRIDES[first_q] * VQ_STRIDES[first_q],
+               first_q)
+        if key in seen:
+            continue
+        seen.add(key)
+        margin = _snac_first_divergence_margin(
+            ref, padded, want, got, int(fine_pos), first_q)
+        assert abs(margin) < 1e-4, \
+            f"pos {fine_pos} q{first_q}: rel margin {margin:.2e} — real"
+
+
+@pytest.mark.slow
+def test_fullsize_decode_corr(full_snac):
+    ref, ours = full_snac
+    rng = np.random.default_rng(2)
+    t_fine = 64
+    packed = rng.integers(0, ref.v, (1, t_fine, 3)).astype(np.int64)
+    packed[:, :, 0] = np.repeat(packed[:, ::4, 0], 4, axis=1)
+    packed[:, :, 1] = np.repeat(packed[:, ::2, 1], 2, axis=1)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(packed)).numpy()[0, 0]
+    got = np.asarray(ours.decode(packed[0].astype(np.int32)))
+    assert got.shape == want.shape == (t_fine * HOP,)
+    corr = float(np.corrcoef(got, want)[0, 1])
+    assert corr > 0.9999, f"full-size decode corr={corr}"
+    assert np.abs(got - want).max() < 5e-3
 
 
 def test_production_dim_fixture_runs():
