@@ -33,67 +33,70 @@ def sconv(x, w, b, stride=1):
 
 
 class TorchWT(nn.Module):
-    def __init__(self):
+    def __init__(self, dim=dim, cb_dim=cb_dim, v=v, n_fft=n_fft,
+                 inter=inter, n_cnx=n_cnx):
         super().__init__()
+        self.dim, self.cb_dim, self.v, self.n_fft, self.inter, self.n_cnx = \
+            dim, cb_dim, v, n_fft, inter, n_cnx
         g = torch.Generator().manual_seed(0)
 
         def W(*shape, s=0.2):
             return nn.Parameter(torch.randn(*shape, generator=g) * s)
 
         # ---- encoder (EnCodec): model.0 conv k7, 4 stages, lstm, model.15
-        ch = (CB_DIM, CB_DIM, CB_DIM, CB_DIM, CB_DIM)  # keep uniform for simplicity
-        self.e_c0_w, self.e_c0_b = W(CB_DIM, 1, 7), W(CB_DIM)
+        ch = (cb_dim, cb_dim, cb_dim, cb_dim, cb_dim)  # keep uniform for simplicity
+        self.e_c0_w, self.e_c0_b = W(cb_dim, 1, 7), W(cb_dim)
         self.stages = nn.ParameterList()
         stage_params = []
         for i in range(4):
             p = {
-                "b1_w": W(CB_DIM // 2, CB_DIM, 3), "b1_b": W(CB_DIM // 2),
-                "b3_w": W(CB_DIM, CB_DIM // 2, 1), "b3_b": W(CB_DIM),
-                "sc_w": W(CB_DIM, CB_DIM, 1), "sc_b": W(CB_DIM),
+                "b1_w": W(cb_dim // 2, cb_dim, 3), "b1_b": W(cb_dim // 2),
+                "b3_w": W(cb_dim, cb_dim // 2, 1), "b3_b": W(cb_dim),
+                "sc_w": W(cb_dim, cb_dim, 1), "sc_b": W(cb_dim),
             }
             stage_params.append(p)
         self.stage_params = stage_params
         ks = (4, 8, 10, 16)
-        self.dn = [{"w": W(CB_DIM, CB_DIM, ks[i]), "b": W(CB_DIM)} for i in range(4)]
+        self.dn = [{"w": W(cb_dim, cb_dim, ks[i]), "b": W(cb_dim)} for i in range(4)]
         self.lstm = [{
-            "w_ih": W(4 * CB_DIM, CB_DIM), "w_hh": W(4 * CB_DIM, CB_DIM),
-            "b_ih": W(4 * CB_DIM), "b_hh": W(4 * CB_DIM)} for _ in range(2)]
-        self.e_out_w, self.e_out_b = W(CB_DIM, CB_DIM, 7), W(CB_DIM)
+            "w_ih": W(4 * cb_dim, cb_dim), "w_hh": W(4 * cb_dim, cb_dim),
+            "b_ih": W(4 * cb_dim), "b_hh": W(4 * cb_dim)} for _ in range(2)]
+        self.e_out_w, self.e_out_b = W(cb_dim, cb_dim, 7), W(cb_dim)
 
-        self.codebook = W(V, CB_DIM, s=1.0)
+        self.codebook = W(v, cb_dim, s=1.0)
 
         # ---- decoder
-        self.embed_w, self.embed_b = W(DIM, CB_DIM, 7), W(DIM)
+        self.embed_w, self.embed_b = W(dim, cb_dim, 7), W(dim)
         self.pos = []
         for _ in range(4):
             self.pos.append({
-                "n1_w": W(DIM, s=1.0), "n1_b": W(DIM),
-                "c1_w": W(DIM, DIM, 3), "c1_b": W(DIM),
-                "n2_w": W(DIM, s=1.0), "n2_b": W(DIM),
-                "c2_w": W(DIM, DIM, 3), "c2_b": W(DIM),
+                "n1_w": W(dim, s=1.0), "n1_b": W(dim),
+                "c1_w": W(dim, dim, 3), "c1_b": W(dim),
+                "n2_w": W(dim, s=1.0), "n2_b": W(dim),
+                "c2_w": W(dim, dim, 3), "c2_b": W(dim),
             })
         self.attn = {
-            "n_w": W(DIM, s=1.0), "n_b": W(DIM),
-            "q_w": W(DIM, DIM, 1), "q_b": W(DIM),
-            "k_w": W(DIM, DIM, 1), "k_b": W(DIM),
-            "v_w": W(DIM, DIM, 1), "v_b": W(DIM),
-            "o_w": W(DIM, DIM, 1), "o_b": W(DIM),
+            "n_w": W(dim, s=1.0), "n_b": W(dim),
+            "q_w": W(dim, dim, 1), "q_b": W(dim),
+            "k_w": W(dim, dim, 1), "k_b": W(dim),
+            "v_w": W(dim, dim, 1), "v_b": W(dim),
+            "o_w": W(dim, dim, 1), "o_b": W(dim),
         }
-        self.gn_w, self.gn_b = W(DIM, s=1.0), W(DIM)
+        self.gn_w, self.gn_b = W(dim, s=1.0), W(dim)
         # adanorm embedding tables (4 bandwidths; row 0 used)
-        self.ada_scale = W(4, DIM, s=1.0)
-        self.ada_shift = W(4, DIM)
+        self.ada_scale = W(4, dim, s=1.0)
+        self.ada_shift = W(4, dim)
         self.cnx = []
-        for _ in range(N_CNX):
+        for _ in range(n_cnx):
             self.cnx.append({
-                "dw_w": W(DIM, 1, 7), "dw_b": W(DIM),
-                "ns": W(4, DIM, s=1.0), "nb": W(4, DIM),
-                "pw1_w": W(INTER, DIM), "pw1_b": W(INTER),
-                "pw2_w": W(DIM, INTER), "pw2_b": W(DIM),
-                "gamma": W(DIM, s=1.0),
+                "dw_w": W(dim, 1, 7), "dw_b": W(dim),
+                "ns": W(4, dim, s=1.0), "nb": W(4, dim),
+                "pw1_w": W(inter, dim), "pw1_b": W(inter),
+                "pw2_w": W(dim, inter), "pw2_b": W(dim),
+                "gamma": W(dim, s=1.0),
             })
-        self.fln_w, self.fln_b = W(DIM, s=1.0), W(DIM)
-        self.head_w, self.head_b = W(N_FFT + 2, DIM), W(N_FFT + 2)
+        self.fln_w, self.fln_b = W(dim, s=1.0), W(dim)
+        self.head_w, self.head_b = W(n_fft + 2, dim), W(n_fft + 2)
 
     # ---- encode ----------------------------------------------------------
     def encode(self, pcm):
@@ -112,7 +115,7 @@ class TorchWT(nn.Module):
         inp = y
         for lw in self.lstm:
             outs = []
-            h = torch.zeros(y.shape[0], CB_DIM)
+            h = torch.zeros(y.shape[0], self.cb_dim)
             c = torch.zeros_like(h)
             for t in range(y.shape[1]):
                 gates = y[:, t] @ lw["w_ih"].T + h @ lw["w_hh"].T + lw["b_ih"] + lw["b_hh"]
@@ -154,7 +157,7 @@ class TorchWT(nn.Module):
         q = F.conv1d(h, a["q_w"], a["q_b"]).permute(0, 2, 1)
         k = F.conv1d(h, a["k_w"], a["k_b"]).permute(0, 2, 1)
         v = F.conv1d(h, a["v_w"], a["v_b"]).permute(0, 2, 1)
-        w_ = torch.softmax(q @ k.transpose(1, 2) / math.sqrt(DIM), -1)
+        w_ = torch.softmax(q @ k.transpose(1, 2) / math.sqrt(self.dim), -1)
         ctx = (w_ @ v).permute(0, 2, 1)
         x = x + F.conv1d(ctx, a["o_w"], a["o_b"])
         x = resblk(x, self.pos[2])
@@ -162,34 +165,34 @@ class TorchWT(nn.Module):
         x = gn(x, self.gn_w, self.gn_b)
 
         y = x.permute(0, 2, 1)                                   # [B, T, C]
-        y = F.layer_norm(y, (DIM,), eps=1e-6) * self.ada_scale[0] + self.ada_shift[0]
+        y = F.layer_norm(y, (self.dim,), eps=1e-6) * self.ada_scale[0] + self.ada_shift[0]
         for p in self.cnx:
             r = y
             h = F.conv1d(y.permute(0, 2, 1), p["dw_w"], p["dw_b"], padding=3,
-                         groups=DIM).permute(0, 2, 1)
-            h = F.layer_norm(h, (DIM,), eps=1e-6) * p["ns"][0] + p["nb"][0]
+                         groups=self.dim).permute(0, 2, 1)
+            h = F.layer_norm(h, (self.dim,), eps=1e-6) * p["ns"][0] + p["nb"][0]
             h = h @ p["pw1_w"].T + p["pw1_b"]
             h = F.gelu(h)
             h = h @ p["pw2_w"].T + p["pw2_b"]
             y = r + h * p["gamma"]
-        y = F.layer_norm(y, (DIM,), weight=self.fln_w, bias=self.fln_b, eps=1e-6)
-        head = y @ self.head_w.T + self.head_b                   # [B, T, n_fft+2]
+        y = F.layer_norm(y, (self.dim,), weight=self.fln_w, bias=self.fln_b, eps=1e-6)
+        head = y @ self.head_w.T + self.head_b                   # [B, T, self.n_fft+2]
 
         # ISTFT "same" padding
         logmag, phase = head.chunk(2, -1)
         mag = torch.clamp(torch.exp(logmag), max=1e2)
         S = mag * torch.exp(1j * phase)
-        frames = torch.fft.irfft(S, N_FFT, dim=-1)
-        win = torch.hann_window(N_FFT)
+        frames = torch.fft.irfft(S, self.n_fft, self.dim=-1)
+        win = torch.hann_window(self.n_fft)
         frames = frames * win
         T = frames.shape[1]
-        out = torch.zeros(frames.shape[0], (T - 1) * HOP + N_FFT)
+        out = torch.zeros(frames.shape[0], (T - 1) * HOP + self.n_fft)
         env = torch.zeros_like(out)
         for t in range(T):
-            out[:, t * HOP:t * HOP + N_FFT] += frames[:, t]
-            env[:, t * HOP:t * HOP + N_FFT] += win ** 2
+            out[:, t * HOP:t * HOP + self.n_fft] += frames[:, t]
+            env[:, t * HOP:t * HOP + self.n_fft] += win ** 2
         out = out / env.clamp(min=1e-11)
-        pad = (N_FFT - HOP) // 2
+        pad = (self.n_fft - HOP) // 2
         if pad > 0:
             out = out[:, pad:-pad]
         return out
@@ -234,7 +237,7 @@ class TorchWT(nn.Module):
         a = self.attn
         sd["backbone.pos_net.2.norm.weight"] = a["n_w"]
         sd["backbone.pos_net.2.norm.bias"] = a["n_b"]
-        for k, n in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "proj_out")):
+        for k, n in (("q", "q"), ("k", "k"), ("self.v", "self.v"), ("o", "proj_out")):
             sd[f"backbone.pos_net.2.{n}.weight"] = a[f"{k}_w"]
             sd[f"backbone.pos_net.2.{n}.bias"] = a[f"{k}_b"]
         sd["backbone.pos_net.5.weight"] = self.gn_w
@@ -256,7 +259,7 @@ class TorchWT(nn.Module):
         sd["backbone.final_layer_norm.bias"] = self.fln_b
         sd["head.out.weight"] = self.head_w
         sd["head.out.bias"] = self.head_b
-        return {k: v.detach().numpy() for k, v in sd.items()}
+        return {k: self.v.detach().numpy() for k, self.v in sd.items()}
 
 
 @pytest.fixture(scope="module")

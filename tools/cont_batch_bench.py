@@ -101,11 +101,21 @@ def run_bench(slots: int = 4, chunk: int = 16, requests: int = 8,
     steps = [args.base_steps + 8 * (i % args.slots)
              for i in range(args.requests)]
 
-    # warm: compile the chunk + prefill fns with one throwaway request
-    warm = engine.submit(AudioLM(reader, lm=lm), prompts[0], seed=999,
-                         max_steps=2)
+    # warm: compile EVERY graph variant the live mix will hit — prefill,
+    # the B=slots chunk, each slot's admission scatter, and the retire
+    # flush — with a throwaway staggered mini-mix (2x slots requests, so
+    # the second wave admits mid-flight exactly like the timed mix). The
+    # SLOs below are steady-state by design: through the remote-compile
+    # relay a single cold graph costs 30-500 s (docs/PERF.md), which is a
+    # deployment's one-time startup cost, not its per-request latency.
+    t_w = time.monotonic()
+    wh = [engine.submit(AudioLM(reader, lm=lm), prompts[i % len(prompts)],
+                        seed=900 + i, max_steps=2 + (i % 2))
+          for i in range(2 * args.slots)]
     engine.drain()
-    warm.wait(timeout=0)
+    for h in wh:
+        h.wait(timeout=0)
+    warm_s = time.monotonic() - t_w
 
     # per-request frame timestamps → time-to-first-audio + per-stream RTF
     # (the serving SLOs: VERDICT r3 #8). frame_cb runs on the engine
@@ -150,6 +160,8 @@ def run_bench(slots: int = 4, chunk: int = 16, requests: int = 8,
 
     return {
         "device": str(jax.devices()[0]),
+        "steady_state": True,          # compiles paid in warmup, not SLOs
+        "warm_compile_s": round(warm_s, 1),
         "slots": args.slots, "chunk_frames": args.chunk,
         "requests": args.requests, "steps_per_request": steps,
         "total_frames": frames,
