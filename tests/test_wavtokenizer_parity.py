@@ -33,8 +33,8 @@ def sconv(x, w, b, stride=1):
 
 
 class TorchWT(nn.Module):
-    def __init__(self, dim=dim, cb_dim=cb_dim, v=v, n_fft=n_fft,
-                 inter=inter, n_cnx=n_cnx):
+    def __init__(self, dim=DIM, cb_dim=CB_DIM, v=V, n_fft=N_FFT,
+                 inter=INTER, n_cnx=N_CNX):
         super().__init__()
         self.dim, self.cb_dim, self.v, self.n_fft, self.inter, self.n_cnx = \
             dim, cb_dim, v, n_fft, inter, n_cnx
@@ -182,7 +182,7 @@ class TorchWT(nn.Module):
         logmag, phase = head.chunk(2, -1)
         mag = torch.clamp(torch.exp(logmag), max=1e2)
         S = mag * torch.exp(1j * phase)
-        frames = torch.fft.irfft(S, self.n_fft, self.dim=-1)
+        frames = torch.fft.irfft(S, self.n_fft, dim=-1)
         win = torch.hann_window(self.n_fft)
         frames = frames * win
         T = frames.shape[1]
@@ -237,7 +237,7 @@ class TorchWT(nn.Module):
         a = self.attn
         sd["backbone.pos_net.2.norm.weight"] = a["n_w"]
         sd["backbone.pos_net.2.norm.bias"] = a["n_b"]
-        for k, n in (("q", "q"), ("k", "k"), ("self.v", "self.v"), ("o", "proj_out")):
+        for k, n in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "proj_out")):
             sd[f"backbone.pos_net.2.{n}.weight"] = a[f"{k}_w"]
             sd[f"backbone.pos_net.2.{n}.bias"] = a[f"{k}_b"]
         sd["backbone.pos_net.5.weight"] = self.gn_w
@@ -259,7 +259,7 @@ class TorchWT(nn.Module):
         sd["backbone.final_layer_norm.bias"] = self.fln_b
         sd["head.out.weight"] = self.head_w
         sd["head.out.bias"] = self.head_b
-        return {k: self.v.detach().numpy() for k, self.v in sd.items()}
+        return {k: t.detach().numpy() for k, t in sd.items()}
 
 
 @pytest.fixture(scope="module")
