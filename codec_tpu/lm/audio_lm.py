@@ -125,14 +125,24 @@ class AudioLM:
             return ObserveAction.CONSUMED_EMBED
         return ObserveAction.CONSUMED
 
-    def observe_codes(self, codes: Sequence[int], last_hidden=None) -> ObserveAction:
-        """Type C/D frame observe (reference: audio_lm_observe_codes)."""
+    def observe_codes(self, codes: Sequence[int], last_hidden=None,
+                      compose: bool = True) -> ObserveAction:
+        """Type C/D frame observe (reference: audio_lm_observe_codes).
+
+        `compose=False` skips the feedback-embedding compose (a device
+        gather + fetch): drivers whose feedback path is already in-graph
+        (the fused gen chunk / continuous batcher) must pass it — through
+        a dispatch-serializing relay the per-frame compose here was the
+        round-4 serving collapse (BENCH_r04: 823 ms/frame)."""
         codes = list(codes)
         self.frames.append(codes)
         if self.state is not None and self.state.step_is_eos(codes):
             return ObserveAction.STOP
-        if self.lm is not None:
+        if self.lm is not None and compose:
             self.next_embed = self.lm.compose_next_embd(codes, self._embed_step)
+            self._embed_step += 1
+            return ObserveAction.CONSUMED_EMBED
+        if self.lm is not None:
             self._embed_step += 1
             return ObserveAction.CONSUMED_EMBED
         return ObserveAction.CONSUMED

@@ -528,17 +528,30 @@ class ResidualDepthArLM(CodecLM):
         return np.asarray(embd[code])
 
     def compose_audio_embd(self, codes: Sequence[int]) -> np.ndarray:
+        # ONE eager device gather+fetch per call, not one per codebook:
+        # the tables are device arrays, and a per-codebook `np.asarray(
+        # table[idx])` loop costs n_codebook serialized relay round trips
+        # per composed frame (~35 ms/op floor, docs/PERF.md) — measured as
+        # the round-4 serving collapse (BENCH_r04: 823 ms/frame; every
+        # host-loop frame paid 32 round trips here).
         codes = list(codes)
         if self.compose_table is not None:
-            out = np.zeros((self.info.compose_audio_embed_dim,), np.float32)
-            for i, c in enumerate(codes):
-                if c >= 0:
-                    out += np.asarray(self.compose_table[c + i * self.compose_stride])
-            return out
+            idx = [c + i * self.compose_stride
+                   for i, c in enumerate(codes) if c >= 0]
+            if not idx:
+                return np.zeros((self.info.compose_audio_embed_dim,),
+                                np.float32)
+            rows = np.asarray(jnp.take(self.compose_table,
+                                       jnp.asarray(idx, jnp.int32), axis=0),
+                              np.float32)
+            return rows.sum(axis=0)
         out = np.zeros((self.info.audio_embed_dim,), np.float32)
-        for i, c in enumerate(codes):
-            if c >= 0 and i < len(self.audio_embds) and self.audio_embds[i] is not None:
-                out += np.asarray(self.audio_embds[i][c])
+        gathered = [np.asarray(self.audio_embds[i][c])
+                    for i, c in enumerate(codes)
+                    if c >= 0 and i < len(self.audio_embds)
+                    and self.audio_embds[i] is not None]
+        for g in gathered:
+            out += g
         return out
 
     def compose_embd_fn(self):

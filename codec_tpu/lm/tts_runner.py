@@ -348,7 +348,9 @@ def run_realtime_streaming(
             rows = arr[: chunk_n * n_cb].reshape(chunk_n, n_cb)[:n_emit]
             for row in rows:
                 codes = st.push_frame(row)
-                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                # compose=False: the chunk composes feedback in-graph
+                if audio_lm.observe_codes(
+                        codes, compose=False) is ObserveAction.STOP:
                     stopped = True
                     break
                 steps += 1
@@ -468,7 +470,9 @@ def run_lfm2_sequential(
             rows = arr[: chunk_n * n_cb].reshape(chunk_n, n_cb)[:n_emit]
             for row in rows:
                 codes = st.push_frame(row)
-                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                # compose=False: the chunk composes feedback in-graph
+                if audio_lm.observe_codes(
+                        codes, compose=False) is ObserveAction.STOP:
                     stopped = True
                     break
                 steps += 1
@@ -967,8 +971,10 @@ def run_codebook_ar_batch(
                     continue
                 codes = states[s].push_frame(rows[i, s])
                 steps[s] += 1          # the EOS frame counts, like the
-                if audio_lms[s].observe_codes(codes) is ObserveAction.STOP:
-                    stopped[s] = True  # single-stream loop's n_steps
+                if audio_lms[s].observe_codes(     # single-stream loop's
+                        codes,                     # n_steps; compose=False:
+                        compose=False) is ObserveAction.STOP:  # in-graph
+                    stopped[s] = True              # feedback
         base += n_emit
 
     # per-stream delay-tail flush (contract: include/codec_lm.h:387-401)
@@ -1255,7 +1261,9 @@ def run_codebook_ar(
             for row in frames:
                 codes = st.push_frame(row)
                 steps += 1
-                if audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                # compose=False: the chunk composes feedback in-graph
+                if audio_lm.observe_codes(
+                        codes, compose=False) is ObserveAction.STOP:
                     stopped = True
                     break
                 if steps >= max_steps:

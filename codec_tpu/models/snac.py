@@ -135,8 +135,19 @@ def load_snac_params(r: GGUFReader, cfg: SnacConfig, dtype=jnp.float32):
 def _conv(x, layer, stride=1, dilation=1, padding=0):
     # groups from runtime channels: WIO weight is [K, in/groups, out]; a
     # depthwise conv (C,1,K) and the 1→C input conv share weight shapes.
-    groups = x.shape[-1] // layer["w"].shape[1]
-    return conv.conv1d(x, layer["w"], layer["b"], stride=stride, dilation=dilation,
+    w, b = layer["w"], layer["b"]
+    groups = x.shape[-1] // w.shape[1]
+    if conv.use_conv_matmul():
+        if w.shape[1] == 1 and groups == x.shape[-1]:
+            # depthwise: K shifted VPU FMAs — XLA's grouped-conv lowering
+            # at SNAC's shapes was the round-4 perf outlier (142 ms b1,
+            # 0.01% MFU; BENCH_r04); see conv1d_depthwise_shifts
+            return conv.conv1d_depthwise_shifts(
+                x, w, b, stride=stride, dilation=dilation, padding=padding)
+        if stride == 1 and groups == 1:
+            return conv.conv1d_matmul(x, w, b, dilation=dilation,
+                                      padding=padding)
+    return conv.conv1d(x, w, b, stride=stride, dilation=dilation,
                        padding=padding, groups=groups)
 
 
@@ -166,27 +177,58 @@ def snac_latent_from_codes(params, c_levels, cfg: SnacConfig) -> jax.Array:
     return z
 
 
+def _pc(a, axis, to, value=0.0):
+    return conv.pad_channels(a, axis, to, value)
+
+
+def _pad_layer(layer, to, in_axis=True, out_axis=True):
+    """Lane-pad a conv layer's weight/bias to 128-multiples (TPU: zero
+    channels ride as exact zeros through snake/convs/residuals — the DAC
+    decode stack's trick, models/dac.py::_lane_pad)."""
+    w = layer["w"]
+    if w.shape[1] == 1:                       # depthwise: channel = axis 2
+        w = _pc(w, 2, to) if out_axis else w
+    else:
+        w = _pc(w, 1, to) if in_axis else w
+        w = _pc(w, 2, to) if out_axis else w
+    return {"w": w, "b": _pc(layer["b"], 0, to) if out_axis else layer["b"],
+            "k": layer["k"]}
+
+
 def snac_decode_fn(params, codes: jax.Array, cfg: SnacConfig) -> jax.Array:
     """codes: packed [B, T_fine, 3] (Orpheus layout) → pcm [B, T_fine*hop]."""
+    to = conv.lane_pad()
     codes = jnp.clip(codes, 0, cfg.codebook_size - 1)
     c_levels = [codes[:, ::s, qi] for qi, s in enumerate(cfg.vq_strides)]
     x = snac_latent_from_codes(params, c_levels, cfg)
 
-    x = _conv(x, params["dec_in_dw"], padding=(params["dec_in_dw"]["k"] - 1) // 2)
-    x = _conv(x, params["dec_in_pw"])
+    x = _conv(x, _pad_layer(params["dec_in_dw"], to),
+              padding=(params["dec_in_dw"]["k"] - 1) // 2)
+    x = _conv(x, _pad_layer(params["dec_in_pw"], to))
     for blk, s in zip(params["dec_blocks"], cfg.decoder_rates):
-        x = act.snake(x, blk["act"])
+        x = act.snake(x, _pc(blk["act"], 0, to, 1.0))
         pad = (s + 1) // 2
         out_pad = s % 2
-        y = conv.convtr1d(x, blk["tr"]["w"], blk["tr"]["b"], stride=s)
+        w_tr = _pc(_pc(blk["tr"]["w"], 1, to), 2, to)
+        b_tr = _pc(blk["tr"]["b"], 0, to)
+        if conv.use_conv_matmul():
+            # sub-pixel phase matmul instead of XLA's lhs_dilation conv
+            # (same form as DAC's decoder upsamples, models/dac.py)
+            y = conv.convtr1d_subpixel(x, w_tr, b_tr, stride=s)
+        else:
+            y = conv.convtr1d(x, w_tr, b_tr, stride=s)
         # torch crop: `padding` from left, `padding - output_padding` from right
         y = y[:, pad: y.shape[1] - (pad - out_pad), :]
         x = y
         # NoiseBlock runs as identity in deterministic decode (snac.cpp:391-397)
         for u, d in zip(blk["units"], RES_DILATIONS):
-            x = _res_unit(x, u, d)
-    x = act.snake(x, params["dec_act_final"])
-    x = _conv(x, params["dec_final"], padding=(params["dec_final"]["k"] - 1) // 2)
+            x = _res_unit(x, {k2: (_pad_layer(u[k2], to)
+                                   if k2 in ("c1", "c2")
+                                   else _pc(u[k2], 0, to, 1.0))
+                              for k2 in u}, d)
+    x = act.snake(x, _pc(params["dec_act_final"], 0, to, 1.0))
+    fin = dict(params["dec_final"], w=_pc(params["dec_final"]["w"], 1, to))
+    x = _conv(x, fin, padding=(params["dec_final"]["k"] - 1) // 2)
     return jnp.tanh(x[..., 0])
 
 

@@ -141,6 +141,47 @@ def conv1d_matmul(
     return y
 
 
+def conv1d_depthwise_shifts(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: int | tuple[int, int] = 0,
+    pad_mode: str = "zeros",
+) -> jax.Array:
+    """Depthwise conv as K shifted elementwise FMAs (TPU formulation).
+
+    A depthwise conv is a per-channel K-tap FIR: y[t, c] = Σ_j
+    x_pad[t·s + j·d, c] · w[j, c] — no contraction over channels at all,
+    so lowering it through XLA's grouped convolution (feature_group_count
+    = C) wastes the MXU AND picks XLA's worst conv path (measured: SNAC's
+    depthwise-heavy decoder ran 25-50x off the lineup, BENCH_r04
+    snac_bf16_b1). K shifted [B, T', C] * [C] multiply-adds fuse into a
+    single VPU loop at HBM-bandwidth speed.
+
+    Numerically identical to conv1d(groups=C) up to float-add order.
+    x: [B, T, C], w: [K, 1, C] (the WIO depthwise layout).
+    """
+    k = w.shape[0]
+    k_eff = (k - 1) * dilation + 1
+    pad_l, pad_r = (padding, padding) if isinstance(padding, int) else padding
+    t_out = (x.shape[1] + pad_l + pad_r - k_eff) // stride + 1
+    mode = "edge" if pad_mode == "replicate" else "constant"
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)), mode=mode)
+    span = (t_out - 1) * stride + 1
+
+    def tap(j):
+        return xp[:, j * dilation: j * dilation + span: stride]
+
+    y = tap(0) * w[0, 0]
+    for j in range(1, k):
+        y = y + tap(j) * w[j, 0]
+    if b is not None:
+        y = y + b
+    return y
+
+
 def lane_pad() -> int:
     """Channel padding multiple for decode stacks on TPU.
 

@@ -349,7 +349,11 @@ class ContinuousBatcher:
                     continue
                 codes = req.audio_lm.state.push_frame(rows[i, s])
                 self._steps[s] += 1
-                if req.audio_lm.observe_codes(codes) is ObserveAction.STOP:
+                # compose=False: feedback embeddings are composed IN the
+                # chunk graph; the host compose would add a device round
+                # trip per frame per slot (the round-4 serving collapse)
+                if req.audio_lm.observe_codes(
+                        codes, compose=False) is ObserveAction.STOP:
                     self._stopped[s] = True
                 elif req.frame_cb is not None:
                     try:

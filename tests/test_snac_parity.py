@@ -390,3 +390,39 @@ def test_production_dim_fixture_runs():
     x = jnp.asarray(rng.standard_normal((1, n)) * 0.1, jnp.float32)
     c2 = snac_encode_fn(p, x, cfg)
     assert c2.shape == (1, n // cfg.hop_size, 3)
+
+
+def test_tpu_formulation_matches_plain_path(monkeypatch):
+    """The TPU decode formulation (depthwise-shifts + conv1d_matmul +
+    sub-pixel convtr + 128-lane weight padding; round-5 SNAC perf fix,
+    VERDICT r4 #3) is numerically the plain lax path's output. Forced on
+    CPU by patching the dispatch gates."""
+    import jax.numpy as jnp
+
+    from codec_tpu.models.bench_init import random_snac_params
+    from codec_tpu.models.snac import snac_decode_fn, snac_encode_fn
+    from codec_tpu.ops import conv
+
+    cfg, p = random_snac_params()
+    rng = np.random.default_rng(3)
+    t = 8
+    codes = jnp.asarray(rng.integers(0, cfg.codebook_size, (1, t, 3)),
+                        jnp.int32)
+    pcm_plain = np.asarray(snac_decode_fn(p, codes, cfg))
+
+    monkeypatch.setattr(conv, "use_conv_matmul", lambda: True)
+    monkeypatch.setattr(conv, "lane_pad", lambda: 128)
+    pcm_tpu = np.asarray(snac_decode_fn(p, codes, cfg))
+
+    assert pcm_tpu.shape == pcm_plain.shape
+    corr = float(np.corrcoef(pcm_tpu.ravel(), pcm_plain.ravel())[0, 1])
+    assert corr > 0.999999, f"corr={corr}"
+    assert np.abs(pcm_tpu - pcm_plain).max() < 1e-4
+
+    n = cfg.pad_to
+    x = jnp.asarray(rng.standard_normal((1, n)) * 0.1, jnp.float32)
+    c_tpu = np.asarray(snac_encode_fn(p, x, cfg))
+    monkeypatch.undo()
+    c_plain = np.asarray(snac_encode_fn(p, x, cfg))
+    mism = int((c_tpu != c_plain).sum())
+    assert mism <= c_plain.size * 0.02, f"{mism}/{c_plain.size} codes differ"
