@@ -13,15 +13,18 @@ cache does NOT reload across processes on this VM (docs/PERF.md), so a
 fresh-process run pays full remote compiles. Therefore:
   - the headline section (f32_b1) runs FIRST and its JSON line is printed
     and flushed the moment it completes;
-  - every further section re-prints the full enriched JSON line when it
-    finishes (the driver parses the last complete line it sees);
+  - every further section re-prints a COMPACT headline line when it
+    finishes (the driver parses the last complete line it sees; round 4's
+    ever-growing enriched line broke the driver's parser — VERDICT r4 #2).
+    The full enriched record is written atomically to
+    benchmarks/bench_latest.json on every milestone;
   - sections are budget-gated (env BENCH_BUDGET_S, default 2400 s): when
     the projected cost exceeds the remaining budget the section is
     recorded as "skipped (budget)" instead of running — no retries;
   - a watchdog thread hard-exits 0 with a final line at budget + 60 s
     even if a section wedges on a dropped relay connection;
-  - the intentionally-cold cold_start section only runs with
-    BENCH_COLD_START=1.
+  - cold_start runs by default under the budget gate (disable with
+    BENCH_COLD_START=0).
 
 Roofline: mimi/dac/wavtokenizer sections carry flops / hbm_bytes /
 mfu_pct / hbm_pct from XLA's compiled cost_analysis against v5e peaks
@@ -130,7 +133,8 @@ def _bench_generic(decode_fn, params, codes0, out_samples: int,
             codes, acc = carry
             pcm = decode_fn(params, codes)
             # derive next codes from the output -> serializes iterations
-            nxt = (jnp.abs(pcm[:, : codes.size]).reshape(codes.shape)
+            per_row = codes.shape[1] * codes.shape[2]   # batch-safe slice
+            nxt = (jnp.abs(pcm[:, :per_row]).reshape(codes.shape)
                    * 1e6).astype(jnp.int32) % vocab
             return nxt, acc + pcm[0, 0]
         _, acc = jax.lax.fori_loop(0, n_iters, body, (codes, jnp.float32(0)))
@@ -854,12 +858,64 @@ def main():
     result = {"metric": "mimi_decode_xrt_per_chip", "value": 0.0,
               "unit": "x_realtime", "vs_baseline": 0.0, "extra": extra}
     emit_lock = threading.Lock()
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "bench_latest.json")
+
+    def _get(*path):
+        cur: object = extra
+        for p in path:
+            if not isinstance(cur, dict):
+                return None
+            cur = cur.get(p)
+        return cur if not isinstance(cur, dict) else None
+
+    def _summary() -> dict:
+        """Small FLAT scalars for the stdout headline. Round 4's enriched
+        line grew past the driver's parser (BENCH_r04 parsed=null, rc=0 —
+        VERDICT r4 #2); the full record now goes to
+        benchmarks/bench_latest.json and stdout stays compact."""
+        s: dict = {"device": extra.get("device"),
+                   "sections_done": len(walls),
+                   "skipped": len(skipped),
+                   "total_wall_s": extra.get("total_wall_s"),
+                   "detail": "benchmarks/bench_latest.json"}
+        for k, path in {
+            "f32_b1_ms": ("f32_b1", "wall_ms"),
+            "dac_bf16_b1_ms": ("dac_bf16_b1", "wall_ms"),
+            "snac_bf16_b1_ms": ("snac_bf16_b1", "wall_ms"),
+            "wt_bf16_b1_ms": ("wavtokenizer_bf16_b1", "wall_ms"),
+            "serving_rtf_p50": ("serving", "per_stream_rtf", "p50"),
+            "serving_ttfa_ms_p50": ("serving", "ttfa_ms", "p50"),
+            "serving_xrt": ("serving", "aggregate_audio_xrt"),
+            "timed_region_compiles": ("serving", "timed_region_compiles"),
+            "serving_steady_state": ("serving", "steady_state"),
+            "encode_bitexact": ("encode_bitexact", "bitexact"),
+            "encode_diverged_frames": ("encode_bitexact",
+                                       "code_mismatch_frames"),
+            "cold_start_s": ("cold_start", "cold_start_to_first_audio_s"),
+            "batch_knee": ("batch_sweep", "knee"),
+            "batch_bound": ("batch_sweep", "bound"),
+            "batch_best_xrt": ("batch_sweep", "best_xrt"),
+        }.items():
+            v = _get(*path)
+            if v is not None:
+                s[k] = v
+        return s
 
     def emit():
-        # one complete JSON line per milestone; the driver takes the last
-        # full line, so a mid-run kill still leaves a parseable result
+        # one compact line per milestone; the driver takes the last full
+        # line, so a mid-run kill still leaves a parseable result. The
+        # full enriched record is written (atomically) to detail_path.
         with emit_lock:
-            print(json.dumps(result), flush=True)
+            try:
+                os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+                tmp = detail_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(result, f, indent=1)
+                os.replace(tmp, detail_path)
+            except OSError:
+                pass
+            print(json.dumps(dict(result, extra=_summary())), flush=True)
 
     # skeleton line FIRST — before device init, weight upload, or any
     # compile touches the (possibly wedged/slow) relay. An external kill
@@ -1002,6 +1058,90 @@ def main():
         return {"xrt": round(xrt, 1), "wall_ms": round(wall * 1e3, 2),
                 "roofline": roof}
 
+    def encode_bitexact():
+        """Driver-verifiable BASELINE.md:29 north star: bit-exact RVQ code
+        emission on encode at production shape (VERDICT r4 #5). Runs
+        tools/tpu_parity.py --exact — CPU worker then TPU worker over the
+        SAME full-size Mimi GGUF + input, CODEC_EXACT_ENCODE pinning the
+        whole encode graph to f32 HIGHEST — and reports frames diverged."""
+        import subprocess
+        repo = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "tpu_parity.py"),
+             "--exact"], cwd=repo, capture_output=True, text=True,
+            timeout=max(120, min(900, remaining() - 30)))
+        lines = [ln for ln in r.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        res = json.loads(lines[-1])
+        if res.get("worker"):            # a worker failed before compare
+            raise RuntimeError(f"tpu_parity rc={r.returncode}: {lines[-1]}")
+        return {"bitexact": res["code_mismatch_frames"] == 0,
+                "code_mismatch_frames": res["code_mismatch_frames"],
+                "frames": res["frames"],
+                "decode_corr": res["decode_corr"], "ok": res["ok"]}
+
+    def batch_sweep():
+        """MXU-saturation sweep (BASELINE.md:30 third clause, VERDICT r4
+        #4): mimi + dac bf16 decode at b16→b128 with per-point wall,
+        aggregate xrt, MFU%, HBM% from XLA's own cost model. `knee` is
+        the last batch that still scaled xrt ≥1.3× per doubling; `bound`
+        names the roofline-binding resource at the knee (arithmetic
+        intensity vs the v5e machine balance ~243 flops/byte)."""
+        from codec_tpu.models.dac import dac_decode_fn
+        dcfg, dparams, t_dac, _ = dac_params(True)
+        out: dict = {"mimi": {}, "dac": {}}
+        balance = V5E_BF16_PEAK_FLOPS / V5E_HBM_PEAK_BYTES
+
+        for b in (16, 32, 64, 128):
+            if remaining() < 300:
+                out["truncated_at_batch"] = b
+                break
+            xrt, wall, _, roof = _bench_decode(
+                cfg, params_bf16, b, t_frames, n_iters=10)
+            out["mimi"][f"b{b}"] = {"xrt": round(xrt, 1),
+                                    "wall_ms": round(wall * 1e3, 2),
+                                    "roofline": roof}
+            codes = jnp.asarray(rng.integers(
+                0, dcfg.codebook_size, (b, t_dac, dcfg.n_q)), jnp.int32)
+            xrt, wall, roof = _bench_generic(
+                lambda p, c: dac_decode_fn(p, c, dcfg), dparams, codes,
+                b * t_dac * dcfg.hop_size, dcfg.sample_rate,
+                dcfg.codebook_size, n_iters=10)
+            out["dac"][f"b{b}"] = {"xrt": round(xrt, 1),
+                                   "wall_ms": round(wall * 1e3, 2),
+                                   "roofline": roof}
+            emit()
+
+        knees = {}
+        for m in ("mimi", "dac"):
+            pts = [(int(k[1:]), v) for k, v in out[m].items()]
+            knee = pts[0] if pts else None
+            for prev, cur in zip(pts, pts[1:]):
+                if cur[1]["xrt"] >= 1.3 * prev[1]["xrt"]:
+                    knee = cur
+                else:
+                    break
+            if knee:
+                roof = knee[1]["roofline"]
+                ai = (roof.get("flops", 0) /
+                      max(1, roof.get("hbm_bytes", 1)))
+                knees[m] = {"batch": knee[0], "xrt": knee[1]["xrt"],
+                            "mfu_pct": roof.get("mfu_pct"),
+                            "hbm_pct": roof.get("hbm_pct"),
+                            "arith_intensity": round(ai, 1),
+                            "bound": "hbm" if ai < balance else "mxu"}
+        out["knee_per_model"] = knees
+        if knees:
+            out["knee"] = " ".join(f"{m}:b{k['batch']}"
+                                   for m, k in knees.items())
+            out["bound"] = " ".join(f"{m}:{k['bound']}"
+                                    for m, k in knees.items())
+            out["best_xrt"] = max(k["xrt"] for k in knees.values())
+        # continuity with the round-3/4 key
+        if "b16" in out["mimi"]:
+            extra["bf16_b16_throughput"] = out["mimi"]["b16"]
+        return out
+
     def streaming():
         from codec_tpu.models.mimi import (mimi_decode_stream_init,
                                            mimi_decode_stream_step)
@@ -1032,11 +1172,29 @@ def main():
             dest=tts)
         run("t3_chunked", lambda: _bench_t3_chunked(fast=True), 20, dest=tts)
     else:
-        # ordered by (driver value) / (cold-compile cost); the round-3
-        # claims under audit come first: DAC bf16 ~25 ms, t3 ~12 ms/frame
+        def serving():
+            # live-mix continuous-batching SLOs: p50/p95 time-to-first-
+            # audio + per-stream RTF (VERDICT r3 #8; docs/SERVING.md).
+            # steady_state is measured (zero timed-region compiles).
+            sys.path.insert(0, str(
+                __import__("pathlib").Path(__file__).parent / "tools"))
+            from cont_batch_bench import run_bench
+            return run_bench(slots=4, chunk=16, requests=8, base_steps=32)
+
+        # ordered by (driver value) / (cold-compile cost); the round-4
+        # findings under audit come first: serving collapse, SNAC
+        # outlier, encode bit-exactness, MXU saturation, cold start
         run("bf16_b8_throughput", lambda: mimi_bf16(8), 350)
         run("dac_bf16_b1", lambda: dac_bench(True), 300)
+        run("snac_bf16_b1", lambda: snac_bench(True), 250)
+        run("serving", serving, 400)
         run("wavtokenizer_bf16_b1", lambda: wt_bench(True), 150)
+        run("encode_bitexact", encode_bitexact, 450)
+        run("batch_sweep", batch_sweep, 700)
+        if os.environ.get("BENCH_COLD_START") == "0":
+            extra["cold_start"] = "skipped (BENCH_COLD_START=0)"
+        else:
+            run("cold_start", _bench_cold_start, 300)
         run("t3_chunked", lambda: _bench_t3_chunked(), 450, dest=tts)
         run("product_core", _bench_product_core, 500)
         run("streaming_frame_latency_ms", streaming, 120)
@@ -1046,26 +1204,10 @@ def main():
         run("rda", lambda: _bench_tts_rda(), 150, dest=tts)
         run("dac_f32_b1", lambda: dac_bench(False), 300)
         run("wavtokenizer_f32_b1", lambda: wt_bench(False), 150)
-        run("snac_bf16_b1", lambda: snac_bench(True), 250)
         run("product_more", _bench_product_more, 450)
-        run("bf16_b16_throughput", lambda: mimi_bf16(16, n_iters=20), 300)
         run("rda_batched", lambda: _bench_tts_rda_batched(), 400, dest=tts)
         run("t3_batched", lambda: _bench_t3_batched(), 400, dest=tts)
         run("bf16_b1", lambda: mimi_bf16(1), 250)
-
-        def serving():
-            # live-mix continuous-batching SLOs: p50/p95 time-to-first-
-            # audio + per-stream RTF (VERDICT r3 #8; docs/SERVING.md)
-            sys.path.insert(0, str(
-                __import__("pathlib").Path(__file__).parent / "tools"))
-            from cont_batch_bench import run_bench
-            return run_bench(slots=4, chunk=16, requests=8, base_steps=32)
-
-        run("serving", serving, 400)
-        if os.environ.get("BENCH_COLD_START") == "1":
-            run("cold_start", _bench_cold_start, 200)
-        else:
-            extra["cold_start"] = "skipped (set BENCH_COLD_START=1)"
 
     extra["total_wall_s"] = round(time.monotonic() - t_start, 1)
     emit()
