@@ -99,7 +99,7 @@ class TorchWT(nn.Module):
         self.head_w, self.head_b = W(n_fft + 2, dim), W(n_fft + 2)
 
     # ---- encode ----------------------------------------------------------
-    def encode(self, pcm):
+    def encode(self, pcm, return_z=False):
         x = sconv(pcm, self.e_c0_w, self.e_c0_b)
         for i, stride in enumerate((2, 4, 5, 8)):
             p = self.stage_params[i]
@@ -129,6 +129,8 @@ class TorchWT(nn.Module):
         x = F.elu(x)
         x = sconv(x, self.e_out_w, self.e_out_b)                # [B, C, T]
         z = x.permute(0, 2, 1)                                   # [B, T, C]
+        if return_z:
+            return z
         d2 = ((z[:, :, None, :] - self.codebook[None, None]) ** 2).sum(-1)
         return d2.argmin(-1)                                     # [B, T]
 
