@@ -34,13 +34,20 @@ def sconv(x, w, b, stride=1):
 
 class TorchWT(nn.Module):
     def __init__(self, dim=DIM, cb_dim=CB_DIM, v=V, n_fft=N_FFT,
-                 inter=INTER, n_cnx=N_CNX):
+                 inter=INTER, n_cnx=N_CNX, fan_scale=False):
         super().__init__()
         self.dim, self.cb_dim, self.v, self.n_fft, self.inter, self.n_cnx = \
             dim, cb_dim, v, n_fft, inter, n_cnx
         g = torch.Generator().manual_seed(0)
 
         def W(*shape, s=0.2):
+            # fan_scale: 1/sqrt(fan_in) so production-width stacks keep
+            # activations O(1) — fixed s=0.2 at dim 512+ blows the encoder
+            # latent to ~5e8, and f32 argmin over distances of that
+            # magnitude is pure reduction-order noise (no parity signal)
+            if fan_scale and len(shape) >= 2:
+                import math as _m
+                s = s / _m.sqrt(_m.prod(shape[1:]))
             return nn.Parameter(torch.randn(*shape, generator=g) * s)
 
         # ---- encoder (EnCodec): model.0 conv k7, 4 stages, lstm, model.15
@@ -319,3 +326,83 @@ def test_encode_parity(tiny_wt):
     assert got.shape == (len(want), 1)
     mismatch = int((got[:, 0] != want).sum())
     assert mismatch == 0, f"{mismatch}/{len(want)} codes differ"
+
+
+# ---------------------------------------------------------------------------
+# Full-production-shape gate (VERDICT r4 #6). Dims: the shipped checkpoint's
+# config name encodes nq1 / codebook 4096 / vq+encoder dim 512
+# (novateur/WavTokenizer WavTokenizer_small_320_24k_4096 ships
+# wavtokenizer_smalldata_frame75_3s_nq1_code4096_dim512_kmeans200_attn.yaml —
+# reference tests/e2e/config.json), the reference hard-codes the encoder
+# LSTM at dim 512 (src/models/wavtokenizer.cpp:729), and the upstream
+# VocosBackbone runs dim 768 / intermediate 2304 / 12 ConvNeXt blocks with
+# an ISTFT head at n_fft 1280 = 4*hop. The round-4 Mimi full-size gate
+# caught a tail-padding bug reduced dims hid — this hunts the same class
+# here (lane padding at 768/2304 channels, 512-d euclid search over 4096
+# entries, ISTFT "same" cropping at production n_fft).
+
+FULL_DIM, FULL_CB_DIM, FULL_V = 768, 512, 4096
+FULL_N_FFT, FULL_INTER, FULL_N_CNX = 1280, 2304, 12
+T_FULL = 96
+
+
+@pytest.fixture(scope="module")
+def full_wt(tmp_path_factory):
+    ref = TorchWT(dim=FULL_DIM, cb_dim=FULL_CB_DIM, v=FULL_V,
+                  n_fft=FULL_N_FFT, inter=FULL_INTER, n_cnx=FULL_N_CNX,
+                  fan_scale=True).eval()
+    from codec_tpu.convert import get_converter
+
+    c = get_converter("wavtokenizer")(quantization="F32")
+    c.load_from_state_dict(ref.source_state_dict(),
+                           {"sample_rate": 24000, "hop_size": HOP,
+                            "has_encoder": True, "has_decoder": True})
+    path = tmp_path_factory.mktemp("wt_full") / "wt_full.gguf"
+    c.convert_and_save(path)
+
+    import codec_tpu
+
+    return ref, codec_tpu.load_model(path)
+
+
+@pytest.mark.slow
+def test_fullsize_decode_corr(full_wt):
+    ref, ours = full_wt
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, FULL_V, (1, T_FULL, 1)).astype(np.int32)
+    with torch.no_grad():
+        want = ref.decode(torch.from_numpy(codes[..., 0])).numpy()[0]
+    got = ours.decode(codes[0])
+    assert got.shape == want.shape == (T_FULL * HOP,)
+    corr = float(np.corrcoef(got, want)[0, 1])
+    err = float(np.abs(got - want).max())
+    assert corr > 0.9999, f"full-size decode corr={corr}"
+    assert err < 5e-3, f"full-size decode max abs err={err}"
+
+
+@pytest.mark.slow
+def test_fullsize_encode_exact_or_near_tie(full_wt):
+    """Codes match the mirror bit-for-bit except provable f32 near-ties
+    (relative euclid-distance margin < 1e-4 in f64 at the mirror's
+    latent): 512-d search over 4096 entries makes real ties rare, so a
+    lane-padding/bucketing-class bug fails loudly here."""
+    ref, ours = full_wt
+    rng = np.random.default_rng(1)
+    n = HOP * (T_FULL - 1) + 231          # non-frame-aligned tail
+    pcm = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode(torch.from_numpy(pcm)[None, None]).numpy()[0]
+        z = ref.encode(torch.from_numpy(pcm)[None, None],
+                       return_z=True)[0].double()            # [T, C]
+        cb = ref.codebook.double()
+    got = ours.encode(pcm)
+    assert got.shape == (len(want), 1)
+    bad = np.where(got[:, 0] != want)[0]
+    assert len(bad) <= max(2, len(want) // 50), \
+        f"{len(bad)}/{len(want)} codes diverge — not tie noise"
+    for fr in bad:
+        d2 = ((z[int(fr), None] - cb) ** 2).sum(-1)
+        margin = float((d2[int(got[fr, 0])] - d2[int(want[fr])])
+                       / d2[int(want[fr])].clamp(min=1e-12))
+        assert abs(margin) < 1e-4, \
+            f"frame {fr}: rel margin {margin:.2e} — a real mismatch"
