@@ -33,12 +33,17 @@ POOLS = (1, 5, 11, 21, 45)
 
 
 class Mirror:
-    def __init__(self, seed=0):
+    def __init__(self, seed=0, fan_scale=False):
         g = torch.Generator().manual_seed(seed)
         self.t = {}
         dc = "neucodec.encode.distill.codec_encoder"
 
         def P(name, *shape, s=0.2, off=0.0):
+            # fan_scale: 1/sqrt(fan_in) keeps production-width stacks O(1)
+            # (fixed s at dim 512+ saturates the FSQ bound — all digits
+            # 0/3, no parity signal; see the WavTokenizer full-size gate)
+            if fan_scale and len(shape) >= 2 and off == 0.0:
+                s = s / math.sqrt(math.prod(shape[1:]))
             self.t[name] = torch.randn(*shape, generator=g) * s + off
 
         for i in range(5):
@@ -362,3 +367,102 @@ def test_encode_parity(tiny_distill):
     wd = (want[:, None] // (4 ** np.arange(CBD))) % 4
     match = (gd == wd).mean()
     assert match == 1.0, f"digit match {match}\n{gd}\n{wd}\nz={z_ref}"
+
+
+# ---------------------------------------------------------------------------
+# Full-production-shape gate (VERDICT r4 #6). Reference-verified dims
+# (reference src/models/neucodec.cpp:749-759, 1026-1049): distill encoder
+# dim 512 with 6-head local attention over window 512/4 = 128 (down_trans
+# depth 2, local_trans depth 3, down stride 5), fc_sq_prior 512 -> 768,
+# HuBERT hidden 768 with conv feature stack 512 x 7 (kernels
+# 10,3,3,3,3,2,2 / strides 5,2,2,2,2,2,2), FSQ 4^8 = 65536. FB/FC (first
+# multi-scale block), DPB_DIM, and SEM_OUT are production-SCALE estimates
+# (the reference reads those shapes from the checkpoint); the gate's
+# purpose — surfacing full-width-only bug classes — holds either way.
+
+FULL_DISTILL = dict(D=512, FB=32, FC=256, HEADS=6, DOWN_W=128, LOCAL_W=128,
+                    DPB_DIM=128, FSQ_OUT=768, HH=768, HHEADS=12, HL=12,
+                    HPOS_K=128, HPOS_G=16, HINT=3072,
+                    H_DIMS=(512, 512, 512, 512, 512, 512, 512),
+                    H_KERNELS=(10, 3, 3, 3, 3, 2, 2),
+                    H_STRIDES=(5, 2, 2, 2, 2, 2, 2), SEM_OUT=768)
+N_PCM_FULL = 3277                       # pads to 3520 (11 code frames)
+
+
+@pytest.fixture(scope="module")
+def full_distill(tmp_path_factory):
+    """Mirror built + reference encode computed under production globals
+    (the mirror reads module globals at call time), then restored."""
+    import sys
+    m = sys.modules[__name__]
+    saved = {k: getattr(m, k) for k in FULL_DISTILL}
+    for k, v in FULL_DISTILL.items():
+        setattr(m, k, v)
+    try:
+        ref = Mirror(seed=2, fan_scale=True)
+        # widen the FSQ latent so all 4 levels per digit are exercised
+        # (fan-scaled project_in leaves z at ~0.2 std; bound() then uses
+        # only the middle two levels — weak parity signal)
+        ref.t["neucodec.encode.quant.project_in.w"] *= 8.0
+        ref.t["neucodec.encode.quant.project_in.b"] *= 8.0
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(N_PCM_FULL) * 0.3).astype(np.float32)
+        want, z_ref = ref.encode(pcm)
+
+        path = tmp_path_factory.mktemp("dneu_full") / "dneu_full.gguf"
+        w = GGUFWriter(path, "distill_neucodec")
+        w.add_uint32("codec.sample_rate", 24000)
+        w.add_uint32("codec.hop_size", 480)
+        w.add_uint32("codec.n_q", 1)
+        w.add_uint32("codec.codebook_size", CBS)
+        w.add_uint32("codec.codebook_dim", CBD)
+        w.add_bool("codec.has_encoder", True)
+        w.add_bool("codec.has_decoder", False)
+        w.add_string("neucodec.encoder_type", "distill")
+        w.add_uint32("neucodec.hubert.hidden_size", m.HH)
+        w.add_uint32("neucodec.hubert.num_heads", m.HHEADS)
+        w.add_uint32("neucodec.hubert.intermediate_size", m.HINT)
+        w.add_uint32("neucodec.hubert.num_layers", m.HL)
+        w.add_uint32("neucodec.hubert.num_conv_pos_embeddings", m.HPOS_K)
+        w.add_uint32("neucodec.hubert.num_conv_pos_embedding_groups",
+                     m.HPOS_G)
+        w.add_array("neucodec.hubert.conv_dim", list(m.H_DIMS))
+        w.add_array("neucodec.hubert.conv_kernel", list(m.H_KERNELS))
+        w.add_array("neucodec.hubert.conv_stride", list(m.H_STRIDES))
+        w.add_uint32("neucodec.distill.heads", m.HEADS)
+        w.add_uint32("neucodec.distill.down_window", m.DOWN_W)
+        w.add_uint32("neucodec.distill.local_window", m.LOCAL_W)
+        for name, tensor in ref.t.items():
+            w.add_tensor(name, tensor.numpy())
+        w.write()
+    finally:
+        for k, v in saved.items():
+            setattr(m, k, v)
+
+    import codec_tpu
+
+    return pcm, want, z_ref, codec_tpu.load_model(path)
+
+
+@pytest.mark.slow
+def test_fullsize_encode_exact_or_near_boundary(full_distill):
+    """FSQ digits match the mirror exactly except values provably at a
+    rounding boundary (same proof as the xcodec2 full-size gate)."""
+    pcm, want, z_ref, ours = full_distill
+    got = ours.encode(pcm)
+    assert got.shape == (len(want), 1)
+    gd = (got[:, 0][:, None] // (4 ** np.arange(CBD))) % 4
+    wd = (want[:, None] // (4 ** np.arange(CBD))) % 4
+    bad = np.argwhere(gd != wd)
+    assert len(bad) <= max(2, gd.size // 50), \
+        f"{len(bad)}/{gd.size} FSQ digits diverge — not boundary noise"
+    if len(bad):
+        z64 = z_ref.astype(np.float64)
+        eps = 1e-3
+        half_l = 3.0 * (1 + eps) / 2.0
+        shift = math.atanh(0.5 / half_l)
+        zb = half_l * np.tanh(half_l * np.tanh(z64 + shift) - 0.5 + shift) - 0.5
+        for fr, d in bad:
+            frac = abs(zb[fr, d] - np.floor(zb[fr, d]) - 0.5)
+            assert frac < 1e-3, \
+                f"frame {fr} digit {d}: |frac-0.5|={frac:.2e} — real mismatch"

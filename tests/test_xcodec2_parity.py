@@ -376,6 +376,10 @@ def full_x2(tmp_path_factory):
         setattr(m, k, v)
     try:
         enc = TorchX2Enc(seed=1, fan_scale=True)
+        # widen the FSQ latent so all 4 levels per digit are exercised
+        # (same rationale as the distill-neucodec full-size gate)
+        enc.t["xcodec2.enc.quant.project_in.w"] *= 8.0
+        enc.t["xcodec2.enc.quant.project_in.b"] *= 8.0
         rng = np.random.default_rng(0)
         pcm = (rng.standard_normal(T_PCM_FULL) * 0.2).astype(np.float32)
         mel = w2v_bert_features(pcm, n_mels=m.N_MELS, n_fft=m.MEL_NFFT,
