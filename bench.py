@@ -1066,10 +1066,14 @@ def main():
         whole encode graph to f32 HIGHEST — and reports frames diverged."""
         import subprocess
         repo = os.path.dirname(os.path.abspath(__file__))
+        # --reuse-cpu: the fixture dir persists the CPU worker's outputs
+        # (run under --exact), so a budget-bound bench run pays only the
+        # TPU worker (the round-5 first run lost this section to the CPU
+        # worker + fixture build eating its timeout)
         r = subprocess.run(
             [sys.executable, os.path.join(repo, "tools", "tpu_parity.py"),
-             "--exact"], cwd=repo, capture_output=True, text=True,
-            timeout=max(120, min(900, remaining() - 30)))
+             "--exact", "--reuse-cpu"], cwd=repo, capture_output=True,
+            text=True, timeout=max(120, min(900, remaining() - 30)))
         lines = [ln for ln in r.stdout.strip().splitlines()
                  if ln.startswith("{")]
         res = json.loads(lines[-1])
