@@ -1094,31 +1094,46 @@ def main():
         from codec_tpu.models.dac import dac_decode_fn
         dcfg, dparams, t_dac, _ = dac_params(True)
         out: dict = {"mimi": {}, "dac": {}}
+        # partial points survive a mid-sweep failure (round-5 run 2 lost
+        # the whole section to one relay-side compile-helper crash)
+        extra["batch_sweep_partial"] = out
         balance = V5E_BF16_PEAK_FLOPS / V5E_HBM_PEAK_BYTES
+
+        def point(model: str, b: int, fn):
+            try:
+                xrt, wall, roof = fn()
+                out[model][f"b{b}"] = {"xrt": round(xrt, 1),
+                                       "wall_ms": round(wall * 1e3, 2),
+                                       "roofline": roof}
+            except Exception as e:                     # noqa: BLE001
+                out[model][f"b{b}"] = {
+                    "error": f"{type(e).__name__}: {e}"[:200]}
+            emit()
+
+        def mimi_pt(b):
+            xrt, wall, _, roof = _bench_decode(
+                cfg, params_bf16, b, t_frames, n_iters=10)
+            return xrt, wall, roof
+
+        def dac_pt(b):
+            codes = jnp.asarray(rng.integers(
+                0, dcfg.codebook_size, (b, t_dac, dcfg.n_q)), jnp.int32)
+            return _bench_generic(
+                lambda p, c: dac_decode_fn(p, c, dcfg), dparams, codes,
+                b * t_dac * dcfg.hop_size, dcfg.sample_rate,
+                dcfg.codebook_size, n_iters=10)
 
         for b in (16, 32, 64, 128):
             if remaining() < 300:
                 out["truncated_at_batch"] = b
                 break
-            xrt, wall, _, roof = _bench_decode(
-                cfg, params_bf16, b, t_frames, n_iters=10)
-            out["mimi"][f"b{b}"] = {"xrt": round(xrt, 1),
-                                    "wall_ms": round(wall * 1e3, 2),
-                                    "roofline": roof}
-            codes = jnp.asarray(rng.integers(
-                0, dcfg.codebook_size, (b, t_dac, dcfg.n_q)), jnp.int32)
-            xrt, wall, roof = _bench_generic(
-                lambda p, c: dac_decode_fn(p, c, dcfg), dparams, codes,
-                b * t_dac * dcfg.hop_size, dcfg.sample_rate,
-                dcfg.codebook_size, n_iters=10)
-            out["dac"][f"b{b}"] = {"xrt": round(xrt, 1),
-                                   "wall_ms": round(wall * 1e3, 2),
-                                   "roofline": roof}
-            emit()
+            point("mimi", b, lambda b=b: mimi_pt(b))
+            point("dac", b, lambda b=b: dac_pt(b))
 
         knees = {}
         for m in ("mimi", "dac"):
-            pts = [(int(k[1:]), v) for k, v in out[m].items()]
+            pts = [(int(k[1:]), v) for k, v in out[m].items()
+                   if "xrt" in v]
             knee = pts[0] if pts else None
             for prev, cur in zip(pts, pts[1:]):
                 if cur[1]["xrt"] >= 1.3 * prev[1]["xrt"]:
