@@ -70,17 +70,20 @@ def _unit_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, ia1_ref, a2_ref,
 
     h = win_ref[:]
     acc = jnp.dot(h[0:t_blk], w1_ref[0],
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     for j in range(1, k):
         acc = acc + jnp.dot(h[j * dilation: j * dilation + t_blk], w1_ref[j],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     acc = acc + b1_ref[:]
     a2 = a2_ref[:]
     if do_snake:
         h2 = (acc + _sin2(a2 * acc) * ia2_ref[:]).astype(jnp.bfloat16)
     else:
         h2 = acc.astype(jnp.bfloat16)
-    y = jnp.dot(h2, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    y = jnp.dot(h2, w2_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) + b2_ref[:]
     out_ref[0] = x + y.astype(out_ref.dtype)
 
 
@@ -185,14 +188,17 @@ def _chain_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, ia1_ref, a2_ref,
             + _sin2(a1 * cur_ref[:length]) * ia1).astype(jnp.bfloat16)
         snk = snk_ref[:]
         acc = jnp.dot(snk[0:l_out], w1_ref[u, 0],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
         for j in range(1, k):
             acc = acc + jnp.dot(snk[j * d: j * d + l_out], w1_ref[u, j],
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
         acc = acc + b1_ref[u]
         h2 = (acc + _sin2(a2_ref[u] * acc) * ia2_ref[u]).astype(jnp.bfloat16)
         y = jnp.dot(h2, w2_ref[u],
-                    preferred_element_type=jnp.float32) + b2_ref[u]
+                    preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) + b2_ref[u]
         res = cur_ref[h:h + l_out] + y
         off += h
         if u < len(dilations) - 1:
@@ -271,6 +277,16 @@ def seanet_res_chain(x: jax.Array, w1s: jax.Array, b1s: jax.Array,
     return out[:, :t]
 
 
+
+def _exact_precision_active() -> bool:
+    """True inside a `jax.default_matmul_precision('highest'/'float32')`
+    scope (exact-encode, tpu_parity --exact). The kernel computes its
+    convs in bf16 by design — dispatching it there would both break the
+    bit-exactness contract AND feed Mosaic a float32-precision matmul
+    with bf16 operands, which it rejects ('Bad lhs type', found by
+    tpu_parity --arch dac --exact round 5)."""
+    return jax.config.jax_default_matmul_precision in ("highest", "float32")
+
 def use_fused_chain(t: int, c: int, k: int, n: int) -> bool:
     """Chained-unit gate: all N units' weights must fit VMEM together
     alongside the double-buffered tiles. CODEC_NO_FUSED_RESUNIT=1
@@ -281,7 +297,7 @@ def use_fused_chain(t: int, c: int, k: int, n: int) -> bool:
 
     return (c % 128 == 0 and n * (k + 1) * c * c * 2 <= 16 << 20
             and t >= 4096 and jax.default_backend() == "tpu"
-            and not sp_mode()
+            and not sp_mode() and not _exact_precision_active()
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))
 
 
@@ -305,5 +321,5 @@ def use_fused_unit(t: int, c: int, k: int) -> bool:
 
     return (c % 128 == 0 and c <= 768 and k * c * c * 2 <= 9 << 20
             and t >= 4096 and jax.default_backend() == "tpu"
-            and not sp_mode()
+            and not sp_mode() and not _exact_precision_active()
             and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))
