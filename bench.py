@@ -69,15 +69,22 @@ def _readback_rtt() -> float:
 
 def _roofline(compiled, wall_s: float, n_iters: int) -> dict:
     """flops / bytes per iteration from XLA's own cost model, expressed
-    against v5e peaks (VERDICT r3 #6). The chained graph's totals divide
-    by n_iters; weights re-read every iteration, which matches steady-
-    state streaming decode."""
+    against v5e peaks (VERDICT r3 #6).
+
+    XLA's HloCostAnalysis counts a while/fori_loop BODY ONCE regardless
+    of trip count (verified on both the cpu and tpu backends: a 50-iter
+    fori_loop over a matmul reports exactly 1 matmul of flops), so the
+    chained graph's totals are already per-iteration — do NOT divide by
+    n_iters. Rounds 4 and early 5 divided, under-reporting every MFU/HBM%
+    by ~50x (BENCH_r04 "1.26% MFU" for mimi bf16 b16 is really ~63%;
+    mimi f32 b1 is in fact at the HBM roofline). Weights re-read every
+    iteration, which matches steady-state streaming decode."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        fl = float(ca.get("flops", 0.0)) / n_iters
-        by = float(ca.get("bytes accessed", 0.0)) / n_iters
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
         return {
             "flops": round(fl),
             "hbm_bytes": round(by),
