@@ -8,7 +8,7 @@ iteration methodology from bench.py, and prints achieved TFLOP/s and
 GB/s against the device peaks — i.e. whether a decode is compute-bound,
 bandwidth-bound, or leaving speed on the table.
 
-Usage:  python tools/profile_decode.py [--models mimi,dac,wavtokenizer]
+Usage:  python tools/profile_decode.py [--models mimi,dac,wavtokenizer,snac]
         [--seconds 20] [--iters 10] [--top 12]
 Output: one human table per model + a final JSON line.
 """
@@ -117,6 +117,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--bf16", action="store_true",
+                    help="cast params to bf16 (snac only for now)")
     args = ap.parse_args()
     models = args.models.split(",")
     rng = np.random.default_rng(0)
@@ -160,6 +162,24 @@ def main():
         results["wavtokenizer"] = _analyze(
             "wavtokenizer", lambda c: wt_decode_fn(wparams, c, wcfg), codes,
             wcfg.codebook_size, t * wcfg.hop_size / wcfg.sample_rate,
+            args.iters, args.top)
+
+    if "snac" in models:
+        from codec_tpu.models.bench_init import random_snac_params
+        from codec_tpu.models.snac import snac_decode_fn
+
+        scfg, sparams = random_snac_params(encoder=False)
+        if args.bf16:
+            sparams = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if isinstance(a, jax.Array) and a.dtype == jnp.float32
+                else a, sparams)
+        t = (int(args.seconds * 24000) // scfg.hop_size) // 4 * 4
+        codes = jnp.asarray(rng.integers(0, scfg.codebook_size,
+                                         (1, t, 3)), jnp.int32)
+        results["snac"] = _analyze(
+            "snac", lambda c: snac_decode_fn(sparams, c, scfg), codes,
+            scfg.codebook_size, t * scfg.hop_size / scfg.sample_rate,
             args.iters, args.top)
 
     print("\n" + json.dumps(results))
