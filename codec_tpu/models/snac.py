@@ -159,6 +159,40 @@ def _res_unit(x, u, dilation):
     return x + h
 
 
+def _res_units_block(x, units, to):
+    """One decoder block's three res-units: the fused depthwise chain
+    Pallas kernel when it applies (one HBM read+write for the whole
+    chain — the two pcm-rate blocks were 24 ms of the 32 ms bf16 b1
+    decode as separate XLA passes, tools/snac_bisect.py), otherwise the
+    sequential per-unit path."""
+    from ..ops import seanet_pallas as sp
+
+    padded = [{k2: (_pad_layer(u[k2], to) if k2 in ("c1", "c2")
+                    else _pc(u[k2], 0, to, 1.0)) for k2 in u}
+              for u in units]
+    c = x.shape[-1]
+    k = padded[0]["c1"]["k"]
+    depthwise_chain = all(
+        u["c1"]["w"].shape[1] == 1 and u["c1"]["w"].shape[2] == c
+        and u["c1"]["k"] == k and u["c2"]["k"] == 1
+        and u["c1"]["b"] is not None and u["c2"]["b"] is not None
+        for u in padded)
+    if depthwise_chain and sp.use_fused_dw_chain(x.shape[1], c, k,
+                                                 len(padded)):
+        w1s = jnp.stack([u["c1"]["w"][:, 0, :] for u in padded])  # [N,K,C]
+        b1s = jnp.stack([u["c1"]["b"] for u in padded])
+        a1s = jnp.stack([u["a1"] for u in padded])
+        a2s = jnp.stack([u["a2"] for u in padded])
+        w2s = jnp.stack([u["c2"]["w"][0] for u in padded])        # [N,C,C]
+        b2s = jnp.stack([u["c2"]["b"] for u in padded])
+        return sp.snac_res_chain(x, w1s, b1s, a1s, a2s, w2s, b2s,
+                                 dilations=tuple(RES_DILATIONS),
+                                 t_blk=sp.pick_t_blk(c))
+    for u, d in zip(padded, RES_DILATIONS):
+        x = _res_unit(x, u, d)
+    return x
+
+
 def _repeat_interleave_t(x: jax.Array, factor: int) -> jax.Array:
     """[B, T, C] → [B, T*factor, C], each frame repeated factor times."""
     b, t, c = x.shape
@@ -221,11 +255,7 @@ def snac_decode_fn(params, codes: jax.Array, cfg: SnacConfig) -> jax.Array:
         y = y[:, pad: y.shape[1] - (pad - out_pad), :]
         x = y
         # NoiseBlock runs as identity in deterministic decode (snac.cpp:391-397)
-        for u, d in zip(blk["units"], RES_DILATIONS):
-            x = _res_unit(x, {k2: (_pad_layer(u[k2], to)
-                                   if k2 in ("c1", "c2")
-                                   else _pc(u[k2], 0, to, 1.0))
-                              for k2 in u}, d)
+        x = _res_units_block(x, blk["units"], to)
     x = act.snake(x, _pc(params["dec_act_final"], 0, to, 1.0))
     fin = dict(params["dec_final"], w=_pc(params["dec_final"]["w"], 1, to))
     x = _conv(x, fin, padding=(params["dec_final"]["k"] - 1) // 2)

@@ -278,6 +278,132 @@ def seanet_res_chain(x: jax.Array, w1s: jax.Array, b1s: jax.Array,
 
 
 
+def _dw_chain_kernel(x_ref, halo_ref, w1_ref, b1_ref, a1_ref, ia1_ref,
+                     a2_ref, ia2_ref, w2_ref, b2_ref, out_ref, cur_ref,
+                     snk_ref, *, k: int, dilations: tuple, t_blk: int,
+                     halo: int, t_real: int):
+    """Depthwise variant of _chain_kernel (SNAC res-units: snake →
+    DEPTHWISE dilated k7 → snake → 1x1 conv → +x). The dilated conv has
+    no channel contraction, so its K taps are VPU FMAs on the f32
+    scratch instead of MXU matmuls; the 1x1 conv stays an MXU dot.
+    Everything else (halo assembly, per-unit valid-region shrink,
+    sequence-edge re-zeroing, f32 residual accumulation) matches
+    _chain_kernel."""
+    i = pl.program_id(1)
+    x = x_ref[0]
+    cur_ref[:halo] = halo_ref[0, 0, :halo].astype(jnp.float32)
+    cur_ref[halo + t_blk:] = halo_ref[0, 0, halo:].astype(jnp.float32)
+    cur_ref[halo:halo + t_blk] = x.astype(jnp.float32)
+
+    length = t_blk + 2 * halo
+    off = 0
+    for u, d in enumerate(dilations):
+        h = ((k - 1) * d) // 2
+        l_out = length - 2 * h
+        a1 = a1_ref[u]
+        ia1 = ia1_ref[u]
+        snk_ref[:length] = (cur_ref[:length]
+                            + _sin2(a1 * cur_ref[:length]) * ia1)
+        snk = snk_ref[:]
+        acc = snk[0:l_out] * w1_ref[u, 0]
+        for j in range(1, k):
+            acc = acc + snk[j * d: j * d + l_out] * w1_ref[u, j]
+        acc = acc + b1_ref[u]
+        h2 = (acc + _sin2(a2_ref[u] * acc) * ia2_ref[u]).astype(jnp.bfloat16)
+        y = jnp.dot(h2, w2_ref[u], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + b2_ref[u]
+        res = cur_ref[h:h + l_out] + y
+        off += h
+        if u < len(dilations) - 1:
+            pos = (i * t_blk - halo + off
+                   + jax.lax.broadcasted_iota(jnp.int32, res.shape, 0))
+            res = jnp.where((pos >= 0) & (pos < t_real), res, 0.0)
+        cur_ref[:l_out] = res
+        length = l_out
+    out_ref[0] = cur_ref[:t_blk].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilations", "t_blk", "eps", "interpret"))
+def snac_res_chain(x: jax.Array, w1s: jax.Array, b1s: jax.Array,
+                   a1s: jax.Array, a2s: jax.Array, w2s: jax.Array,
+                   b2s: jax.Array, dilations: tuple = (1, 3, 9),
+                   t_blk: int = 4096, eps: float = 1e-9,
+                   interpret: bool = False) -> jax.Array:
+    """Chained fused DEPTHWISE res-units (SNAC decoder blocks,
+    src/models/snac.cpp): x [B, T, C]; w1s [N, K, C] per-channel dilated
+    taps; w2s [N, C, C] 1x1 convs; alphas/biases [N, C]. Equivalent to N
+    sequential (snake → depthwise conv k=K,d=d_u → snake → 1x1 conv →
+    +x) units with ONE HBM read + write for the whole chain. The
+    round-5 depthwise-shifts XLA formulation brought SNAC bf16 b1 decode
+    142 → 32 ms; the two pcm-rate blocks still cost 24 ms of it in
+    separate per-op HBM passes (tools/snac_bisect.py) — this kernel
+    collapses each block's ~14 activation passes into 2."""
+    b, t, c = x.shape
+    n, k = w1s.shape[0], w1s.shape[1]
+    halo = sum(((k - 1) * d) // 2 for d in dilations)
+    if halo > t_blk:
+        raise ValueError(f"chain halo {halo} exceeds t_blk {t_blk}")
+    n_tiles = -(-t // t_blk)
+    t_pad = n_tiles * t_blk
+
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    xl = jnp.pad(xp, ((0, 0), (halo, 0), (0, 0)))[:, :t_pad]
+    left = xl.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+    xr = jnp.pad(xp, ((0, 0), (0, t_blk), (0, 0)))[:, t_blk: t_blk + t_pad]
+    right = xr.reshape(b, n_tiles, t_blk, c)[:, :, :halo]
+    halos = jnp.concatenate([left, right], axis=2)
+
+    two_d = lambda v: v.reshape(n, 1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _dw_chain_kernel, k=k, dilations=tuple(dilations), t_blk=t_blk,
+        halo=halo, t_real=t)
+    vec = pl.BlockSpec((n, 1, c), lambda bi, i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * halo, c), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, c), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec, vec, vec,
+            pl.BlockSpec((n, c, c), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vec,
+        ],
+        out_specs=pl.BlockSpec((1, t_blk, c), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),
+            pltpu.VMEM((t_blk + 2 * halo, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(xp, halos, w1s.astype(jnp.float32), two_d(b1s), two_d(a1s),
+      1.0 / (two_d(a1s) + eps), two_d(a2s), 1.0 / (two_d(a2s) + eps),
+      w2s.astype(jnp.bfloat16), two_d(b2s))
+    return out[:, :t]
+
+
+def use_fused_dw_chain(t: int, c: int, k: int, n: int) -> bool:
+    """Dispatch gate for the depthwise chain (SNAC decoder): lane-aligned
+    channels, T long enough to amortize the grid, 1x1 weights fit VMEM.
+    CODEC_NO_FUSED_RESUNIT=1 disables (same knob as the dense kernels)."""
+    import os
+
+    from .conv import sp_mode
+
+    return (c % 128 == 0 and n * c * c * 2 <= 8 << 20
+            and t >= 4096 and jax.default_backend() == "tpu"
+            and not sp_mode() and not _exact_precision_active()
+            and not os.environ.get("CODEC_NO_FUSED_RESUNIT"))
+
+
 def _exact_precision_active() -> bool:
     """True inside a `jax.default_matmul_precision('highest'/'float32')`
     scope (exact-encode, tpu_parity --exact). The kernel computes its

@@ -85,3 +85,53 @@ def test_res_chain_matches_sequential_units(b, t, tb):
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=8e-2)
     corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
     assert corr > 0.9995
+
+
+@pytest.mark.parametrize("b,t,tb", [(1, 9000, 2048), (2, 4096, 4096),
+                                    (1, 4100, 4096)])
+def test_dw_chain_matches_sequential_units(b, t, tb):
+    """snac_res_chain (depthwise fused chain) == sequential snake →
+    depthwise dilated k7 → snake → 1x1 conv → +x units (SNAC decoder
+    blocks, src/models/snac.cpp). Tolerances match the dense chain test
+    (bf16 1x1 matmul + sin2 approximation)."""
+    from codec_tpu.ops import act, conv
+    from codec_tpu.ops.seanet_pallas import snac_res_chain
+
+    rng = np.random.default_rng(5)
+    c, k = 128, 7
+    dils = (1, 3, 9)
+    x = jnp.asarray(rng.standard_normal((b, t, c)) * 0.3, jnp.float32)
+    units = []
+    for _ in dils:
+        units.append(dict(
+            w1=jnp.asarray(rng.standard_normal((k, c)) * 0.2, jnp.float32),
+            b1=jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            w2=jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32),
+            b2=jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+            a1=jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32),
+            a2=jnp.asarray(np.abs(rng.standard_normal(c)) + 0.2, jnp.float32),
+        ))
+
+    want = x
+    for u, d in zip(units, dils):
+        h = act.snake(want, u["a1"])
+        h = conv.conv1d_depthwise_shifts(h, u["w1"][:, None, :], u["b1"],
+                                         dilation=d, padding=((k - 1) * d) // 2)
+        h = act.snake(h, u["a2"])
+        h = h @ u["w2"] + u["b2"]
+        want = want + h
+    want = np.asarray(want)
+
+    got = np.asarray(snac_res_chain(
+        x,
+        jnp.stack([u["w1"] for u in units]),
+        jnp.stack([u["b1"] for u in units]),
+        jnp.stack([u["a1"] for u in units]),
+        jnp.stack([u["a2"] for u in units]),
+        jnp.stack([u["w2"] for u in units]),
+        jnp.stack([u["b2"] for u in units]),
+        dilations=dils, t_blk=tb, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=8e-2)
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.9995
