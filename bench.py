@@ -1212,9 +1212,13 @@ def main():
         # outlier, encode bit-exactness, MXU saturation, cold start
         run("bf16_b8_throughput", lambda: mimi_bf16(8), 350)
         run("dac_bf16_b1", lambda: dac_bench(True), 300)
-        run("snac_bf16_b1", lambda: snac_bench(True), 250)
-        run("serving", serving, 400)
         run("wavtokenizer_bf16_b1", lambda: wt_bench(True), 150)
+        # ~650s: the fused depthwise-chain Pallas kernels (4 Mosaic
+        # instances) dominate the section's fresh-process compile; the
+        # decode itself is 13 ms [session r5, tools/snac_bisect.py +
+        # /tmp measurement — 32.2 -> 12.96 ms]
+        run("snac_bf16_b1", lambda: snac_bench(True), 700)
+        run("serving", serving, 400)
         run("encode_bitexact", encode_bitexact, 450)
         run("batch_sweep", batch_sweep, 700)
         run("t3_chunked", lambda: _bench_t3_chunked(), 450, dest=tts)
