@@ -9,11 +9,16 @@ isolation (latent gather, input convs, each upsample block, final
 conv) with the chained-iteration methodology from bench.py, in bf16,
 to localize where the remaining wall lives.
 
-Usage: python tools/snac_bisect.py      (real TPU; compiles cache to
-.jax_cache like the other dissect tools)
+Usage: python tools/snac_bisect.py [--full]   (real TPU; compiles cache
+to .jax_cache like the other dissect tools)
+
+--full: skip the per-stage dissection and time the complete decode with
+bench.py's exact chained methodology (n_iters=50) — the reproducible
+source of the 32.2 -> 12.96 ms fused-chain number [session r5].
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -63,7 +68,37 @@ def _wall(fn, x0, n_iters=10):
     return max(1e-9, (time.monotonic() - t0) - r) / n_iters
 
 
+def _full_decode(scfg, sparams, codes, n_iters=50):
+    """bench.py::_bench_generic verbatim: chained fori_loop, output
+    feeds the next iteration's codes, one host readback minus RTT."""
+    vocab = scfg.codebook_size
+
+    def chained(c0):
+        def body(i, carry):
+            c, acc = carry
+            pcm = S.snac_decode_fn(sparams, c, scfg)
+            per_row = c.shape[1] * c.shape[2]
+            nxt = (jnp.abs(pcm[:, :per_row]).reshape(c.shape)
+                   * 1e6).astype(jnp.int32) % vocab
+            return nxt, acc + pcm[0, 0]
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (c0, jnp.float32(0)))
+        return acc
+
+    t0 = time.monotonic()
+    compiled = jax.jit(chained).lower(codes).compile()
+    compile_s = time.monotonic() - t0
+    np.asarray(compiled(codes))
+    r = _rtt()
+    t0 = time.monotonic()
+    np.asarray(compiled(codes))
+    wall = max(1e-9, (time.monotonic() - t0) - r) / n_iters
+    return wall, compile_s
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
     rng = np.random.default_rng(0)
     scfg, sparams = random_snac_params(encoder=False)
     sparams = jax.tree_util.tree_map(
@@ -73,6 +108,15 @@ def main():
     t_sn = (24000 * 20 // scfg.hop_size) // 4 * 4
     codes = jnp.asarray(rng.integers(0, scfg.codebook_size, (1, t_sn, 3)),
                         jnp.int32)
+    if args.full:
+        wall, compile_s = _full_decode(scfg, sparams, codes)
+        out_samples = t_sn * scfg.hop_size
+        print(json.dumps({
+            "t_fine": t_sn, "backend": jax.default_backend(),
+            "compile_s": round(compile_s, 1),
+            "wall_ms": round(wall * 1e3, 2),
+            "xrt": round(out_samples / scfg.sample_rate / wall, 1)}))
+        return
     to = conv.lane_pad()
     out = {"t_fine": t_sn, "lane_pad": to,
            "backend": jax.default_backend()}
