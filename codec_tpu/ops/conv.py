@@ -133,9 +133,25 @@ def conv1d_matmul(
     t_out = x.shape[1] + pad_l + pad_r - k_eff + 1
     mode = "edge" if pad_mode == "replicate" else "constant"
     xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)), mode=mode)
-    y = xp[:, :t_out] @ w[0]
-    for j in range(1, k):
-        y = y + xp[:, j * dilation: j * dilation + t_out] @ w[j]
+    c_in, c_out = w.shape[1], w.shape[2]
+    if 2 * k * c_out <= (k - 1) * c_in:
+        # Narrow-output form (e.g. the k7 C->1 final conv every SEANet
+        # decoder ends with, at pcm-rate T): the K shifted matmuls above
+        # each re-stream the full [T, C_in] activation from HBM (XLA
+        # fuses the adds but not the halo reuse), ~K passes total. One
+        # [T, C_in] @ [C_in, K*C_out] matmul reads it ONCE; the K
+        # shifted adds then run over the small [T, K*C_out] z. Same
+        # per-tap products and the same j-summation order — numerics
+        # match the loop to matmul-reduction noise.
+        z = xp @ w.transpose(1, 0, 2).reshape(c_in, k * c_out)
+        y = z[:, :t_out, :c_out]
+        for j in range(1, k):
+            y = y + z[:, j * dilation: j * dilation + t_out,
+                      j * c_out:(j + 1) * c_out]
+    else:
+        y = xp[:, :t_out] @ w[0]
+        for j in range(1, k):
+            y = y + xp[:, j * dilation: j * dilation + t_out] @ w[j]
     if b is not None:
         y = y + b
     return y

@@ -381,3 +381,44 @@ def test_convtr1d_causal_stream_chunk_exact(k, stride):
         pos += sz
     np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,cin,cout,d,pad", [
+    (7, 128, 1, 1, 3),     # SEANet final conv shape (narrow-output form)
+    (7, 64, 2, 1, 3),      # narrow-output, cout > 1
+    (3, 96, 1, 2, 2),      # dilated narrow-output
+    (7, 32, 32, 1, 3),     # wide output -> K-shifted-matmul form
+])
+def test_conv1d_matmul_matches_conv1d(k, cin, cout, d, pad):
+    """Both branches of the TPU stride-1 matmul conv formulation
+    (ops/conv.conv1d_matmul): the K-shifted-matmul form and the
+    narrow-output z-shift form (one [T,C_in]@[C_in,K*C_out] matmul +
+    K shifted adds over the small z — dispatched when
+    2*K*C_out <= (K-1)*C_in, e.g. every SEANet decoder's final k7 C->1
+    conv) against lax conv1d."""
+    import jax.numpy as jnp
+
+    from codec_tpu.ops import conv
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 300, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    want = np.asarray(conv.conv1d(x, w, b, dilation=d, padding=pad))
+    got = np.asarray(conv.conv1d_matmul(x, w, b, dilation=d, padding=pad))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_conv1d_matmul_asymmetric_padding():
+    import jax.numpy as jnp
+
+    from codec_tpu.ops import conv
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 300, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((7, 128, 1)) * 0.2, jnp.float32)
+    want = np.asarray(conv.conv1d(jnp.pad(x, ((0, 0), (5, 1), (0, 0))),
+                                  w, None, padding=0))
+    got = np.asarray(conv.conv1d_matmul(x, w, None, padding=(5, 1)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
