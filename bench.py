@@ -1216,7 +1216,7 @@ def main():
         # ~650s: the fused depthwise-chain Pallas kernels (4 Mosaic
         # instances) dominate the section's fresh-process compile; the
         # decode itself is 13 ms [session r5, tools/snac_bisect.py +
-        # /tmp measurement — 32.2 -> 12.96 ms]
+        # tools/snac_bisect.py --full — 32.2 -> 11.89 ms]
         run("snac_bf16_b1", lambda: snac_bench(True), 700)
         run("serving", serving, 400)
         run("encode_bitexact", encode_bitexact, 450)
